@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One engine query: a Spark DataFrame program plus (when SQL-expressible)
+  * a DuckDB oracle over the same parquet tables. The driver hash-compares
+  * the two at sf0.01, so every query must end in a total order and emit
+  * only deterministic column types (STRING / BIGINT / DOUBLE-from-decimal).
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)
+
+object sources {
+  /** Parquet table loaders for the driver test data (TESTDATA.md). Plain
+    * `spark.read.parquet` so Catalyst gets pushdown/pruning for free; at
+    * cluster scale these would be partitioned directories — the API is
+    * path-based so that swap is transparent.
+    */
+  object Tables {
+    def t(spark: SparkSession, dir: String, name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name.parquet")
+    def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+    def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+    def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+    def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+    def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+    def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+    def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+
+    /** events.parquet stores TIMESTAMP(NANOS) which Spark cannot represent;
+      * with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+      * long of epoch-nanos, which we normalize to a microsecond
+      * TimestampType (integer division — no double precision loss).
+      */
+    def events(s: SparkSession, d: String): DataFrame = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    }
+    def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+    def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  }
+}
+
+/** Deterministic aggregation helpers.
+  *
+  * Double sums are order-dependent, and Spark's partial aggregation order
+  * differs from DuckDB's — so any DOUBLE that crosses an aggregation is
+  * routed through DECIMAL (exact, associative) and only cast back to
+  * DOUBLE at the end. Per-row double arithmetic (a*b, 1.0-x) is IEEE-754
+  * deterministic and needs no such treatment.
+  */
+object det {
+  /** Exact sum of a double column via decimal; emitted as double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic average: exact decimal sum divided by count, in double. */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def sqlSum(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  def sqlAvg(expr: String, scale: Int = 2): String =
+    s"(${sqlSum(expr, scale)} / COUNT(*))"
+}
