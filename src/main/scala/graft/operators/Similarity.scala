@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over the `embeddings` table (`ARRAY<FLOAT>`, dim 64).
+  *
+  * Two paths:
+  *  - [[cosineTopK]] — brute-force baseline: query-set × corpus with a
+  *    per-row fold for the dot product. The fold (`aggregate`) sums
+  *    left-to-right in double, which is bit-identical to DuckDB's list
+  *    functions — verified empirically — so the oracle needs no rounding.
+  *    O(|Q|·n): right for small query sets; the corpus side stays
+  *    partitioned and the query side broadcasts.
+  *  - [[lshBuckets]] — scale path: deterministic random-hyperplane LSH.
+  *    Each vector reduces to an 8-bit bucket; ANN search joins buckets
+  *    only. Bucket sums go through DECIMAL — a groupBy sum of doubles is
+  *    order-dependent and would break both oracle parity and run-to-run
+  *    reproducibility at scale.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double — deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding the query set). Deterministic tiebreak on
+    * neighbor id. */
+  def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val corpus = emb.filter(!queryPred)
+      .select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient for (plane p,
+    * dim d): integer in [-3, 3], identical in SQL. */
+  private def coefExpr(p: Column, d: Column): Column =
+    (lit(1103515245L) * (p * 64 + d) + 12345L).divide(lit(65536L)).cast("long") % 7 - 3
+
+  /** 8-bit LSH bucket per vector. The per-plane projection is summed in
+    * DECIMAL so the groupBy is order-independent. */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val exploded = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .crossJoin(broadcast(
+        emb.sparkSession.range(8).select(col("id").cast("int").as("p"))))
+    val proj = exploded
+      .withColumn("term",
+        col("v").cast(DecimalType(18, 9)) * coefExpr(col("p"), col("d")))
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("term")).as("s"))
+    proj.groupBy(col("vec_id"))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L))
+        .cast("long").as("bucket"))
+  }
+
+  private val sqlBuckets = """
+    SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM (
+      SELECT vec_id, p,
+             SUM(CAST(embedding[d + 1] AS DECIMAL(18,9))
+                 * (((1103515245 * (p * 64 + d) + 12345) // 65536) % 7 - 3)) AS s
+      FROM embeddings, range(0, 64) t(d), range(0, 8) r(p)
+      GROUP BY vec_id, p)
+    GROUP BY vec_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force ANN baseline: 10 query vectors, top-5 neighbors each.
+    QueryDef(
+      "sim_cosine_topk",
+      Some("""
+        SELECT qid, nid, rank, cos FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+          WHERE q.vec_id < 10)
+        WHERE rank <= 5
+        ORDER BY qid, rank
+      """.trim),
+      (s, d) => cosineTopK(embeddings(s, d), col("vec_id") < 10, 5)),
+
+    // LSH bucket assignment (the scale path's partitioning artifact).
+    QueryDef(
+      "sim_lsh_buckets",
+      Some(s"""
+        WITH b AS ($sqlBuckets)
+        SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec
+        FROM b GROUP BY bucket
+        ORDER BY bucket
+      """.trim),
+      (s, d) => lshBuckets(embeddings(s, d))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"))
+        .orderBy(col("bucket"))),
+
+    // Bucketed ANN: neighbors searched only within the query's bucket.
+    QueryDef(
+      "sim_lsh_ann",
+      Some(s"""
+        WITH b AS ($sqlBuckets),
+        e AS (SELECT e.vec_id, e.embedding, b.bucket
+              FROM embeddings e JOIN b ON e.vec_id = b.vec_id)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10)
+        WHERE rank <= 5
+        ORDER BY qid, rank
+      """.trim),
+      (s, d) => {
+        val withBuckets = embeddings(s, d)
+          .join(lshBuckets(embeddings(s, d)), "vec_id")
+        val q = withBuckets.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("bucket"))
+        val c = withBuckets
+          .select(col("vec_id").as("nid"), col("embedding").as("nemb"), col("bucket"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
+        q.join(c, Seq("bucket"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      }),
+
+    // Embedding-space near-duplicate pairs (cosine threshold).
+    QueryDef(
+      "dd_embedding_neardup",
+      Some("""
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        ORDER BY i, j
+      """.trim),
+      (s, d) => {
+        val e = embeddings(s, d)
+        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+          .filter(col("cos") >= 0.45)
+          .orderBy(col("i"), col("j"))
+      })
+  )
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.TextFunctions
+import graft.sources.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` corpus: token statistics, language identification,
+  * quality scoring, and document fingerprinting.
+  *
+  * Everything is a pure expression tree over a single scan — no UDFs,
+  * no shuffles except the final presentation sort; per-row double
+  * division is IEEE-deterministic so the oracle hash-matches.
+  */
+object TextAnalysis {
+
+  /** Marker lexicons for the language-ID heuristic. The corpus is
+    * synthetic, so markers double as a determinism test of
+    * set-intersection scoring; swap lexicons for real fastText-style
+    * stop-word lists in production. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "data", "fast", "key", "join", "row"),
+    "de" -> Seq("der", "die", "und", "merge", "window", "batch"),
+    "es" -> Seq("el", "la", "los", "query", "stream", "table"),
+    "fr" -> Seq("le", "les", "et", "filter", "group", "sort"),
+    "zh" -> Seq("spark", "agg", "scan", "hash", "column", "value"))
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def markerScore(markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks), array(markers.map(lit): _*))).cast("long")
+
+  private def sqlMarkerScore(markers: Seq[String]): String = {
+    val lits = markers.map(m => s"'$m'").mkString(", ")
+    s"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [$lits])) AS BIGINT)"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: counts, type-token ratio, longest token.
+    QueryDef(
+      "ta_token_stats",
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+               (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1.0
+                  / len(string_split(text, ' '))) AS ttr,
+               CAST(list_max(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS max_token_len,
+               CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(
+          $"doc_id",
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          (size(array_distinct(toks)).cast("long") * lit(1.0) / size(toks)).as("ttr"),
+          array_max(transform(toks, t => length(t))).cast("long").as("max_token_len"),
+          length($"text").cast("long").as("n_chars_actual"))
+          .orderBy($"doc_id")
+      }),
+
+    // Language identification: marker-lexicon scores + deterministic argmax.
+    QueryDef(
+      "ta_lang_id", {
+        val scoreSql = langMarkers.map { case (l, m) => s"${sqlMarkerScore(m)} AS s_$l" }
+          .mkString(",\n               ")
+        val caseSql = langMarkers.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }
+          .mkString(" ")
+        Some(s"""
+          SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+                 CASE $caseSql END AS lang_guess
+          FROM (
+            SELECT doc_id, lang, $scoreSql,
+                   greatest(${langMarkers.map { case (l, m) => sqlMarkerScore(m) }.mkString(", ")}) AS m
+            FROM documents)
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val scored = documents(s, d).select(
+          ($"doc_id" +: $"lang" +:
+            langMarkers.map { case (l, m) => markerScore(m).as(s"s_$l") }): _*)
+          .withColumn("m", greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*))
+        // deterministic argmax: first lang (in declaration order) reaching max
+        val argmax = langMarkers.reverse.foldLeft(lit(null).cast("string")) {
+          case (acc, (l, _)) => when(col(s"s_$l") === $"m", l).otherwise(acc)
+        }
+        scored.withColumn("lang_guess", argmax)
+          .select($"doc_id", $"lang", $"s_en", $"s_de", $"s_es", $"s_fr", $"s_zh", $"lang_guess")
+          .orderBy($"doc_id")
+      }),
+
+    // Quality scoring: stopword ratio, mean token length, composite score.
+    QueryDef(
+      "ta_quality_score", {
+        val sw = TextFunctions.englishStopwords.toSeq.sorted
+          .map(w => s"'$w'").mkString(", ")
+        Some(s"""
+          SELECT doc_id, n_tokens, stop_ratio, mean_token_len,
+                 CAST(CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
+                  + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
+                  + CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END AS DOUBLE) AS quality
+          FROM (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   (len(list_filter(string_split(text, ' '), t -> list_contains([$sw], t))) * 1.0
+                      / len(string_split(text, ' '))) AS stop_ratio,
+                   ((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                      / len(string_split(text, ' '))) AS mean_token_len
+            FROM documents)
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val sw = TextFunctions.englishStopwords.toSeq.sorted
+        val nTokens = size(toks).cast("long")
+        documents(s, d).select(
+          $"doc_id",
+          nTokens.as("n_tokens"),
+          (size(filter(toks, t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
+            / size(toks)).as("stop_ratio"),
+          ((length($"text") - size(toks) + 1) * lit(1.0) / size(toks)).as("mean_token_len"))
+          .withColumn("quality",
+            when($"n_tokens" >= 20, 0.5).otherwise(0.0)
+              + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
+              + when($"mean_token_len".between(3.0, 10.0), 0.2).otherwise(0.0))
+          .orderBy($"doc_id")
+      }),
+
+    // Document fingerprinting: exact-content hash + token-order-independent
+    // (bag-of-words) hash. MD5 is portable across engines (PortableHash).
+    QueryDef(
+      "ta_fingerprint",
+      Some("""
+        SELECT doc_id,
+               md5(text) AS content_fp,
+               md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow_fp,
+               CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS fp32
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).select(
+          $"doc_id",
+          md5($"text").as("content_fp"),
+          md5(concat_ws(" ", array_sort(toks))).as("bow_fp"),
+          graft.functions.PortableHash.h32($"text").as("fp32"))
+          .orderBy($"doc_id")
+      })
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.SimpleRag
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Python-parity tests for the text primitives (reference
+  * utils.py:249-330; quirks SURVEY.md §8 Q2/Q4/Q5/Q13).
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+
+  test("cleanString strips punctuation and lowercases (utils.py:249-252)") {
+    assert(cleanString("Hello, World! 42_x") == "hello world 42_x")
+    assert(cleanString("a.b,c;d") == "abcd")
+  }
+
+  test("getKeywords drops English stopwords, keeps duplicates") {
+    assert(getKeywords("the quick fox") == Seq("quick", "fox"))
+    assert(getKeywords("wo d1") == Seq("wo", "d1"))
+    // duplicates preserved (scoring counts them per occurrence)
+    assert(getKeywords("fox fox") == Seq("fox", "fox"))
+    // 'word' AND 'other' are both in the reference stop list (utils.py:264,267)
+    assert(getKeywords("word other") == Seq())
+  }
+
+  test("getKeywords tokenizes CJK per-char with stop-chars (intended Q2 semantics)") {
+    // 的 is a stop char; 猫 is not.
+    assert(getKeywords("猫的abc") == Seq("猫", "abc"))
+  }
+
+  test("getKeywords emits punctuation as its own token (non-space, non-alnum)") {
+    // 'a' is a stopword; the dash is kept as its own token (utils.py:309-311)
+    assert(getKeywords("a-b") == Seq("-", "b"))
+  }
+}
+
+/** Golden test #1 (SURVEY.md §5): the reference's only test fixture,
+  * semantics derived by hand-executing utils.py:249-330.
+  */
+class SimpleRagGoldenSpec extends SparkSpec {
+  test("simple_rag('wo d1', corpus, 3) matches the reference golden") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "abc"), (1L, "bca"), (2L, "word"),
+      (3L, "word1, wo"), (4L, "word2"), (5L, "word3"))
+      .toDF("doc_id", "text")
+    val got = SimpleRag
+      .topK(corpus, "doc_id", "text", "wo d1", 3)
+      .select("doc_id", "cleaned", "score")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    // Q13: returns CLEANED text; Q5: ties keep input order.
+    assert(got == Seq((3L, "word1 wo", 2L), (2L, "word", 1L), (4L, "word2", 1L)))
+  }
+
+  test("keywordScore counts substring containment once per keyword (Q4)") {
+    import spark.implicits._
+    val df = Seq("word1 wo").toDF("t")
+      .select(keywordScore(col("t"), Seq("wo", "d1")).as("s"))
+    assert(df.head().getInt(0) == 2)
+    // keyword occurring twice in text still scores 1
+    val df2 = Seq("wo wo").toDF("t")
+      .select(keywordScore(col("t"), Seq("wo")).as("s"))
+    assert(df2.head().getInt(0) == 1)
+  }
+}
