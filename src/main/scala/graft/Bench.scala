@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up JIT/codegen/parquet readers so the first measured query
+    // doesn't absorb one-time session init (~3 s of classloading).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.queries.get("ta_fingerprint").foreach(fn => fn(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

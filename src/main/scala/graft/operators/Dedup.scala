@@ -3,9 +3,8 @@ package graft.operators
 import graft.QueryDef
 import graft.functions.PortableHash._
 import graft.sources.Tables._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication suite for a training-data pipeline: exact, n-gram
   * Jaccard, MinHash+LSH, SimHash — each oracle-checked against DuckDB
@@ -13,25 +12,40 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale design:
   *  - exact dedup is one hash-partitioned groupBy (map-side combine);
-  *  - n-gram Jaccard uses an *inverted-index join* (shingle → doc list),
-  *    never an O(n²) cross join;
   *  - MinHash/LSH reduces each doc to an 8-minimum signature, then joins
   *    only on band equality — the candidate set, not the corpus square;
-  *  - SimHash reduces each doc to one 32-bit signature; the pair join is
-  *    banded the same way in `pairsAtScale` (exposed for reuse), with the
-  *    harness query using the exact small-corpus formulation.
+  *    exact Jaccard then verifies *candidates only* ([[jaccardForPairs]]);
+  *  - exact all-pairs Jaccard ([[allPairsJaccard]]) is the oracle
+  *    baseline: per-doc shingle bitsets over a broadcast dictionary,
+  *    compared in a tight popcount loop. A shingle-inverted-index join
+  *    degenerates on low-entropy corpora (hot shingles square the join:
+  *    73M intermediate rows on the sf0.1 synthetic corpus); the bitset
+  *    scan is O(n²·|vocab|/64) with zero shuffle. At vocabulary sizes
+  *    beyond driver memory the LSH path IS the scale path — all-pairs
+  *    exact comparison is inherently quadratic no matter the engine;
+  *  - SimHash reduces each doc to one 32-bit signature; the pair join
+  *    stays expression-level (bit_count over long is codegen'd).
   */
 object Dedup {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Distinct word-bigram shingles per document. */
+  /** Distinct word-bigram shingles, exploded (for MinHash signatures). */
   def shingles(docs: DataFrame): DataFrame =
     docs
       .filter(size(toks) >= 2)
       .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(0), size(toks) - 2),
           i => concat_ws("_", element_at(toks, i + 1), element_at(toks, i + 2))))).as("sh"))
+
+  /** Distinct word-bigram shingles as one array per doc — computed
+    * row-local in the scan projection, no shuffle. */
+  def shingleArrays(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws("_", element_at(toks, i + 1), element_at(toks, i + 2)))).as("shs"))
 
   private val sqlShingles = """
     SELECT doc_id, unnest(list_distinct(list_transform(
@@ -40,12 +54,14 @@ object Dedup {
     FROM documents
     WHERE len(string_split(text, ' ')) >= 2"""
 
-  /** MinHash signatures: one row per doc with mh0..mh7. */
+  /** MinHash signatures: one row per doc with mh0..mh7. The base md5 is
+    * projected once per shingle row; the 8 universal hashes are cheap
+    * affine maps over it (not 8 recomputed digests). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val h = h32(col("sh"))
-    sh.groupBy(col("doc_id"))
-      .agg(min(uhash(h, 0)).as("mh0"),
-        (1 until minhashParams.size).map(i => min(uhash(h, i)).as(s"mh$i")): _*)
+    val withH = sh.select(col("doc_id"), h32(col("sh")).as("h"))
+    withH.groupBy(col("doc_id"))
+      .agg(min(uhash(col("h"), 0)).as("mh0"),
+        (1 until minhashParams.size).map(i => min(uhash(col("h"), i)).as(s"mh$i")): _*)
   }
 
   /** LSH candidate pairs: equal (band, row-pair) on any of 4 bands of 2. */
@@ -62,19 +78,58 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact bigram Jaccard for given candidate pairs via inverted-index join. */
-  def jaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .join(pairs, col("a.doc_id") === col("i") && col("b.doc_id") === col("j"), "left_semi")
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n", "na"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n", "nb"), "j")
+  /** Exact bigram Jaccard for given candidate (i, j) pairs — candidate-
+    * driven: joins the (small) pair set to per-doc shingle arrays and
+    * intersects per pair. Cost scales with |pairs|, not the corpus
+    * square; at cluster scale both joins shuffle on doc id. */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val arrs = shingleArrays(docs)
+    pairs
+      .join(arrs.select(col("doc_id").as("i"), col("shs").as("sha")), "i")
+      .join(arrs.select(col("doc_id").as("j"), col("shs").as("shb")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sha"), col("shb"))).as("common"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .select(col("i"), col("j"),
         (col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))).as("jac"))
+  }
+
+  /** Exact all-pairs Jaccard ≥ minJac via broadcast shingle bitsets.
+    * The corpus signature table (|vocab|/64 longs per doc) is broadcast
+    * and each partition scans its docs against the table's upper
+    * triangle — the block-broadcast formulation of exact all-pairs
+    * similarity. Integer counts divide exactly as in SQL, so results
+    * hash-match the inverted-index oracle. */
+  def allPairsJaccard(docs: DataFrame, minJac: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // One distributed job computes the per-doc shingle sets; the compact
+    // signature build (dictionary + bitsets) happens driver-side, then
+    // only the O(n²) comparison is distributed over the broadcast table.
+    val arrs = shingleArrays(docs).as[(Long, Seq[String])].collect().sortBy(_._1)
+    val dict = arrs.iterator.flatMap(_._2).toArray.distinct.sorted.zipWithIndex.toMap
+    val nWords = (dict.size + 63) / 64
+    val all = arrs.map { case (id, shs) =>
+      val w = new Array[Long](nWords)
+      shs.foreach { sh => val b = dict(sh); w(b >> 6) |= 1L << (b & 63) }
+      (id, w, shs.size)
+    }
+    val allB = spark.sparkContext.broadcast(all)
+    val parallelism = spark.sparkContext.defaultParallelism
+    spark.sparkContext.parallelize(all.indices, parallelism).flatMap { x =>
+      val table = allB.value
+      val (i, bi, ni) = table(x)
+      Iterator.range(x + 1, table.length).flatMap { y =>
+        val (j, bj, nj) = table(y)
+        var common = 0
+        var w = 0
+        while (w < bi.length) {
+          common += java.lang.Long.bitCount(bi(w) & bj(w)); w += 1
+        }
+        val jac = common * 1.0 / (ni + nj - common)
+        if (jac >= minJac) Some((i, j, jac)) else None
+      }
+    }.toDF("i", "j", "jac")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -118,7 +173,7 @@ object Dedup {
           .orderBy($"canonical_id")
       }),
 
-    // Full n-gram Jaccard near-dup pairs via inverted-index join.
+    // Full n-gram Jaccard near-dup pairs (exact baseline; bitset scan).
     QueryDef(
       "dd_ngram_jaccard",
       Some(s"""
@@ -133,20 +188,8 @@ object Dedup {
         WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7
         ORDER BY i, j
       """.trim),
-      (s, d) => {
-        val sh = shingles(documents(s, d))
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-          .agg(count(lit(1)).as("common"))
-          .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), "i")
-          .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), "j")
-          .select(col("i"), col("j"),
-            (col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))).as("jac"))
-          .filter(col("jac") >= 0.7)
-          .orderBy(col("i"), col("j"))
-      }),
+      (s, d) => allPairsJaccard(documents(s, d), 0.7)
+        .orderBy(col("i"), col("j"))),
 
     // MinHash + LSH near-dup pairs: signatures → banded candidates →
     // exact Jaccard verification of candidates only.
@@ -180,8 +223,9 @@ object Dedup {
         """.trim)
       },
       (s, d) => {
-        val sh = shingles(documents(s, d))
-        jaccard(sh, lshCandidates(minhashSignatures(sh)))
+        val docs = documents(s, d)
+        val cand = lshCandidates(minhashSignatures(shingles(docs)))
+        jaccardForPairs(docs, cand)
           .filter(col("jac") >= 0.7)
           .orderBy(col("i"), col("j"))
       }),

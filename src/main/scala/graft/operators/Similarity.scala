@@ -35,6 +35,40 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Exact all-pairs cosine ≥ minCos via a broadcast corpus table and a
+    * tight per-partition loop. The expression form ([[cosine]]) is a
+    * non-codegen higher-order function — fine per row, ruinous across
+    * n²/2 pairs. This loop performs the identical left-to-right double
+    * fold (bit-for-bit the same result) at JVM scalar-loop speed, with
+    * norms computed once per vector instead of once per pair. Corpus
+    * table is |n|·(dim·4B+16B); beyond broadcast range, block the corpus
+    * and cartesian the blocks. */
+  def allPairsCosine(emb: DataFrame, minCos: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    def normOf(v: Array[Float]): Double = {
+      var s = 0.0; var d = 0
+      while (d < v.length) { s += v(d).toDouble * v(d).toDouble; d += 1 }
+      math.sqrt(s)
+    }
+    val all = vecs.collect().sortBy(_._1).map { case (id, v) => (id, v, normOf(v)) }
+    val allB = spark.sparkContext.broadcast(all)
+    val parallelism = spark.sparkContext.defaultParallelism
+    spark.sparkContext.parallelize(all.indices, parallelism).flatMap { x =>
+      val table = allB.value
+      val (i, vi, ni) = table(x)
+      Iterator.range(x + 1, table.length).flatMap { y =>
+        val (j, vj, nj) = table(y)
+        var s = 0.0; var d = 0
+        while (d < vi.length) { s += vi(d).toDouble * vj(d).toDouble; d += 1 }
+        val cos = s / (ni * nj)
+        if (cos >= minCos) Some((i, j, cos)) else None
+      }
+    }.toDF("i", "j", "cos")
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (excluding the query set). Deterministic tiebreak on
     * neighbor id. */
@@ -163,13 +197,7 @@ object Similarity {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         ORDER BY i, j
       """.trim),
-      (s, d) => {
-        val e = embeddings(s, d)
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-            cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-          .filter(col("cos") >= 0.45)
-          .orderBy(col("i"), col("j"))
-      })
+      (s, d) => allPairsCosine(embeddings(s, d), 0.45)
+        .orderBy(col("i"), col("j")))
   )
 }

@@ -30,14 +30,10 @@ class OperatorsSpec extends SparkSpec {
 
   test("dedup: minhash-LSH candidates are a superset of high-jaccard pairs") {
     val docs = sources.Tables.documents(spark, sf)
-    val sh = Dedup.shingles(docs)
-    val full = Dedup.jaccard(sh, // all pairs as candidates
-        sh.select(col("doc_id").as("i")).distinct()
-          .crossJoin(sh.select(col("doc_id").as("j")).distinct())
-          .filter(col("i") < col("j")))
-      .filter(col("jac") >= 0.7)
+    val full = Dedup.allPairsJaccard(docs, 0.7)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.jaccard(sh, Dedup.lshCandidates(Dedup.minhashSignatures(sh)))
+    val lsh = Dedup.jaccardForPairs(docs,
+        Dedup.lshCandidates(Dedup.minhashSignatures(Dedup.shingles(docs))))
       .filter(col("jac") >= 0.7)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // 4 bands of 2 rows: P(candidate | jac>=0.7) ≈ 1-(1-0.49)^4 ≈ 0.93 per
