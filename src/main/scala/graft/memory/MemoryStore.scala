@@ -144,24 +144,14 @@ final case class MemoryStore(
       case None => summaries
     }
     // --- topic upsert + capacity eviction (A7/A8): sequential fold on
-    // the (bounded, ≤maxTopics) collected per-session state.
+    // the (bounded, ≤maxTopics) collected per-session state. The fold
+    // itself is the pure MemoryStore.mergeTopics — shared verbatim with
+    // the streaming formulation (graft.streaming.MemoryUpdates).
     val others = topics.filter($"sessionId" =!= sessionId)
-    var state = topics.filter($"sessionId" === sessionId).collect()
-      .map(t => t.name -> t).to(scala.collection.mutable.LinkedHashMap)
-    analysis.topics.foreach { case (name, description) =>
-      state.get(name) match {
-        case Some(t) =>
-          state(name) = t.copy(description = description, lastUpdated = now,
-            frequency = t.frequency + 1)
-        case None =>
-          if (state.size >= config.maxTopics) {
-            val victim = state.values.minBy(t => (t.frequency, t.lastUpdated.getTime, t.name))
-            state.remove(victim.name)
-          }
-          state(name) = Topic(sessionId, name, description, now, now, 1L)
-      }
-    }
-    val newTopics = others.union(state.values.toSeq.toDS())
+    val merged = MemoryStore.mergeTopics(
+      topics.filter($"sessionId" === sessionId).collect().toSeq,
+      sessionId, analysis.topics, now, config.maxTopics)
+    val newTopics = others.union(merged.toDS())
     // --- key facts → KV
     val factRows = analysis.keyFacts.zipWithIndex.map { case (fact, i) =>
       KvEntry(sessionId, s"fact_${now.getTime}_$i", fact)
@@ -179,6 +169,37 @@ object MemoryStore {
       spark.emptyDataset[MemoryRecord], spark.emptyDataset[Summary],
       spark.emptyDataset[Topic], spark.emptyDataset[KvEntry], config)
   }
+
+  /** The reference's sequential topic fold (memory.py:315-344): for
+    * each proposed (name, description) in order — existing topic gets
+    * description/lastUpdated/frequency+1; a new topic at capacity first
+    * evicts the min (frequency, lastUpdated) victim. Pure function,
+    * shared by the batch store and the streaming state operator. */
+  def mergeTopics(
+      current: Seq[Topic], sessionId: String,
+      updates: Seq[(String, String)], now: Timestamp, maxTopics: Int): Seq[Topic] = {
+    val state = current.map(t => t.name -> t)
+      .to(scala.collection.mutable.LinkedHashMap)
+    updates.foreach { case (name, description) =>
+      state.get(name) match {
+        case Some(t) =>
+          state(name) = t.copy(description = description, lastUpdated = now,
+            frequency = t.frequency + 1)
+        case None =>
+          if (state.size >= maxTopics) {
+            val victim = state.values.minBy(t => (t.frequency, t.lastUpdated.getTime, t.name))
+            state.remove(victim.name)
+          }
+          state(name) = Topic(sessionId, name, description, now, now, 1L)
+      }
+    }
+    state.values.toSeq
+  }
+
+  /** Summary retention as a pure fold (memory.py:305-312): append then
+    * keep the newest `cap`. */
+  def retainSummaries(current: Seq[Summary], added: Summary, cap: Int): Seq[Summary] =
+    (current :+ added).sortBy(-_.ts.getTime).take(cap)
 
   /** The reference's update prompt shape (memory.py:279-295). */
   def updatePrompt(recordsText: String, currentTopics: Seq[String]): String = {

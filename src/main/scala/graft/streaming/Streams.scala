@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.memory.MemoryStore
+import graft.model.{MemoryRecord, Summary, Topic}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming formulations of the engine's stateful and
+  * windowed operators (SURVEY.md §2.9 ST1–ST3 + the events windows).
+  *
+  * The transforms are source-agnostic: the same expressions run over
+  * `spark.read` (batch, oracle-checked in graft.operators) and
+  * `spark.readStream` (here). Watermarks bound state for late data;
+  * at cluster scale state lives in the HDFS/RocksDB state store,
+  * partitioned by the grouping key.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event counts (batch twin: ev_tumbling_window).
+    * Append mode after watermark expiry — late events beyond 10 minutes
+    * are dropped, everything else lands in its event-time bucket. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Sliding 1-hour/30-minute windows (batch twin: ev_sliding_window). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("window_start"), col("n"), col("value_sum"))
+
+  /** Session windows with a 30-minute gap (batch twin: ev_session_window). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("value_sum"))
+
+  /** One analysis event flowing into the memory state operator: the
+    * parsed outcome of a provider call for one session batch (ST2). */
+  final case class AnalysisEvent(
+      sessionId: String, ts: Timestamp,
+      summary: String,                     // null → none
+      topicNames: Seq[String],             // parallel arrays: JSON object
+      topicDescriptions: Seq[String],      //   order preserved
+      keyFacts: Seq[String])
+
+  /** Per-session memory state carried between micro-batches. */
+  final case class MemoryState(
+      summaries: Seq[Summary], topics: Seq[Topic], factCount: Long)
+
+  /** Snapshot emitted after each state update (output mode Update). */
+  final case class MemorySnapshot(
+      sessionId: String, ts: Timestamp, latestSummary: String,
+      topicNames: Seq[String], topicFrequencies: Seq[Long], nFacts: Long)
+
+  /** ST2 — the reference's memory-update trigger as a keyed state
+    * operator: every micro-batch folds that session's analysis events
+    * (in event-time order) through the SAME pure merge functions as the
+    * batch store ([[MemoryStore.mergeTopics]]/[[MemoryStore.retainSummaries]]),
+    * so streaming state provably converges to the batch formulation.
+    * State is bounded by construction (≤3 summaries, ≤maxTopics topics)
+    * — no timeout needed for correctness. */
+  def memoryUpdates(
+      analyses: Dataset[AnalysisEvent],
+      savedSummaryNum: Int = 3,
+      maxTopics: Int = 20): Dataset[MemorySnapshot] = {
+    import analyses.sparkSession.implicits._
+    analyses
+      .groupByKey(_.sessionId)
+      .flatMapGroupsWithState[MemoryState, MemorySnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (sessionId: String, events: Iterator[AnalysisEvent], state: GroupState[MemoryState]) =>
+          var st = state.getOption.getOrElse(MemoryState(Seq.empty, Seq.empty, 0L))
+          val out = Seq.newBuilder[MemorySnapshot]
+          events.toSeq.sortBy(_.ts.getTime).foreach { ev =>
+            val summaries =
+              if (ev.summary == null) st.summaries
+              else MemoryStore.retainSummaries(
+                st.summaries, Summary(sessionId, ev.ts, ev.summary), savedSummaryNum)
+            val topics = MemoryStore.mergeTopics(
+              st.topics, sessionId,
+              ev.topicNames.zip(ev.topicDescriptions), ev.ts, maxTopics)
+            st = MemoryState(summaries, topics, st.factCount + ev.keyFacts.size)
+            out += MemorySnapshot(
+              sessionId, ev.ts,
+              summaries.sortBy(-_.ts.getTime).headOption.map(_.text).orNull,
+              topics.map(_.name), topics.map(_.frequency), st.factCount)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** ST3 — task-log style bounded append: keep the newest `cap` records
+    * per key as state, emitting the retained set's size each batch. */
+  final case class LogState(records: Seq[MemoryRecord])
+  final case class LogCount(sessionId: String, kept: Int)
+
+  def boundedLogAppend(
+      records: Dataset[MemoryRecord], cap: Int = 50): Dataset[LogCount] = {
+    import records.sparkSession.implicits._
+    records
+      .groupByKey(_.sessionId)
+      .flatMapGroupsWithState[LogState, LogCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (sessionId: String, rows: Iterator[MemoryRecord], state: GroupState[LogState]) =>
+          val prev = state.getOption.map(_.records).getOrElse(Seq.empty)
+          val merged = (prev ++ rows.toSeq).sortBy(-_.ts.getTime).take(cap)
+          state.update(LogState(merged))
+          Iterator.single(LogCount(sessionId, merged.size))
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.memory.{MemoryAnalysis, MemoryStore}
+import graft.streaming.Streams
+import graft.streaming.Streams.{AnalysisEvent, MemorySnapshot}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming semantics: windowed aggregations agree with
+  * their batch twins, and the keyed memory-state operator converges to
+  * the batch store's fold (SURVEY.md §2.9).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("streaming tumbling window agrees with the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batchEvents = sources.Tables.events(spark, sf)
+      .select($"ts", $"event_type", $"value")
+    val rows = batchEvents.collect()
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(rows.map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq)
+    val sdf = stream.toDF.toDF("ts", "event_type", "value")
+    val q = Streams.tumblingCounts(sdf).writeStream
+      .format("memory").queryName("tumbling_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_test")
+      .select($"window_start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Streams.tumblingCounts(batchEvents)
+      .select($"window_start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming memory updates converge to the batch store fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val updates = Seq(
+      AnalysisEvent("s", ts(1), "sum1", Seq("a", "b"), Seq("da", "db"), Seq("f1")),
+      AnalysisEvent("s", ts(2), "sum2", Seq("a"), Seq("da2"), Seq.empty),
+      AnalysisEvent("s", ts(3), "sum3", Seq("c"), Seq("dc"), Seq("f2", "f3")),
+      AnalysisEvent("s", ts(4), "sum4", Seq.empty, Seq.empty, Seq.empty))
+
+    // streaming: two micro-batches through flatMapGroupsWithState
+    val stream = MemoryStream[AnalysisEvent]
+    val q = Streams.memoryUpdates(stream.toDS(), savedSummaryNum = 3, maxTopics = 2)
+      .writeStream.format("memory").queryName("mem_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(updates.take(2))
+      q.processAllAvailable()
+      stream.addData(updates.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("mem_test").as[MemorySnapshot].collect()
+      .maxBy(_.ts.getTime)
+
+    // batch: same analyses through MemoryStore.applyUpdate
+    var store = MemoryStore.empty(spark,
+      graft.memory.MemoryConfig(savedSummaryNum = 3, maxTopics = 2))
+    updates.foreach { ev =>
+      store = store.applyUpdate("s", MemoryAnalysis(
+        Option(ev.summary), ev.topicNames.zip(ev.topicDescriptions), ev.keyFacts), ev.ts)
+    }
+    val batchTopics = store.topics.collect().map(t => t.name -> t.frequency).toMap
+    val streamTopics = last.topicNames.zip(last.topicFrequencies).toMap
+    assert(streamTopics == batchTopics, s"stream=$streamTopics batch=$batchTopics")
+    val batchLatest = store.latestSummary.select("text").as[String].collect().head
+    assert(last.latestSummary == batchLatest)
+    assert(last.nFacts == 3L)
+  }
+
+  test("bounded log append keeps at most cap records per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[graft.model.MemoryRecord]
+    val q = Streams.boundedLogAppend(stream.toDS(), cap = 3)
+      .writeStream.format("memory").queryName("log_test")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData((1 to 5).map(i => graft.model.MemoryRecord("s", ts(i), s"r$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("log_test").as[Streams.LogCount].collect()
+    assert(counts.last.kept == 3)
+  }
+}
