@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.TextAnalysis.defs ++
       operators.EventWindows.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      operators.JoinsExtra.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
