@@ -35,6 +35,12 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The native codegen'd formulation ([[graft.functions.CosineSimilarity]])
+    * — bit-identical to [[cosine]], used in the query surface; callers
+    * ensure [[graft.functions.GraftFunctions.register]] ran. */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
   /** Exact all-pairs cosine ≥ minCos via a broadcast corpus table and a
     * tight per-partition loop. The expression form ([[cosine]]) is a
     * non-codegen higher-order function — fine per row, ruinous across
@@ -73,12 +79,13 @@ object Similarity {
     * corpus vectors (excluding the query set). Deterministic tiebreak on
     * neighbor id. */
   def cosineTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val corpus = emb.filter(!queryPred)
       .select(col("vec_id").as("nid"), col("embedding").as("nemb"))
     val scored = corpus.crossJoin(broadcast(q))
-      .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("cos"))
+      .select(col("qid"), col("nid"), cosineNative(col("qemb"), col("nemb")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -171,6 +178,7 @@ object Similarity {
         ORDER BY qid, rank
       """.trim),
       (s, d) => {
+        graft.functions.GraftFunctions.register(s)
         val withBuckets = embeddings(s, d)
           .join(lshBuckets(embeddings(s, d)), "vec_id")
         val q = withBuckets.filter(col("vec_id") < 10)
@@ -180,7 +188,7 @@ object Similarity {
         val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
         q.join(c, Seq("bucket"))
           .filter(col("qid") =!= col("nid"))
-          .select(col("qid"), col("nid"), cosine(col("qemb"), col("nemb")).as("cos"))
+          .select(col("qid"), col("nid"), cosineNative(col("qemb"), col("nemb")).as("cos"))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 5)
           .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("cos"))
