@@ -41,6 +41,56 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** IVF-flat index artifacts: fixed coarse centroids (the first
+    * nCentroids corpus vectors — deterministic; production would train
+    * them with k-means) and an assignment of every vector to its
+    * nearest centroid. The assignment is ONE broadcast join + ranking
+    * window; ANN search then probes only the query's nProbe nearest
+    * centroid lists — cost |Q|·(n/nCentroids)·nProbe instead of |Q|·n.
+    * At cluster scale the corpus is repartitioned by `centroid` so each
+    * probe is a partition-local scan. */
+  def ivfAssignments(emb: DataFrame, nCentroids: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val centroids = broadcast(emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid"), col("embedding").as("cemb")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("ccos"), asc("centroid"))
+    emb.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"), col("centroid"),
+        cosineNative(col("embedding"), col("cemb")).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid"))
+  }
+
+  /** IVF ANN: probe the nProbe nearest centroids per query, rank only
+    * vectors assigned to those centroids. */
+  def ivfTopK(emb: DataFrame, queryPred: Column,
+      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val assigned = ivfAssignments(emb, nCentroids)
+    val centroids = broadcast(emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid"), col("embedding").as("cemb")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(desc("ccos"), asc("centroid"))
+    val probes = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .crossJoin(centroids)
+      .select(col("qid"), col("qemb"), col("centroid"),
+        cosineNative(col("qemb"), col("cemb")).as("ccos"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qemb"), col("centroid"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
+    probes.join(assigned.select(col("vec_id").as("nid"),
+        col("embedding").as("nemb"), col("centroid")), Seq("centroid"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosineNative(col("qemb"), col("nemb")).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("cos"))
+  }
+
   /** Exact all-pairs cosine ≥ minCos via a broadcast corpus table and a
     * tight per-partition loop. The expression form ([[cosine]]) is a
     * non-codegen higher-order function — fine per row, ruinous across
@@ -194,6 +244,46 @@ object Similarity {
           .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("cos"))
           .orderBy(col("qid"), col("rank"))
       }),
+
+    // IVF-flat ANN: fixed coarse centroids, nProbe-bounded search.
+    QueryDef(
+      "sim_ivf_ann",
+      Some("""
+        WITH cents AS (
+          SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, centroid FROM (
+            SELECT e.vec_id, e.embedding, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM embeddings e, cents c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT qid, qemb, centroid FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qemb, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM embeddings q, cents c WHERE q.vec_id < 10)
+          WHERE rn <= 4)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT p.qid, a.vec_id AS nid,
+                 list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[]) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+                            a.vec_id) AS rank
+          FROM probes p JOIN assigned a ON p.centroid = a.centroid
+          WHERE p.qid <> a.vec_id)
+        WHERE rank <= 5
+        ORDER BY qid, rank
+      """.trim),
+      (s, d) => ivfTopK(embeddings(s, d), col("vec_id") < 10,
+        nCentroids = 16, nProbe = 4, k = 5)
+        .orderBy(col("qid"), col("rank"))),
 
     // Embedding-space near-duplicate pairs (cosine threshold).
     QueryDef(

@@ -53,6 +53,17 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketed >= 5)
   }
 
+  test("similarity: IVF probes cover every query and bound the searched set") {
+    val emb = sources.Tables.embeddings(spark, sf)
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 10, 16, 4, 5).collect()
+    assert(ivf.map(_.getLong(0)).distinct.length == 10) // every query answered
+    assert(ivf.forall(_.getLong(2) <= 5))
+    // assignments partition the corpus: one centroid per vector
+    val assigned = Similarity.ivfAssignments(emb, 16)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("multimodal: fake decoder plumbing emits one feature row per doc") {
     val docs = sources.Tables.documents(spark, sf)
     val feats = Multimodal.extractFeatures(docs, Multimodal.FakeDecoder)
