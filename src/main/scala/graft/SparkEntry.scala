@@ -12,6 +12,7 @@ object SparkEntry {
   /** All operator modules; each contributes named queries + oracles. */
   def allDefs: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.Relational2.defs ++
       operators.AgentOps.defs ++
       operators.SimpleRag.defs ++
       operators.Dedup.defs ++

@@ -71,6 +71,33 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Resize stage: recompute features for a target box, preserving
+    * aspect ratio (integer math — deterministic). The decode is the
+    * stubbed seam; the Spark-side shape (typed columns in, typed
+    * columns out, zero shuffles) is the production contract. */
+  def resizeTo(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scaleNum = least(lit(maxW) * col("height"), lit(maxH) * col("width"))
+    val scaleDen = col("width") * col("height")
+    features
+      .withColumn("out_w", (col("width") * scaleNum / scaleDen).cast("int"))
+      .withColumn("out_h", (col("height") * scaleNum / scaleDen).cast("int"))
+  }
+
+  /** Frame-sample stage: one row per sampled frame index — the
+    * generator-shaped op (media row → N frame rows) via explode over a
+    * sequence, stride chosen to yield ≤ maxFrames frames. Frame bytes
+    * come from the decoder seam in production; here the frame key
+    * (doc_id, frame_no) and the partition-parallel shape are the test
+    * surface. */
+  def sampleFrames(features: DataFrame, maxFrames: Int): DataFrame = {
+    val stride = greatest(lit(1),
+      ceil(col("n_frames") / lit(maxFrames)).cast("int"))
+    features
+      .withColumn("frame_no",
+        explode(sequence(lit(0), col("n_frames") - 1, stride)))
+      .select(col("doc_id"), col("frame_no"), col("n_frames"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Expression-level formulation of the same fake decode (oracle-able:
     // md5 is portable). Exercises binary columns + metadata derivation.

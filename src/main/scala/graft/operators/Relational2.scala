@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.det._
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+
+/** Second relational tranche: correlated-subquery decorrelation, cube,
+  * and pivot — the remaining classic shapes of the harness surface.
+  *
+  * Scale notes: the Q17-shaped query is written as an explicit
+  * aggregate-then-join (what Catalyst's decorrelation produces anyway),
+  * so the per-part average is computed once in a partial+final hash agg
+  * and joined back — never a per-row subquery execution. The pivot is
+  * conditional aggregation: one scan, one shuffle, map-side combine.
+  */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------- q17
+    // TPC-H Q17 shape: lineitems with quantity below 20% of their
+    // part's average quantity; revenue they represent.
+    QueryDef(
+      "q17_small_quantity_revenue",
+      Some("""
+        SELECT p_brand, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val li = lineitem(s, d)
+        val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+          .agg((avg($"l_quantity") * 0.2).as("qty_threshold"))
+        li.join(avgQty, $"l_partkey" === $"ap_partkey")
+          .filter($"l_quantity" < $"qty_threshold")
+          .join(part(s, d), $"p_partkey" === $"l_partkey")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            (dsum($"l_extendedprice") / 7.0).as("avg_yearly"))
+          .orderBy($"p_brand")
+      }),
+
+    // ---------------------------------------------------------------- q18
+    // Cube over (returnflag, shipmode): all four grouping combinations.
+    QueryDef(
+      "q18_cube_lineitem",
+      Some(s"""
+        SELECT COALESCE(rf, 'ALL') AS rf,
+               COALESCE(qb, 'ALL') AS qb,
+               COUNT(*) AS n, ${sqlSum("l_extendedprice")} AS price_sum
+        FROM (SELECT l_returnflag AS rf,
+                     CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS qb,
+                     l_extendedprice
+              FROM lineitem)
+        GROUP BY CUBE(rf, qb)
+        ORDER BY rf, qb
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .select($"l_returnflag".as("rf"),
+            when($"l_quantity" > 25, "big").otherwise("small").as("qb"),
+            $"l_extendedprice")
+          .cube($"rf", $"qb")
+          .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("price_sum"))
+          .select(coalesce($"rf", lit("ALL")).as("rf"),
+            coalesce($"qb", lit("ALL")).as("qb"), $"n", $"price_sum")
+          .orderBy($"rf", $"qb")
+      }),
+
+    // ---------------------------------------------------------------- q19
+    // Pivot: order counts per month × priority, via Spark's pivot and a
+    // conditional-aggregation oracle (one scan in both engines).
+    QueryDef(
+      "q19_pivot_orders", {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val cols = prios.map { p =>
+          val alias = "p" + p.charAt(0)
+          s"COALESCE(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 END), 0) AS $alias"
+        }.mkString(",\n               ")
+        Some(s"""
+          SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                 $cols
+          FROM orders
+          GROUP BY 1
+          ORDER BY 1
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        orders(s, d)
+          .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+          .pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+          .select($"order_month" +: prios.map(p =>
+            coalesce(col(s"`$p`"), lit(0L)).as("p" + p.charAt(0))): _*)
+          .orderBy($"order_month")
+      })
+  )
+}

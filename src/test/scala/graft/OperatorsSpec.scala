@@ -72,6 +72,33 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Int]("width") % 16 == 0 && r.getAs[Int]("n_frames") >= 1)
   }
 
+  test("multimodal: resize preserves aspect ratio; frame sampling bounds frames") {
+    val docs = sources.Tables.documents(spark, sf)
+    val feats = Multimodal.extractFeatures(docs, Multimodal.FakeDecoder)
+    val resized = Multimodal.resizeTo(feats, 256, 256).collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("out_w") <= 256 && r.getAs[Int]("out_h") <= 256)
+    }
+    val frames = Multimodal.sampleFrames(feats, 4)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+    assert(perDoc.forall(_.getLong(1) <= 4))
+    assert(frames.count() >= feats.count()) // at least one frame per doc
+  }
+
+  test("skew: salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    val orders = sources.Tables.orders(spark, sf)
+    val customer = sources.Tables.customer(spark, sf)
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = Skew.saltedJoin(orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", 8)
+      .select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(salted.sameElements(plain))
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q09_top_events_by_value")(spark, sf)
       .queryExecution.executedPlan.toString
