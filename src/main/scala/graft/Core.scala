@@ -40,8 +40,18 @@ object sources {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     }
-    def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-    def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+    /** Compute-heavy per-row tables (tokenization, shingling, vector
+      * math) are rebalanced to the session's parallelism when the scan
+      * yields fewer splits — a sub-megabyte shuffle here buys 32×
+      * parallel downstream compute. At production scale the file
+      * listing already yields ≥ parallelism splits and this is a no-op.
+      */
+    private def balanced(df: DataFrame): DataFrame = {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+    def documents(s: SparkSession, d: String): DataFrame = balanced(t(s, d, "documents"))
+    def embeddings(s: SparkSession, d: String): DataFrame = balanced(t(s, d, "embeddings"))
   }
 }
 

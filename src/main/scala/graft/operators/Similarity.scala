@@ -151,17 +151,18 @@ object Similarity {
   /** 8-bit LSH bucket per vector. The per-plane projection is summed in
     * DECIMAL so the groupBy is order-independent. */
   def lshBuckets(emb: DataFrame): DataFrame = {
+    // One dimension explode, all 8 plane terms per row, ONE groupBy with
+    // 8 decimal sums (exact → order-independent → same buckets as any
+    // other grouping shape, incl. the SQL oracle's).
     val exploded = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .crossJoin(broadcast(
-        emb.sparkSession.range(8).select(col("id").cast("int").as("p"))))
-    val proj = exploded
-      .withColumn("term",
-        col("v").cast(DecimalType(18, 9)) * coefExpr(col("p"), col("d")))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("term")).as("s"))
-    proj.groupBy(col("vec_id"))
-      .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), p)")).otherwise(0L))
-        .cast("long").as("bucket"))
+    val planeSums = exploded.groupBy(col("vec_id"))
+      .agg(
+        sum(col("v").cast(DecimalType(18, 9)) * coefExpr(lit(0), col("d"))).as("s0"),
+        (1 until 8).map(p =>
+          sum(col("v").cast(DecimalType(18, 9)) * coefExpr(lit(p), col("d"))).as(s"s$p")): _*)
+    planeSums.select(col("vec_id"),
+      (0 until 8).map(p => when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long").as("bucket"))
   }
 
   private val sqlBuckets = """

@@ -55,13 +55,17 @@ object TextAnalysis {
       """.trim),
       (s, d) => {
         import s.implicits._
-        documents(s, d).select(
-          $"doc_id",
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"),
-          (size(array_distinct(toks)).cast("long") * lit(1.0) / size(toks)).as("ttr"),
-          array_max(transform(toks, t => length(t))).cast("long").as("max_token_len"),
-          length($"text").cast("long").as("n_chars_actual"))
+        // project the token array once — lambdas over a materialized
+        // array column, never over a re-split expression (O(n²) trap)
+        documents(s, d)
+          .select($"doc_id", $"text", split($"text", " ").as("tk"))
+          .select(
+            $"doc_id",
+            size($"tk").cast("long").as("n_tokens"),
+            size(array_distinct($"tk")).cast("long").as("n_distinct"),
+            (size(array_distinct($"tk")).cast("long") * lit(1.0) / size($"tk")).as("ttr"),
+            array_max(transform($"tk", t => length(t))).cast("long").as("max_token_len"),
+            length($"text").cast("long").as("n_chars_actual"))
           .orderBy($"doc_id")
       }),
 
@@ -121,13 +125,14 @@ object TextAnalysis {
       (s, d) => {
         import s.implicits._
         val sw = TextFunctions.englishStopwords.toSeq.sorted
-        val nTokens = size(toks).cast("long")
-        documents(s, d).select(
-          $"doc_id",
-          nTokens.as("n_tokens"),
-          (size(filter(toks, t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
-            / size(toks)).as("stop_ratio"),
-          ((length($"text") - size(toks) + 1) * lit(1.0) / size(toks)).as("mean_token_len"))
+        documents(s, d)
+          .select($"doc_id", $"text", split($"text", " ").as("tk"))
+          .select(
+            $"doc_id",
+            size($"tk").cast("long").as("n_tokens"),
+            (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
+              / size($"tk")).as("stop_ratio"),
+            ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_token_len"))
           .withColumn("quality",
             when($"n_tokens" >= 20, 0.5).otherwise(0.0)
               + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
