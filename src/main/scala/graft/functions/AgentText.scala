@@ -270,6 +270,24 @@ object AgentText {
     s"${safe.take(30)}.${fileExtension(contentType)}"
   }
 
+  // ------------------------------------------------------------------ F11
+  /** `robust_urljoin` (utils.py:17-38): join base and path preserving
+    * the base's path segments (no urljoin truncation). */
+  def robustUrlJoin(base: String, path: String): String = {
+    val u = new java.net.URI(base)
+    val basePath = Option(u.getPath).getOrElse("")
+    val combined =
+      if (basePath.isEmpty || basePath == "/") path
+      else basePath.replaceAll("/+$", "") + "/" + path.replaceAll("^/+", "")
+    // urlunparse inserts the '/' after the authority; java.net.URI
+    // requires it explicitly
+    val absolute =
+      if (u.getAuthority != null && !combined.startsWith("/")) "/" + combined
+      else combined
+    new java.net.URI(u.getScheme, u.getAuthority, absolute, u.getQuery, u.getFragment)
+      .toString
+  }
+
   // ------------------------------------------------------------------ T3
   /** `truncate_string` (utils.py:246-247). */
   def truncate(s: String, num: Int): String = s.take(num)

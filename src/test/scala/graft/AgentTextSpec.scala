@@ -101,6 +101,14 @@ class AgentTextSpec extends AnyFunSuite {
     assert(safeFilename("x" * 50, "note").startsWith("x" * 30 + "."))
   }
 
+  // ---------------------------------------------------------------- F11
+  test("robustUrlJoin preserves base path segments (Python urlunparse parity)") {
+    assert(robustUrlJoin("http://h/api/v1", "tools") == "http://h/api/v1/tools")
+    assert(robustUrlJoin("http://h/api/v1/", "/tools") == "http://h/api/v1/tools")
+    assert(robustUrlJoin("http://h", "x/y") == "http://h/x/y")
+    assert(robustUrlJoin("http://h/", "x") == "http://h/x")
+  }
+
   // ---------------------------------------------------------------- T3
   test("summarize caps at 200 with ellipsis") {
     assert(AgentText.summarize("abc") == "abc")
