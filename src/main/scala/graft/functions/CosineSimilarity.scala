@@ -102,5 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    // declarative HOF cosine → fused codegen loop (bit-exact rewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteCosine)
   }
 }

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   * no shuffles except the final presentation sort; per-row double
   * division is IEEE-deterministic so the oracle hash-matches.
   */
+final case class WinnowStats(n_windows: Long, n_fp: Long, fp_min: Long, fp_max: Long)
+
 object TextAnalysis {
 
   /** Marker lexicons for the language-ID heuristic. The corpus is
@@ -28,6 +30,35 @@ object TextAnalysis {
     "zh" -> Seq("spark", "agg", "scan", "hash", "column", "value"))
 
   private def toks: Column = split(col("text"), " ")
+
+  /** Winnowing stats in one pass: k=8 char k-grams hashed with the
+    * portable h32 (first 4 md5 bytes, unsigned), w=4 sliding minima.
+    * Requires length ≥ k + w - 1 = 11 (caller filters). */
+  private[operators] val winnowUdf = udf { text: String =>
+    val k = 8; val w = 4
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = text.length - k + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      hashes(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    val nw = n - w + 1
+    val minima = new Array[Long](nw)
+    var j = 0
+    while (j < nw) {
+      var m = hashes(j)
+      var x = j + 1
+      while (x < j + w) { if (hashes(x) < m) m = hashes(x); x += 1 }
+      minima(j) = m
+      j += 1
+    }
+    WinnowStats(nw.toLong, minima.distinct.length.toLong, minima.min, minima.max)
+  }
 
   private def markerScore(markers: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(markers.map(lit): _*))).cast("long")
@@ -137,6 +168,68 @@ object TextAnalysis {
             when($"n_tokens" >= 20, 0.5).otherwise(0.0)
               + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
               + when($"mean_token_len".between(3.0, 10.0), 0.2).otherwise(0.0))
+          .orderBy($"doc_id")
+      }),
+
+    // BPE-ish token counting: letter runs, single digits, single
+    // punctuation — the GPT-2 pretokenizer shape, ASCII-safe so the
+    // Java and RE2 regex engines agree. Whitespace count alongside.
+    QueryDef(
+      "ta_bpe_tokens",
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+               (CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) * 1.0
+                  / len(string_split(text, ' '))) AS bpe_per_word
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tk"),
+            regexp_extract_all($"text", lit(pat), lit(0)).as("bpe"))
+          .select($"doc_id",
+            size($"tk").cast("long").as("n_ws_tokens"),
+            size($"bpe").cast("long").as("n_bpe_tokens"),
+            (size($"bpe").cast("long") * lit(1.0) / size($"tk")).as("bpe_per_word"))
+          .orderBy($"doc_id")
+      }),
+
+    // Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    // 8-char k-gram hashes, 4-window minima, distinct minima = the
+    // fingerprint set. Single-pass UDF on the Spark side (the
+    // expression formulation re-evaluates the k-gram array per window —
+    // the CollapseProject O(n²) trap); portable-hash parity with the
+    // SQL formulation on the DuckDB side.
+    QueryDef(
+      "ta_winnowing_fp",
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text) - 6),
+                   i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8))::UBIGINT AS BIGINT)) AS hashes
+          FROM documents WHERE length(text) >= 11),
+        m AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(hashes) - 2),
+                   j -> list_min(hashes[j:j+3])) AS minima
+          FROM h)
+        SELECT doc_id, CAST(len(minima) AS BIGINT) AS n_windows,
+               CAST(len(list_distinct(minima)) AS BIGINT) AS n_fp,
+               CAST(list_min(minima) AS BIGINT) AS fp_min,
+               CAST(list_max(minima) AS BIGINT) AS fp_max
+        FROM m
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .filter(length($"text") >= 11)
+          .select($"doc_id", winnowUdf($"text").as("w"))
+          .select($"doc_id", $"w.n_windows", $"w.n_fp", $"w.fp_min", $"w.fp_max")
           .orderBy($"doc_id")
       }),
 

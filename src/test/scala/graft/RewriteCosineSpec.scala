@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.RewriteCosine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** The optimizer rule must rewrite exactly the HOF cosine shape —
+  * nothing else — and be bit-exact. Uses its own session so the
+  * extension-injected rule is exercised end-to-end.
+  */
+class RewriteCosineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("rewrite-cosine-spec")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("HOF cosine is rewritten to the native expression by the injected rule") {
+    val df = emb.as("a").join(emb.as("b"), col("a.vec_id") === col("b.vec_id") - 1)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("cosine_sim"), optimized.take(800))
+    assert(!optimized.contains("aggregate("), optimized.take(800))
+  }
+
+  test("rewrite is bit-exact vs the unoptimized fold") {
+    val joined = emb.as("a").join(emb.as("b"), col("a.vec_id") === col("b.vec_id") - 7)
+    val viaRule = joined
+      .select(col("a.vec_id"), Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = joined
+      .select(col("a.vec_id"),
+        org.apache.spark.sql.functions.call_function("cosine_sim",
+          col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRule.keySet == direct.keySet && viaRule.nonEmpty)
+    viaRule.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(direct(k)))
+    }
+  }
+
+  test("a merely similar expression is NOT rewritten") {
+    // dot without the norm divisor — must stay a HOF aggregate
+    val df = emb.select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosine_sim"), optimized.take(400))
+  }
+
+  test("the rule object applies standalone on a plan") {
+    val df = emb.as("a").join(emb.as("b"), col("a.vec_id") < 2 && col("b.vec_id") < 2)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+    val rewritten = RewriteCosine(df.queryExecution.analyzed)
+    assert(rewritten.toString.contains("cosine_sim"))
+  }
+}
