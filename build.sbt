@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Suites create differently-configured SparkSessions over one shared
+// SparkContext — run sequentially to keep session defaults deterministic.
+Test / parallelExecution := false

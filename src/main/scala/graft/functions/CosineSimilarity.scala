@@ -104,5 +104,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
     // declarative HOF cosine → fused codegen loop (bit-exact rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteCosine)
+    // filter(row_number <= k over window) → two-phase physical top-k
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -13,7 +13,16 @@ import org.scalatest.BeforeAndAfterAll
   */
 class RewriteCosineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private lazy val spark: SparkSession = SparkSession.builder()
+  // Build over the shared SparkContext but with our extensions: clear
+  // the default session so the builder makes a fresh one, and restore
+  // afterwards. NEVER stop() here — that would kill the shared context.
+  private var saved: Option[SparkSession] = None
+
+  private lazy val spark: SparkSession = {
+    saved = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    SparkSession.builder()
     .master("local[2]")
     .appName("rewrite-cosine-spec")
     .config("spark.sql.shuffle.partitions", "2")
@@ -22,8 +31,15 @@ class RewriteCosineSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
+  }
 
-  override def afterAll(): Unit = spark.stop()
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    saved.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+  }
 
   private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
