@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TextAnalysis.defs ++
       operators.EventWindows.defs ++
       operators.Multimodal.defs ++
-      operators.JoinsExtra.defs
+      operators.JoinsExtra.defs ++
+      operators.TimeSeries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.det._
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators over the events log: activity-profile
+  * similarity search (the EDBT'19 streaming-similarity shape, batch
+  * formulation) and range-frame windows.
+  *
+  * Scale notes: profiles reduce each key to a fixed-width vector in ONE
+  * hash aggregation (24 decimal sums — exact, order-independent), so
+  * the pairwise stage operates on |users| rows, not |events|; the pair
+  * join is the profile-matrix square, bounded and broadcastable.
+  */
+object TimeSeries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Hour-of-day activity profiles → top-10 most-similar user pairs by
+    // euclidean distance over the 24-dim profile.
+    QueryDef(
+      "ts_user_similarity", {
+        val sumCases = (0 until 24).map(h =>
+          s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS h$h")
+          .mkString(",\n                 ")
+        val dist = (0 until 24).map(h => s"(a.h$h - b.h$h) * (a.h$h - b.h$h)")
+          .mkString(" + ")
+        Some(s"""
+          WITH prof AS (
+            SELECT user_id,
+                 $sumCases
+            FROM events GROUP BY user_id)
+          SELECT i, j, dist FROM (
+            SELECT a.user_id AS i, b.user_id AS j,
+                   sqrt($dist) AS dist
+            FROM prof a JOIN prof b ON a.user_id < b.user_id)
+          ORDER BY dist, i, j
+          LIMIT 10
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val zeroDec = lit(0).cast(DecimalType(18, 2))
+        val prof = events(s, d)
+          .groupBy($"user_id")
+          .agg(
+            sum(when(hour($"ts") === 0, $"value".cast(DecimalType(18, 2)))
+              .otherwise(zeroDec)).cast("double").as("h0"),
+            (1 until 24).map(h =>
+              sum(when(hour($"ts") === h, $"value".cast(DecimalType(18, 2)))
+                .otherwise(zeroDec)).cast("double").as(s"h$h")): _*)
+        val dist = (0 until 24).map { h =>
+          val diff = col(s"a.h$h") - col(s"b.h$h")
+          diff * diff
+        }.reduce(_ + _)
+        prof.as("a").join(prof.as("b"), col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("i"), col("b.user_id").as("j"),
+            sqrt(dist).as("dist"))
+          .orderBy(asc("dist"), asc("i"), asc("j"))
+          .limit(10)
+      }),
+
+    // RANGE-frame window: for each event, the value sum of the same
+    // user's events within the preceding 600 seconds (event-time band).
+    QueryDef(
+      "ts_range_frame",
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                 PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_sum
+        FROM events
+        ORDER BY event_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy(unix_timestamp($"ts"))
+          .rangeBetween(-600, Window.currentRow)
+        events(s, d)
+          .withColumn("band_sum",
+            sum($"value".cast(DecimalType(18, 2))).over(w).cast("double"))
+          .select($"event_id", $"user_id", $"band_sum")
+          .orderBy($"event_id")
+      }),
+
+    // Corpus profiling (the training-pipeline "data audit" view): one
+    // pass over documents → global quality statistics.
+    QueryDef(
+      "ts_corpus_profile",
+      Some(s"""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               ${sqlSum("length(text)", 0)} AS total_chars,
+               (${sqlSum("length(text)", 0)} / COUNT(*)) AS avg_chars,
+               MIN(length(text)) AS min_chars,
+               MAX(length(text)) AS max_chars,
+               CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+               COUNT(DISTINCT md5(text)) AS n_unique
+        FROM documents
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"lang").as("n_langs"),
+          dsum(length($"text"), 0).as("total_chars"),
+          davg(length($"text"), 0).as("avg_chars"),
+          min(length($"text")).cast("long").as("min_chars"),
+          max(length($"text")).cast("long").as("max_chars"),
+          sum(when($"text".isNull || length($"text") === 0, 1).otherwise(0))
+            .cast("long").as("n_empty"),
+          countDistinct(md5($"text")).as("n_unique"))
+      })
+  )
+}
