@@ -103,6 +103,20 @@ object Streams {
       }
   }
 
+  /** S10/ST3 — the push-sink shape: stream → `foreachBatch` → batch
+    * writer. Each micro-batch appends to a parquet-backed store
+    * directory; the same hook is where a websocket push, JDBC upsert,
+    * or compaction pass goes. Returns the started query. */
+  def recordsToStore(records: Dataset[MemoryRecord], dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[MemoryRecord], _: Long) =>
+        batch.write.mode("append").parquet(s"$dir/records")
+      }
+      .start()
+
   /** ST3 — task-log style bounded append: keep the newest `cap` records
     * per key as state, emitting the retained set's size each batch. */
   final case class LogState(records: Seq[MemoryRecord])

@@ -44,6 +44,24 @@ class AgentTextSpec extends AnyFunSuite {
     assert(splitContentAndJson(noisy)._2.get.fields("y") == JNum(2.0))
   }
 
+  test("golden G2: fenced json5 with single quotes, trailing commas, stripped newlines") {
+    val text = "before\n```\n{'a': 1, \"b\": [1,2,],}\n```\nafter"
+    val (content, data) = splitContentAndJson(text)
+    assert(content == "before\nafter")
+    val o = data.get
+    assert(o.fields("a") == JNum(1.0))
+    assert(o.fields("b") == JArr(Vector(JNum(1.0), JNum(2.0))))
+  }
+
+  test("golden G3: missing end marker returns first 20 lines; <100 chars dropped downstream") {
+    val lines = (1 to 25).map(i => s"line$i")
+    val text = lines.mkString("\n")
+    val got = extractBetweenMarkers(text, "line2", "NO_SUCH_MARKER")
+    val gotLines = got.split("\n")
+    assert(gotLines.length == 20)
+    assert(gotLines.head.startsWith("line2") && gotLines.last == "line21")
+  }
+
   // ---------------------------------------------------------------- F6/Q11
   test("extractBetweenMarkers includes both markers") {
     val t = "aa START body END zz"

@@ -78,6 +78,23 @@ class StreamingSpec extends SparkSpec {
     assert(last.nFacts == 3L)
   }
 
+  test("foreachBatch sink lands every micro-batch in the parquet store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = MemoryStream[graft.model.MemoryRecord]
+    val q = Streams.recordsToStore(stream.toDS(), dir, s"$dir/ckpt")
+    try {
+      stream.addData((1 to 3).map(i => graft.model.MemoryRecord("s", ts(i), s"r$i")))
+      q.processAllAvailable()
+      stream.addData((4 to 5).map(i => graft.model.MemoryRecord("s", ts(i), s"r$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(s"$dir/records")
+      .as[graft.model.MemoryRecord].collect().map(_.content).toSet
+    assert(stored == Set("r1", "r2", "r3", "r4", "r5"))
+  }
+
   test("bounded log append keeps at most cap records per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
