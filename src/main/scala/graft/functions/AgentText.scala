@@ -197,25 +197,43 @@ object AgentText {
   }
 
   // ------------------------------------------------------------------ F7
+  /** Python-`float()` parse: trims, case-insensitive nan/inf/infinity
+    * with sign, digits/exponent only otherwise (Java's toDouble would
+    * also accept "1d"/"0x1p3", which Python rejects). */
+  private def pyFloat(value: String): Option[Double] = {
+    val t = value.trim
+    val body = (if (t.startsWith("+") || t.startsWith("-")) t.tail else t).toLowerCase
+    val sign = if (t.startsWith("-")) -1.0 else 1.0
+    body match {
+      case "nan" => Some(Double.NaN)
+      case "inf" | "infinity" => Some(sign * Double.PositiveInfinity)
+      case b if b.nonEmpty && b.forall(c => c.isDigit || c == '.' || c == 'e' || c == '+' || c == '-') =>
+        try Some(t.toDouble) catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
   /** `is_int_convertible` (utils.py:165-172): float-parse then
     * integrality check — accepts "5.0" (quirk Q3; Spark cast would null). */
   def isIntConvertible(value: String): Boolean =
-    try { val f = value.toDouble; f == math.floor(f) && !f.isInfinite }
-    catch { case _: NumberFormatException => false }
+    pyFloat(value).exists(f => f == math.floor(f) && !f.isInfinite)
 
-  def isFloatConvertible(value: String): Boolean =
-    try { value.toDouble; true } catch { case _: NumberFormatException => false }
+  def isFloatConvertible(value: String): Boolean = pyFloat(value).isDefined
 
-  /** `convert_to_boolean` (utils.py:206-244). */
+  /** `convert_to_boolean` (utils.py:206-244) for STRING inputs: only
+    * the word forms convert; numeric strings raise in the reference
+    * (the 1/0/1.0 branches fire only for actual int/float values). */
   def convertToBoolean(value: String): Option[Boolean] =
     value.toLowerCase match {
       case "true" | "t" | "yes" | "y" => Some(true)
       case "false" | "f" | "no" | "n" => Some(false)
-      case v if isFloatConvertible(v) =>
-        val d = v.toDouble
-        if (d == 1.0) Some(true) else if (d == 0.0) Some(false) else None
       case _ => None
     }
+
+  /** `convert_to_boolean` for already-typed numeric values
+    * (utils.py:229-240): 1/0 and whole 1.0/0.0 convert. */
+  def convertToBoolean(value: Double): Option[Boolean] =
+    if (value == 1.0) Some(true) else if (value == 0.0) Some(false) else None
 
   /** Declared-type coercion (memory.py:218-239): "number" → Long if
     * int-convertible else Double; "boolean"/"string" as the reference.

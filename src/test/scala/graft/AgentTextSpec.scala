@@ -94,12 +94,16 @@ class AgentTextSpec extends AnyFunSuite {
     assert(coerceArg("x", "number").isEmpty)
   }
 
-  test("convertToBoolean accepts true/t/yes/y/1/1.0 forms") {
+  test("convertToBoolean: word forms for strings; 1/0 only for numeric values") {
     assert(convertToBoolean("TRUE").contains(true))
     assert(convertToBoolean("y").contains(true))
     assert(convertToBoolean("no").contains(false))
-    assert(convertToBoolean("1.0").contains(true))
-    assert(convertToBoolean("0").contains(false))
+    // numeric STRINGS raise in the reference (only typed ints/floats convert)
+    assert(convertToBoolean("1.0").isEmpty)
+    assert(convertToBoolean("0").isEmpty)
+    assert(convertToBoolean(1.0).contains(true))
+    assert(convertToBoolean(0.0).contains(false))
+    assert(convertToBoolean(2.0).isEmpty)
     assert(convertToBoolean("maybe").isEmpty)
   }
 
