@@ -6,6 +6,7 @@ import graft.memory.{MemoryAnalysis, MemoryStore}
 import graft.streaming.Streams
 import graft.streaming.Streams.{AnalysisEvent, MemorySnapshot}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Structured Streaming semantics: windowed aggregations agree with
@@ -38,6 +39,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("file-source replay of the real events table matches the batch windows") {
+    import spark.implicits._
+    // stage the parquet into a watched directory (file streaming source
+    // reads a directory, discovering files as they appear)
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events-000.parquet"))
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .select($"ts", $"event_type", $"value")
+    val q = Streams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("replay_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("replay_test")
+      .select($"window_start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Streams.tumblingCounts(
+        sources.Tables.events(spark, sf).select($"ts", $"event_type", $"value"))
+      .select($"window_start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
   }
 
   test("streaming memory updates converge to the batch store fold") {

@@ -39,6 +39,20 @@ class TextFunctionsSpec extends AnyFunSuite {
   * semantics derived by hand-executing utils.py:249-330.
   */
 class SimpleRagGoldenSpec extends SparkSpec {
+
+  test("simple_rag over a CJK corpus (intended Q2 semantics end-to-end)") {
+    import spark.implicits._
+    // 的 is a stop char (dropped from the query); 猫/狗 are content chars
+    val corpus = Seq(
+      (0L, "我家的猫很可爱"), (1L, "狗在院子里"), (2L, "猫和狗都在"),
+      (3L, "今天天气很好")).toDF("doc_id", "text")
+    val got = operators.SimpleRag.topK(corpus, "doc_id", "text", "猫的狗", 2)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // keywords = [猫, 狗]; doc 2 contains both (score 2); docs 0,1 score 1
+    // (tie broken by doc_id → doc 0)
+    assert(got == Seq((2L, 2L), (0L, 1L)))
+  }
   test("simple_rag('wo d1', corpus, 3) matches the reference golden") {
     import spark.implicits._
     val corpus = Seq(
