@@ -74,6 +74,54 @@ object Relational2 {
           .orderBy($"rf", $"qb")
       }),
 
+    // ---------------------------------------------------------------- q20
+    // Exact quantiles (sort-based percentile, not a sketch) per group.
+    QueryDef(
+      "q20_quantiles",
+      Some("""
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS p25,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.75) AS p75,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            percentile($"o_totalprice", lit(0.25)).as("p25"),
+            percentile($"o_totalprice", lit(0.5)).as("p50"),
+            percentile($"o_totalprice", lit(0.75)).as("p75"),
+            count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      }),
+
+    // ---------------------------------------------------------------- q21
+    // The canonical wordcount: explode tokens → count → top-20 with a
+    // deterministic tiebreak (generator + agg + TakeOrderedAndProject).
+    QueryDef(
+      "q21_wordcount",
+      Some("""
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(explode(split($"text", " ")).as("tok"))
+          .groupBy($"tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("tok"))
+          .limit(20)
+      }),
+
     // ---------------------------------------------------------------- q19
     // Pivot: order counts per month × priority, via Spark's pivot and a
     // conditional-aggregation oracle (one scan in both engines).
