@@ -17,14 +17,15 @@ object Bench {
     // doesn't absorb one-time session init (~3 s of classloading).
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("ta_fingerprint").foreach(fn => fn(spark, sfDir).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: deterministic across rounds, comparable per-query
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

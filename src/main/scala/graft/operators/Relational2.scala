@@ -74,6 +74,58 @@ object Relational2 {
           .orderBy($"rf", $"qb")
       }),
 
+    // ---------------------------------------------------------------- q22
+    // Explicit GROUPING SETS (beyond rollup/cube): chosen combinations
+    // only, via spark.sql — the SQL front door of the same hash-agg.
+    QueryDef(
+      "q22_grouping_sets",
+      Some(s"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               COUNT(*) AS n, ${sqlSum("l_quantity")} AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls
+      """.trim),
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_v")
+        s.sql(s"""
+          SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                 COALESCE(l_linestatus, 'ALL') AS ls,
+                 COUNT(*) AS n, ${sqlSum("l_quantity")} AS qty
+          FROM lineitem_v
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY rf, ls""")
+      }),
+
+    // ---------------------------------------------------------------- q23
+    // Array scalar functions over the token arrays: sort/slice/
+    // contains/overlap/union size — all codegen'd collection ops.
+    QueryDef(
+      "q23_array_funcs",
+      Some("""
+        SELECT doc_id,
+               array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               CAST(len(list_distinct(string_split(text, ' ') || string_split(lang, ' '))) AS BIGINT) AS union_size,
+               list_sort(string_split(text, ' '))[1] AS min_tok,
+               list_sort(string_split(text, ' '))[-1] AS max_tok
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tk"), split($"lang", " ").as("lg"))
+          .select($"doc_id",
+            concat_ws(",", slice(array_sort($"tk"), 1, 3)).as("first3_sorted"),
+            array_contains($"tk", "spark").as("has_spark"),
+            size(array_distinct(concat($"tk", $"lg"))).cast("long").as("union_size"),
+            array_min($"tk").as("min_tok"),
+            array_max($"tk").as("max_tok"))
+          .orderBy($"doc_id")
+      }),
+
     // ---------------------------------------------------------------- q20
     // Exact quantiles (sort-based percentile, not a sketch) per group.
     QueryDef(

@@ -104,6 +104,32 @@ class StreamingSpec extends SparkSpec {
     assert(last.nFacts == 3L)
   }
 
+  test("watermark drops late events in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.tumblingCounts(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events in the 10:00 window, one at 13:00 that
+      // advances the watermark to 12:50 and closes the 10:00 window
+      stream.addData(Seq((at(10, 0), "a", 1.0), (at(10, 30), "a", 1.0), (at(13, 0), "a", 1.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-closed 10:00 window
+      // (behind the 12:50 watermark) must be dropped
+      stream.addData(Seq((at(10, 45), "a", 1.0), (at(15, 0), "a", 1.0)))
+      q.processAllAvailable()
+      // advance far enough to close everything still open
+      stream.addData(Seq((at(20, 0), "a", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("late_test")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    assert(counts(at(10, 0)) == 2L, s"late event was not dropped: $counts")
+  }
+
   test("foreachBatch sink lands every micro-batch in the parquet store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
