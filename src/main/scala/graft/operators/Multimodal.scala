@@ -99,6 +99,51 @@ object Multimodal {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // Binary-column scalar surface: encode → BINARY, lengths, digest,
+    // base64 of a fixed prefix — the payload-handling functions any
+    // media pipeline leans on, oracle-checked against DuckDB's blob ops.
+    QueryDef(
+      "mm_binary_funcs",
+      Some("""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(8 * octet_length(encode(text)) AS BIGINT) AS n_bits,
+               md5(text) AS digest,
+               to_base64(encode(substr(text, 1, 12))) AS head_b64
+        FROM documents
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id", encode($"text", "UTF-8").as("payload"), $"text")
+          .select($"doc_id",
+            octet_length($"payload").cast("long").as("n_bytes"),
+            bit_length($"payload").cast("long").as("n_bits"),
+            md5($"text").as("digest"),
+            base64(encode(substring($"text", 1, 12), "UTF-8")).as("head_b64"))
+          .orderBy($"doc_id")
+      }),
+
+    // Sketch surface (no SQL oracle — approximate results aren't
+    // hash-comparable; the driver records a rows-only check): HLL
+    // distinct and t-digest-style percentile approximations alongside
+    // their exact counterparts for visible error bounds.
+    QueryDef(
+      "sk_sketches",
+      None,
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .groupBy($"o_orderpriority")
+          .agg(
+            approx_count_distinct($"o_custkey").as("approx_cust"),
+            countDistinct($"o_custkey").as("exact_cust"),
+            percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("approx_p50"),
+            percentile($"o_totalprice", lit(0.5)).as("exact_p50"))
+          .orderBy($"o_orderpriority")
+      }),
+
     // Expression-level formulation of the same fake decode (oracle-able:
     // md5 is portable). Exercises binary columns + metadata derivation.
     QueryDef(
