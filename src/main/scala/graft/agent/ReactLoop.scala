@@ -68,7 +68,12 @@ object AgentResponse {
   */
 final class ReactLoop(
     provider: Provider,
-    maxIters: Int = 5) {
+    maxIters: Int = 5,
+    // S9 — the external tool-dispatch seam (manager.py:236-250): the
+    // executor receives a resolved (name, argsJson) and returns the
+    // tool's text result, which is appended to the conversation so the
+    // next iteration sees it (client.py:287-321).
+    toolExecutor: (String, String) => String = (n, _) => s"[no executor for $n]") {
 
   final case class Outcome(
       memory: MemoryStore, tasks: TaskStore,
@@ -80,15 +85,21 @@ final class ReactLoop(
       tools: Dataset[Tool], messages0: Dataset[Message],
       taskId: Option[Long], now: Timestamp): Outcome = {
     var memory = memory0
-    val assembler0 = ContextAssembler(memory, tasks0, tools)
+    var tasks = tasks0
     val newMessages = Seq.newBuilder[Message]
     var seq = 0L
     newMessages += Message(sessionId, seq, "user", query, now)
+    var lastResponseText = ""
     var iter = 0
     var done = false
     while (iter < maxIters && !done) {
-      val assembler = ContextAssembler(memory, tasks0, tools)
-      val prompt = assembler.assemble(sessionId, query, taskId, messages0, 0L)
+      val assembler = ContextAssembler(memory, tasks, tools)
+      // the reference re-assembles from the GROWING message list each
+      // iteration (client.py:218,221) — tool results must be visible
+      val sp = messages0.sparkSession
+      import sp.implicits._
+      val liveMessages = messages0.union(newMessages.result().toDS())
+      val prompt = assembler.assemble(sessionId, query, taskId, liveMessages, 0L)
       val response = AgentResponse.parse(provider.generateResponse(prompt))
       if (response.think.nonEmpty) {
         seq += 1
@@ -97,6 +108,7 @@ final class ReactLoop(
       if (response.text.nonEmpty) {
         seq += 1
         newMessages += Message(sessionId, seq, "assistant", response.text, now)
+        lastResponseText = response.text
       }
       var actedOnTool = false
       response.memOp.foreach { case (name, args) =>
@@ -116,12 +128,33 @@ final class ReactLoop(
           case _ => ()
         }
       }
-      response.tool.foreach { _ => actedOnTool = true }
+      response.tool.foreach { case (name, args) =>
+        // tool ran → its result joins the conversation and the loop
+        // continues even if finished=true (client.py:289,326-327)
+        actedOnTool = true
+        val result = toolExecutor(name, args)
+        seq += 1
+        newMessages += Message(sessionId, seq, "tool", result, now)
+      }
       iter += 1
       done = response.finished && !actedOnTool
     }
+    // per-turn task update (task.py:491-627): append a capped log
+    // record and extract files from the final response text
+    taskId.foreach { tid =>
+      tasks = tasks.appendLog(TaskLog(
+        tid, now, query, AgentText.summarize(lastResponseText),
+        newMessages.result().map(m => s"${m.role}: ${AgentText.truncate(m.content, 80)}"),
+        Map("iterations" -> iter.toString), null))
+      val extracted = graft.task.TaskStore.extractFiles(tid, now, lastResponseText, provider)
+      if (extracted.nonEmpty) {
+        val sp = tasks.files.sparkSession
+        import sp.implicits._
+        tasks = tasks.copy(files = tasks.files.union(extracted.toDS()))
+      }
+    }
     // post-turn memory update (ST2) exactly once per query
     memory = memory.update(sessionId, provider, now)
-    Outcome(memory, tasks0, newMessages.result(), iter)
+    Outcome(memory, tasks, newMessages.result(), iter)
   }
 }

@@ -162,6 +162,48 @@ class AgentStoresSpec extends SparkSpec {
     assert(out.memory.topics.collect().map(_.name).toSeq == Seq("greeting"))
   }
 
+  test("react loop: tool dispatch feeds the result back and the turn logs to the task") {
+    import spark.implicits._
+    val longBody = "START " + ("word " * 30) + "END"
+    val stub = new StubProvider(
+      canned = Seq(
+        // turn 1: a tool call (loop must continue despite finished=true)
+        "tool: search result" ->
+          s"""```json
+{"text": "done: $longBody", "finished": true}
+```""",
+        "## Query:\nfind it" ->
+          """```json
+{"text": "searching", "tool": {"name": "search", "args": {"q": "x"}}, "finished": true}
+```""",
+        "Analyze the following memory records" ->
+          """```json
+{"summary": "s"}
+```""",
+        "identify extractable file content" ->
+          """```json
+{"files": [{"start_marker": "START", "end_marker": "END",
+            "content_type": "note", "title": "Result", "description": ""}]}
+```"""))
+    val loop = new ReactLoop(stub, maxIters = 5,
+      toolExecutor = (name, args) => s"tool: search result for $args")
+    var tasks = TaskStore.empty(spark)
+    tasks = tasks.upsertTask(TaskRow(7L, "research", "T", "t", "", "", ts(1)))
+    val out = loop.processQuery("s", "find it", MemoryStore.empty(spark),
+      tasks, spark.emptyDataset[Tool], spark.emptyDataset[Message],
+      Some(7L), ts(10))
+    // two iterations: tool turn, then the finish turn that saw the result
+    assert(out.iterations == 2)
+    assert(out.newMessages.exists(m => m.role == "tool" && m.content.contains("search result")))
+    // the task got a log record and an extracted file from the response
+    val logs = out.tasks.logs.collect()
+    assert(logs.length == 1 && logs.head.taskId == 7L &&
+      logs.head.metadata("iterations") == "2")
+    val files = out.tasks.files.collect()
+    assert(files.length == 1 && files.head.filename == "Result.txt")
+    assert(files.head.content.startsWith("START") && files.head.content.endsWith("END"))
+  }
+
   test("agent response parsing: finished via boolean coercion, missing JSON → text turn") {
     val r1 = AgentResponse.parse("""```json
 {"text": "t", "finished": "yes"}
