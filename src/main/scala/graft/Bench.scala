@@ -17,10 +17,20 @@ object Bench {
     // doesn't absorb one-time session init (~3 s of classloading).
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("ta_fingerprint").foreach(fn => fn(spark, sfDir).count())
-    // sorted order: deterministic across rounds, comparable per-query
+    // sorted order: deterministic across rounds, comparable per-query.
+    // noop sink, not count(): count() lets Catalyst prune every
+    // projected column, so expression-heavy queries would measure a
+    // bare row count instead of their real work. Each query runs once
+    // unmeasured (Catalyst planning + Janino codegen compile are
+    // per-plan one-time costs) and the second, steady-state run is
+    // reported — standard warm-measurement methodology.
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      runOnce(fn)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      runOnce(fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
