@@ -265,9 +265,22 @@ object AgentText {
     if (words.nonEmpty && prefixes.contains(words.head))
       title = title.split("\\s+").drop(1).mkString(" ")
     if (title.isEmpty) ""
-    else title.take(60).trim.split(" ").map { w =>
-      if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
-    }.mkString(" ")
+    else pyTitleCase(title.take(60).trim)
+  }
+
+  /** Python `str.title()`: any non-letter (digits, punctuation) is a
+    * word boundary — the letter after it uppercases, all other letters
+    * lowercase. */
+  def pyTitleCase(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var prevLetter = false
+    s.foreach { ch =>
+      if (ch.isLetter) {
+        sb += (if (prevLetter) ch.toLower else ch.toUpper)
+        prevLetter = true
+      } else { sb += ch; prevLetter = false }
+    }
+    sb.toString
   }
 
   // ------------------------------------------------------------------ F10

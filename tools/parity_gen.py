@@ -16,11 +16,14 @@ import string
 import sys
 import types
 
-sys.modules['json5'] = types.ModuleType('json5')  # satisfies the import
+for mod in ('json5', 'aiohttp', 'requests'):
+    sys.modules[mod] = types.ModuleType(mod)  # satisfy unused imports
 sys.path.insert(0, '/root/reference')
 from utils import (clean_string, get_keywords, count_words_in_string,
                    get_top_k_records, simple_rag, is_int_convertible,
                    is_float_convertible, convert_to_boolean, truncate_string)
+import re as _re
+import task as ref_task
 
 rng = random.Random(20260812)
 
@@ -74,6 +77,39 @@ for _ in range(30):
     n = rng.randint(0, 60)
     cases.append({"fn": "truncate", "input": s, "n": n,
                   "expected": truncate_string(s, n)})
+
+# ---- task.py functions (F6/F9/F10), executed from the reference ----
+fx = ref_task.FileExtractor()
+for _ in range(60):
+    body = "\n".join(rand_text(30) for _ in range(rng.randint(1, 30)))
+    start = rand_text(6) or "S"
+    end = rand_text(6) or "E"
+    placed = rng.random()
+    if placed < 0.5:  # both markers present
+        text = f"{rand_text(20)} {start} {body} {end} {rand_text(10)}"
+    elif placed < 0.8:  # end missing → 20-line fallback
+        text = f"{rand_text(20)} {start} {body}"
+    else:  # start missing → ""
+        text = body
+    cases.append({"fn": "markers", "text": text, "start": start, "end": end,
+                  "expected": fx._extract_content_between_markers(text, start, end)})
+
+for _ in range(60):
+    target = rand_text(90)
+    t = ref_task.PlanTask(None, None, 1, "plan")
+    t.title = "Task 1"
+    t.target = target
+    t.update_title_from_target()
+    cases.append({"fn": "title", "input": target, "expected": t.title})
+
+for _ in range(40):
+    title = rand_text(40)
+    ct = rng.choice(["plan", "note", "story", "unknown", "REPORT", "poem"])
+    safe = _re.sub(r'[^\w\s-]', '', title).strip()
+    safe = _re.sub(r'[-\s]+', '_', safe)
+    ext = ref_task.FileExtractor.get_file_extension(ct)
+    cases.append({"fn": "filename", "title": title, "ctype": ct,
+                  "expected": f"{safe[:30]}.{ext}"})
 
 out = "src/test/resources/parity_cases.json"
 import os
