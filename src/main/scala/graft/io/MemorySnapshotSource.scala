@@ -44,7 +44,8 @@ class MemorySnapshotSource extends TableProvider with DataSourceRegister {
 }
 
 object MemorySnapshotSource {
-  val sections = Seq("records", "summaries", "topics", "database")
+  val sections = Seq("records", "summaries", "topics", "database",
+    "tasks", "task_logs")
 
   def schemaFor(section: String): StructType = section match {
     case "records" => StructType(Seq(
@@ -57,6 +58,15 @@ object MemorySnapshotSource {
       StructField("frequency", LongType)))
     case "database" => StructType(Seq(
       StructField("key", StringType), StructField("value", StringType)))
+    // task-<label>.json (task.py:406-421): {id: {target, plan, progress, logs}}
+    case "tasks" => StructType(Seq(
+      StructField("task_id", LongType), StructField("target", StringType),
+      StructField("plan", StringType), StructField("progress", StringType),
+      StructField("n_logs", LongType)))
+    case "task_logs" => StructType(Seq(
+      StructField("task_id", LongType), StructField("ts", StringType),
+      StructField("query", StringType), StructField("response_summary", StringType),
+      StructField("error", StringType)))
     case other => throw new IllegalArgumentException(
       s"unknown section '$other' (expected one of ${sections.mkString("/")})")
   }
@@ -137,6 +147,32 @@ final class MemorySnapshotReaderFactory extends PartitionReaderFactory {
           InternalRow(UTF8String.fromString(k), s(v))
         }
         case _ => Iterator.empty
+      }
+      // task snapshots: the whole file is {taskId: {target, plan, ...}}
+      case "tasks" => root.fields.iterator.collect {
+        case (id, JObj(t)) => InternalRow(
+          id.toLongOption.getOrElse(-1L),
+          s(t.getOrElse("target", JStr(""))),
+          s(t.getOrElse("plan", JStr(""))),
+          s(t.getOrElse("progress", JStr(""))),
+          t.get("logs") match { case Some(AgentText.JArr(l)) => l.size.toLong; case _ => 0L })
+      }
+      case "task_logs" => root.fields.iterator.flatMap {
+        case (id, JObj(t)) => t.get("logs") match {
+          case Some(AgentText.JArr(logs)) => logs.collect {
+            case JObj(l) => InternalRow(
+              id.toLongOption.getOrElse(-1L),
+              s(l.getOrElse("timestamp", JStr(""))),
+              s(l.getOrElse("query", JStr(""))),
+              s(l.getOrElse("response_summary", JStr(""))),
+              l.get("error") match {
+                case Some(JStr(e)) => UTF8String.fromString(e)
+                case _ => null
+              })
+          }
+          case _ => Seq.empty
+        }
+        case _ => Seq.empty
       }
       case _ => Iterator.empty
     }

@@ -134,8 +134,12 @@ final case class TopKFinalExec(
     val partExprs = partSpec
     val childOutput = child.output
     val limit = k
+    val outAttrs = output
     child.execute().mapPartitions ({ it =>
       val keyProj = GenerateUnsafeProjection.generate(partExprs, childOutput)
+      // downstream operators (and SparkPlan collect paths) expect
+      // UnsafeRow — project the joined (row, rank) through codegen
+      val outProj = GenerateUnsafeProjection.generate(outAttrs, outAttrs)
       val joined = new JoinedRow
       var currentKey: UnsafeRow = null
       var rank = 0
@@ -147,7 +151,7 @@ final case class TopKFinalExec(
         rank += 1
         if (rank <= limit) {
           val rankRow = InternalRow(rank)
-          Some(joined(row, rankRow).asInstanceOf[InternalRow])
+          Some(outProj(joined(row, rankRow)).asInstanceOf[InternalRow])
         } else None
       }
     }, preservesPartitioning = true)

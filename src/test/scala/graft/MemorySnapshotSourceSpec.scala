@@ -52,6 +52,34 @@ class MemorySnapshotSourceSpec extends SparkSpec {
       Map("goal" -> "ship engine", "fact_1" -> "42"))
   }
 
+  test("reads task snapshots (task.py:406-421 shape) as tasks and task_logs") {
+    val taskSnap =
+      """{
+        |  "1": {"target": "build x", "plan": "steps", "progress": "50%",
+        |        "logs": [
+        |          {"timestamp": "20250801_100000_000000", "query": "q1",
+        |           "response_summary": "r1", "entries": [], "files": {},
+        |           "metadata": {}, "error": null},
+        |          {"timestamp": "20250801_110000_000000", "query": "q2",
+        |           "response_summary": "r2", "entries": [], "files": {},
+        |           "metadata": {}, "error": "boom"}
+        |        ]},
+        |  "2": {"target": "other", "plan": "", "progress": "", "logs": []}
+        |}""".stripMargin
+    val f = Files.createTempFile("task-test", ".json")
+    Files.writeString(f, taskSnap)
+    val tasks = spark.read.format("memory-snapshot")
+      .option("section", "tasks").load(f.toString).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(tasks == Map(1L -> ("build x", 2L), 2L -> ("other", 0L)))
+    val logs = spark.read.format("memory-snapshot")
+      .option("section", "task_logs").load(f.toString).collect()
+    assert(logs.length == 2)
+    assert(logs.map(_.getString(2)).toSet == Set("q1", "q2"))
+    assert(logs.find(_.getString(2) == "q2").get.getString(4) == "boom")
+    assert(logs.find(_.getString(2) == "q1").get.isNullAt(4))
+  }
+
   test("the source composes with SQL over a temp view") {
     spark.read.format("memory-snapshot").option("section", "topics").load(file)
       .createOrReplaceTempView("snap_topics")

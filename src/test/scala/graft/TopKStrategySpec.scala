@@ -58,6 +58,23 @@ class TopKStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("WindowGroupLimit"), plan.take(1200)) // built-in prune subsumed
   }
 
+  test("operator is partitioning-invariant (skewed and random layouts)") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val out = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 2)
+      assert(out.queryExecution.executedPlan.toString.contains("TopKFinal"))
+      out.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    }
+    val a = run(base.repartition(1))
+    val b = run(base.repartition(17, $"o_orderkey")) // keys scattered across partitions
+    val c = run(base.repartition(5, $"o_custkey"))   // keys co-located
+    assert(a == b && b == c && a.nonEmpty)
+  }
+
   test("results equal the Window formulation exactly, ranks included") {
     val got = topKQuery(spark).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
