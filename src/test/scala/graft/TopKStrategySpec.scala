@@ -75,6 +75,29 @@ class TopKStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && b == c && a.nonEmpty)
   }
 
+  test("randomized: operator equals a scala reference across keys/k/layouts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 500 + rng.nextInt(1500)
+      val nKeys = 1 + rng.nextInt(40)
+      val k = 1 + rng.nextInt(5)
+      // unique ord values → total order → deterministic ranks
+      val ords = rng.shuffle((1 to n).toList)
+      val rows = ords.zipWithIndex.map { case (ord, i) =>
+        (rng.nextInt(nKeys).toLong, i.toLong, ord.toDouble)
+      }
+      val df = rows.toDF("key", "id", "ord").repartition(1 + rng.nextInt(8))
+      val w = Window.partitionBy($"key").orderBy(desc("ord"))
+      val got = df.withColumn("rk", row_number().over(w)).filter($"rk" <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val expected = rows.groupBy(_._1).iterator.flatMap { case (key, rs) =>
+        rs.sortBy(-_._3).take(k).zipWithIndex.map { case ((_, id, _), i) => (key, id, i + 1) }
+      }.toSet
+      assert(got == expected, s"trial=$trial n=$n keys=$nKeys k=$k")
+    }
+  }
+
   test("results equal the Window formulation exactly, ranks included") {
     val got = topKQuery(spark).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
