@@ -32,7 +32,7 @@ object AgentResponse {
           case Some(JObj(a)) =>
             val name = a.get("name") match { case Some(JStr(s)) => s; case _ => "" }
             val args = a.get("args") match {
-              case Some(o: JObj) => render(o)
+              case Some(o: JObj) => AgentText.renderJson(o)
               case _ => "{}"
             }
             if (name.nonEmpty) Some(name -> args) else None
@@ -49,15 +49,6 @@ object AgentResponse {
     }
   }
 
-  private def render(v: AgentText.JVal): String = v match {
-    case JObj(f) => f.map { case (k, x) => "\"" + k + "\": " + render(x) }
-      .mkString("{", ", ", "}")
-    case AgentText.JArr(items) => items.map(render).mkString("[", ", ", "]")
-    case JStr(s) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    case JNum(d) => if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
-    case JBool(b) => b.toString
-    case AgentText.JNull => "null"
-  }
 }
 
 /** The ReAct micro-batch loop (ST1; reference client.py:216-333): per

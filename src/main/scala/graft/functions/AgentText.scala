@@ -179,6 +179,22 @@ object AgentText {
     (if (data.isEmpty) text else content, data)
   }
 
+  /** Canonical JSON rendering of a parsed value (strict-JSON output,
+    * whole numbers without a fraction). */
+  def renderJson(v: JVal): String = v match {
+    case JObj(f) => f.map { case (k, x) => "\"" + escapeJson(k) + "\": " + renderJson(x) }
+      .mkString("{", ", ", "}")
+    case JArr(items) => items.map(renderJson).mkString("[", ", ", "]")
+    case JStr(s) => "\"" + escapeJson(s) + "\""
+    case JNum(d) => if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
+    case JBool(b) => b.toString
+    case JNull => "null"
+  }
+
+  def escapeJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
   // ------------------------------------------------------------------ F6
   /** `_extract_content_between_markers` (task.py:263-285, quirk Q11):
     * returns the span INCLUDING both markers; when the end marker is

@@ -31,7 +31,7 @@ object Udfs {
         if (text == null) (null: String, null: String)
         else {
           val (content, data) = AgentText.splitContentAndJson(text)
-          (content, data.map(render).orNull)
+          (content, data.map(AgentText.renderJson).orNull)
         })
 
     // F6 — extract_markers with the 20-line fallback (Q11).
@@ -55,18 +55,4 @@ object Udfs {
         if (t == null) null else AgentText.safeFilename(t, if (ct == null) "" else ct))
   }
 
-  /** Canonical JSON rendering of a parsed lenient-JSON value. */
-  private def render(v: AgentText.JVal): String = v match {
-    case AgentText.JObj(f) =>
-      f.map { case (k, x) => "\"" + esc(k) + "\": " + render(x) }.mkString("{", ", ", "}")
-    case AgentText.JArr(items) => items.map(render).mkString("[", ", ", "]")
-    case AgentText.JStr(s) => "\"" + esc(s) + "\""
-    case AgentText.JNum(d) =>
-      if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
-    case AgentText.JBool(b) => b.toString
-    case AgentText.JNull => "null"
-  }
-
-  private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 }

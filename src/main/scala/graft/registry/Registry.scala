@@ -65,7 +65,7 @@ object Registry {
                     case AgentText.JStr(s) => s
                     case AgentText.JNum(d) => if (d == math.floor(d) && !d.isInfinite) d.toLong.toString else d.toString
                     case AgentText.JBool(b) => b.toString
-                    case _ => v.toString
+                    case nested => AgentText.renderJson(nested) // keep valid JSON
                   }
                   AgentText.coerceArg(raw, props(k)) match {
                     case Some(cv) => Right(k -> cv)
