@@ -104,6 +104,40 @@ class StreamingSpec extends SparkSpec {
     assert(last.nFacts == 3L)
   }
 
+  test("streaming session windows converge to the batch session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val data = Seq(
+      (at(10, 0), 1L, 1.0), (at(10, 10), 1L, 2.0),   // session A
+      (at(11, 30), 1L, 3.0),                          // session B
+      (at(10, 5), 2L, 4.0))
+    val sentinel = (at(20, 0), 99L, 0.0)              // advances watermark
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val q = Streams.sessionCounts(
+        stream.toDF.toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("session_test")
+      .filter($"user_id" =!= 99L)
+      .select($"user_id", $"session_start", $"n_events", $"value_sum")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streams.sessionCounts(
+        (data :+ sentinel).toDF("ts", "user_id", "value"))
+      .filter($"user_id" =!= 99L)
+      .select($"user_id", $"session_start", $"n_events", $"value_sum")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.size == 3) // two sessions for user 1, one for user 2
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
