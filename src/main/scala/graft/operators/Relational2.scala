@@ -4,6 +4,7 @@ import graft.QueryDef
 import graft.det._
 import graft.sources.Tables._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Second relational tranche: correlated-subquery decorrelation, cube,
   * and pivot — the remaining classic shapes of the harness surface.
@@ -72,6 +73,93 @@ object Relational2 {
           .select(coalesce($"rf", lit("ALL")).as("rf"),
             coalesce($"qb", lit("ALL")).as("qb"), $"n", $"price_sum")
           .orderBy($"rf", $"qb")
+      }),
+
+    // ---------------------------------------------------------------- q26
+    // The full ranking-function family: dense_rank, ntile, percent_rank,
+    // cume_dist (row_number/rank covered by q07; deterministic total
+    // order within each partition).
+    QueryDef(
+      "q26_rank_funcs",
+      Some("""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(dense_rank() OVER w AS BIGINT) AS drk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS prk,
+               cume_dist() OVER w AS cd
+        FROM orders
+        WHERE o_orderkey % 20 = 0
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice", $"o_orderkey")
+        orders(s, d)
+          .filter($"o_orderkey" % 20 === 0)
+          .select($"o_orderkey", $"o_orderpriority",
+            dense_rank().over(w).cast("long").as("drk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("prk"),
+            cume_dist().over(w).as("cd"))
+          .orderBy($"o_orderkey")
+      }),
+
+    // ---------------------------------------------------------------- q24
+    // Ordered string aggregation: deterministic via sort-before-join
+    // (collect_list order is nondeterministic under parallelism; the
+    // array_sort makes the result partitioning-invariant).
+    QueryDef(
+      "q24_string_agg",
+      Some("""
+        SELECT n_name,
+               string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+               COUNT(*) AS n
+        FROM (SELECT DISTINCT n_name, c_mktsegment
+              FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        GROUP BY n_name
+        ORDER BY n_name
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        customer(s, d)
+          .join(broadcast(nation(s, d)), $"c_nationkey" === $"n_nationkey")
+          .select($"n_name", $"c_mktsegment").distinct()
+          .groupBy($"n_name")
+          .agg(
+            array_join(array_sort(collect_list($"c_mktsegment")), ",").as("segments"),
+            count(lit(1)).as("n"))
+          .orderBy($"n_name")
+      }),
+
+    // ---------------------------------------------------------------- q25
+    // Date/interval arithmetic: datediff to a fixed epoch, month adds,
+    // year/quarter extraction, month truncation.
+    QueryDef(
+      "q25_date_math",
+      Some("""
+        SELECT o_orderkey,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+               strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+        FROM orders
+        WHERE o_orderkey % 50 = 0
+        ORDER BY o_orderkey
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        orders(s, d)
+          .filter($"o_orderkey" % 50 === 0)
+          .select($"o_orderkey",
+            datediff($"o_orderdate", lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+            date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd").as("plus_3m"),
+            year($"o_orderdate").cast("long").as("yr"),
+            quarter($"o_orderdate").cast("long").as("qtr"),
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"))
+          .orderBy($"o_orderkey")
       }),
 
     // ---------------------------------------------------------------- q22
