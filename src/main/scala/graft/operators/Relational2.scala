@@ -106,6 +106,28 @@ object Relational2 {
           .orderBy($"o_orderkey")
       }),
 
+    // ---------------------------------------------------------------- q27
+    // Positional generator: posexplode → (pos, token) rows; the UDTF
+    // shape with ordinality (Spark Generate operator).
+    QueryDef(
+      "q27_posexplode",
+      Some("""
+        SELECT doc_id, CAST(p.i AS BIGINT) AS pos, p.tok
+        FROM (
+          SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+                   (tok, i) -> {'i': i - 1, 'tok': tok})) AS p
+          FROM documents WHERE doc_id < 20)
+        ORDER BY doc_id, pos
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .filter($"doc_id" < 20)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+          .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+          .orderBy($"doc_id", $"pos")
+      }),
+
     // ---------------------------------------------------------------- q24
     // Ordered string aggregation: deterministic via sort-before-join
     // (collect_list order is nondeterministic under parallelism; the
