@@ -5,6 +5,7 @@ import graft.functions.TextFunctions
 import graft.sources.Tables._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` corpus: token statistics, language identification,
@@ -30,6 +31,18 @@ object TextAnalysis {
     "zh" -> Seq("spark", "agg", "scan", "hash", "column", "value"))
 
   private def toks: Column = split(col("text"), " ")
+
+  /** Distinct character trigrams in first-occurrence order (matches
+    * DuckDB's list_distinct over the positional transform). */
+  private[operators] val trigramUdf = udf { text: String =>
+    if (text == null || text.length < 3) null
+    else {
+      val seen = new java.util.LinkedHashSet[String]
+      var i = 0
+      while (i <= text.length - 3) { seen.add(text.substring(i, i + 3)); i += 1 }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
 
   /** Winnowing stats in one pass: k=8 char k-grams hashed with the
     * portable h32 (first 4 md5 bytes, unsigned), w=4 sliding minima.
@@ -129,6 +142,60 @@ object TextAnalysis {
         }
         scored.withColumn("lang_guess", argmax)
           .select($"doc_id", $"lang", $"s_en", $"s_de", $"s_es", $"s_fr", $"s_zh", $"lang_guess")
+          .orderBy($"doc_id")
+      }),
+
+    // N-gram language ID (Cavnar–Trenkle shape): per-language character
+    // trigram profiles are TRAINED from the corpus (top-40 trigrams by
+    // document frequency per lang) and each doc is classified by
+    // profile overlap — train and apply in one deterministic query.
+    // Spark side: single-pass trigram UDF (the expression form hits the
+    // CollapseProject O(n²) re-split trap), one groupBy for profiles,
+    // broadcast profile join for scoring.
+    QueryDef(
+      "ta_ngram_lang_id",
+      Some("""
+        WITH tg AS (
+          SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(
+                   range(1, length(text) - 1), i -> substr(text, i, 3)))) AS tri
+          FROM documents WHERE length(text) >= 3),
+        prof AS (
+          SELECT lang AS plang, tri FROM (
+            SELECT lang, tri, COUNT(*) AS df,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY COUNT(*) DESC, tri) AS rn
+            FROM tg GROUP BY lang, tri)
+          WHERE rn <= 40),
+        scored AS (
+          SELECT t.doc_id, t.lang, p.plang, COUNT(*) AS overlap
+          FROM tg t JOIN prof p ON t.tri = p.tri
+          GROUP BY t.doc_id, t.lang, p.plang)
+        SELECT doc_id, lang, plang AS guess, overlap FROM (
+          SELECT doc_id, lang, plang, overlap,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY overlap DESC, plang) AS rn
+          FROM scored)
+        WHERE rn = 1
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val tg = documents(s, d)
+          .filter(length($"text") >= 3)
+          .select($"doc_id", $"lang", explode(trigramUdf($"text")).as("tri"))
+        val wProf = Window.partitionBy($"lang").orderBy(desc("df"), asc("tri"))
+        val prof = tg.groupBy($"lang", $"tri").agg(count(lit(1)).as("df"))
+          .withColumn("rn", row_number().over(wProf))
+          .filter($"rn" <= 40)
+          .select($"lang".as("plang"), $"tri")
+        val scored = tg.join(broadcast(prof), "tri")
+          .groupBy($"doc_id", $"lang", $"plang")
+          .agg(count(lit(1)).as("overlap"))
+        val wBest = Window.partitionBy($"doc_id").orderBy(desc("overlap"), asc("plang"))
+        scored.withColumn("rn", row_number().over(wBest))
+          .filter($"rn" === 1)
+          .select($"doc_id", $"lang", $"plang".as("guess"), $"overlap")
           .orderBy($"doc_id")
       }),
 
