@@ -73,8 +73,8 @@ object EventWindows {
           FROM ordered),
         sessions AS (
           SELECT user_id, event_id, value, t,
-                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_no
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
           FROM flagged)
         SELECT user_id, session_no, COUNT(*) AS n_events,
                MIN(t) AS session_start, MAX(t) AS session_end,

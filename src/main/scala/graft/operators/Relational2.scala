@@ -292,7 +292,7 @@ object Relational2 {
         val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
         val cols = prios.map { p =>
           val alias = "p" + p.charAt(0)
-          s"COALESCE(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 END), 0) AS $alias"
+          s"CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 END), 0) AS BIGINT) AS $alias"
         }.mkString(",\n               ")
         Some(s"""
           SELECT strftime(o_orderdate, '%Y-%m') AS order_month,

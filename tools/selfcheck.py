@@ -26,6 +26,10 @@ def load_spark(outdir, name):
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
         return None
+    if len(files) != 1:
+        raise RuntimeError(
+            f"{name}: expected exactly 1 part file, got {len(files)} "
+            "(Verify must coalesce(1))")
     t = pq.read_table(files[0])
     return t
 
@@ -61,6 +65,27 @@ def main():
         d_cols = sorted(duck_t.column_names)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        # Arrow-type compare (driver's hash is typed: HUGEINT != BIGINT even
+        # when every value is equal). string/large_string and timestamp-unit
+        # differences are representation-only and hash the same after the
+        # driver's value render, so normalize those.
+        def _norm_type(t):
+            s = str(t)
+            if s == "large_string":
+                return "string"
+            if s.startswith("timestamp"):
+                return "timestamp"
+            return s
+        t_bad = [(c, str(spark_t.schema.field(c).type), str(duck_t.schema.field(c).type))
+                 for c in s_cols
+                 if _norm_type(spark_t.schema.field(c).type)
+                 != _norm_type(duck_t.schema.field(c).type)]
+        if t_bad:
+            c, a, b = t_bad[0]
+            print(f"FAIL {name}: arrow type mismatch col {c}: spark={a} duck={b}"
+                  + (f" (+{len(t_bad)-1} more)" if len(t_bad) > 1 else ""))
             n_fail += 1
             continue
         if spark_t.num_rows != duck_t.num_rows:
