@@ -19,12 +19,18 @@ object PortableHash {
   val P: Long = 4294967311L
 
   /** Fixed (a, b) parameters; a < 2^30 keeps a*h < 2^62 (no int64
-    * overflow in either engine). */
+    * overflow in either engine). 16 functions: the first 8 drive the
+    * 4-band LSH surface (`dd_minhash_lsh`); all 16 drive the 8-band
+    * high-recall candidate generator behind `dd_ngram_jaccard`. */
   val minhashParams: Seq[(Long, Long)] = Seq(
     (536870909L, 98765431L), (387420489L, 12345677L),
     (268435399L, 424242421L), (134217689L, 777777773L),
     (93367803L, 31415927L), (71234567L, 27182818L),
-    (533000389L, 161803399L), (222334565L, 141421357L))
+    (533000389L, 161803399L), (222334565L, 141421357L),
+    (402653171L, 271828183L), (301989917L, 314159257L),
+    (201326557L, 577215661L), (100663291L, 662607015L),
+    (50331653L, 137035999L), (25165843L, 299792459L),
+    (12582917L, 602214077L), (6291469L, 160217663L))
 
   /** First 32 bits of md5 as a non-negative long in [0, 2^32). */
   def h32(c: Column): Column =
@@ -33,6 +39,16 @@ object PortableHash {
   /** SQL mirror of [[h32]]. */
   def sqlH32(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 8))::UBIGINT AS BIGINT)"
+
+  /** Second 32 bits of md5 (hex chars 9-16) — an independent 32-bit
+    * hash for 64-bit SimHash signatures; stays in [0, 2^32) so no
+    * signed-overflow concerns in either engine. */
+  def h32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** SQL mirror of [[h32b]]. */
+  def sqlH32b(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 9, 8))::UBIGINT AS BIGINT)"
 
   /** i-th universal hash applied to an h32 value. */
   def uhash(h: Column, i: Int): Column = {

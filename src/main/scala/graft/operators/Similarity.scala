@@ -92,13 +92,9 @@ object Similarity {
   }
 
   /** Exact all-pairs cosine ≥ minCos via a broadcast corpus table and a
-    * tight per-partition loop. The expression form ([[cosine]]) is a
-    * non-codegen higher-order function — fine per row, ruinous across
-    * n²/2 pairs. This loop performs the identical left-to-right double
-    * fold (bit-for-bit the same result) at JVM scalar-loop speed, with
-    * norms computed once per vector instead of once per pair. Corpus
-    * table is |n|·(dim·4B+16B); beyond broadcast range, block the corpus
-    * and cartesian the blocks. */
+    * tight per-partition loop. SMALL-CORPUS BASELINE ONLY (collects the
+    * corpus to the driver) — used in specs to cross-check
+    * [[allPairsCosineDistributed]], never in a query's dataflow. */
   def allPairsCosine(emb: DataFrame, minCos: Double): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -123,6 +119,25 @@ object Similarity {
         if (cos >= minCos) Some((i, j, cos)) else None
       }
     }.toDF("i", "j", "cos")
+  }
+
+  /** Exact all-pairs cosine ≥ minCos, fully distributed: a triangular
+    * self-join evaluated with the codegen'd `cosine_sim` expression.
+    * No driver state — Spark plans the small side as a broadcast
+    * nested-loop (each executor streams its partition against it);
+    * past broadcast range AQE degrades to a partitioned cartesian, so
+    * the n²/2 work spreads across the cluster instead of OOMing the
+    * driver. Exact all-pairs is inherently quadratic in ANY engine —
+    * at 100 TB the near-dup scale path is LSH bucketing
+    * ([[lshBuckets]]) with a threshold tight enough for bucket recall;
+    * this is the exact formulation, kept driver-safe. */
+  def allPairsCosineDistributed(emb: DataFrame, minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        cosineNative(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
@@ -296,7 +311,7 @@ object Similarity {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         ORDER BY i, j
       """.trim),
-      (s, d) => allPairsCosine(embeddings(s, d), 0.45)
+      (s, d) => allPairsCosineDistributed(embeddings(s, d), 0.45)
         .orderBy(col("i"), col("j")))
   )
 }

@@ -41,6 +41,50 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == full, s"LSH missed pairs: ${full.diff(lsh)}")
   }
 
+  test("dedup: prefix filtering equals the exact all-pairs baseline") {
+    val docs = sources.Tables.documents(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(Dedup.prefixFilterJaccard(docs, 0.7)) ==
+      key(Dedup.allPairsJaccard(docs, 0.7)))
+  }
+
+  test("dedup: 8-band minhash verification equals the exact baseline") {
+    val docs = sources.Tables.documents(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = Dedup.jaccardForPairs(docs,
+        Dedup.lshCandidates(Dedup.minhashSignatures(Dedup.shingles(docs)), nBands = 8))
+      .filter(col("jac") >= 0.7)
+    assert(key(banded) == key(Dedup.allPairsJaccard(docs, 0.7)))
+  }
+
+  test("dedup: simhash64 banding equals the direct quadratic join") {
+    val docs = sources.Tables.documents(spark, sf)
+    val sigs = Dedup.simhashSignatures64(docs).cache()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        (bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))) +
+          bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 4)
+    assert(key(Dedup.simhashPairs64(sigs, 4)) == key(direct))
+    sigs.unpersist()
+  }
+
+  test("similarity: distributed all-pairs cosine equals the driver-side baseline") {
+    val emb = sources.Tables.embeddings(spark, sf)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(Similarity.allPairsCosineDistributed(emb, 0.45)) ==
+      key(Similarity.allPairsCosine(emb, 0.45)))
+  }
+
   test("similarity: lsh-bucketed ANN agrees with brute force on top-1 for most queries") {
     val emb = sources.Tables.embeddings(spark, sf)
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 10, 1)
