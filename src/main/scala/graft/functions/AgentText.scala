@@ -143,12 +143,36 @@ object AgentText {
     * the entire text. Returns (remaining content, parsed dict or None).
     */
   def splitContentAndJson(text: String): (String, Option[JObj]) = {
+    val (content, data) = splitContentAndJsonVal(text)
+    (content, data.collect { case o: JObj if o.fields.nonEmpty => o })
+  }
+
+  /** "len(data)" as the reference's Python computes it; the reference
+    * raises TypeError on unsized values (numbers, booleans, null) at
+    * its `len(data) < 1` check — those count as empty here. */
+  private def jsonLen(v: JVal): Int = v match {
+    case JObj(f) => f.size
+    case JArr(items) => items.size
+    case JStr(s) => s.length
+    case _ => 0
+  }
+
+  /** Full reference semantics, including fenced top-level arrays: the
+    * loop keeps ANY successfully parsed value (updating content to the
+    * fence-stripped text), resets both on a parse failure, and breaks
+    * early only on a non-empty object. A fenced non-empty array that
+    * survives to the end of the scan is therefore returned with its
+    * span removed — matching utils.py split_content_and_json exactly.
+    * The returned Option is Some(v) iff the reference's final
+    * `len(data)` would be ≥ 1. */
+  def splitContentAndJsonVal(text: String): (String, Option[JVal]) = {
     val fencePos = "```".r.findAllMatchIn(text).map(_.start).toVector
     val langTags = Seq("html", "css", "python", "javascript", "json", "xml")
     var content = text
-    var data: Option[JObj] = None
+    var data: Option[JVal] = None
     var idx = 0
-    while (idx < fencePos.length - 1 && data.isEmpty) {
+    var broke = false
+    while (idx < fencePos.length - 1 && !broke) {
       val dataStart = fencePos(idx)
       val dataEnd = fencePos(idx + 1)
       var jsonText = text.substring(dataStart + 3, dataEnd)
@@ -163,20 +187,26 @@ object AgentText {
         jsonText = jsonText.substring(tag.length).trim
       }
       parseJson5ish(jsonText) match {
-        case Some(o: JObj) if o.fields.nonEmpty =>
-          data = Some(o)
+        case Some(v) =>
+          data = Some(v)
           content = text.substring(0, dataStart).trim + "\n" +
             text.substring(math.min(text.length, dataEnd + 3)).trim
-        case _ => () // keep scanning (reference resets content/data too)
+        case None =>
+          content = text
+          data = None
+      }
+      data match {
+        case Some(o: JObj) if o.fields.nonEmpty => broke = true
+        case _ => ()
       }
       idx += 1
     }
-    if (data.isEmpty)
-      parseJson5ish(text) match {
-        case Some(o: JObj) if o.fields.nonEmpty => data = Some(o)
-        case _ => ()
-      }
-    (if (data.isEmpty) text else content, data)
+    if (!data.exists(jsonLen(_) >= 1)) {
+      // Whole-text fallback updates data only — content keeps whatever
+      // state the loop left (the reference does the same).
+      data = parseJson5ish(text)
+    }
+    (content, data.filter(jsonLen(_) >= 1))
   }
 
   /** Canonical JSON rendering of a parsed value (strict-JSON output,

@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * [[graft.operators.Similarity.cosine]]) is a higher-order function —
   * correct but interpreted per element. This expression emits a scalar
   * Java loop inside whole-stage codegen: same left-to-right double fold
-  * (dot over the common prefix, norms over each full array — bit-identical
-  * results), ~10× less per-row overhead, no codegen barrier around it.
+  * (bit-identical results), ~10× less per-row overhead, no codegen
+  * barrier around it. Length-mismatched inputs return NULL — the same
+  * result the declarative form produces via zip_with's null-padding —
+  * so the [[graft.plans.RewriteCosine]] rewrite is bit-exact on every
+  * input, not just on its intended equal-dimension domain.
   *
   * Preference order per the engine design: compose built-ins where they
   * stay codegen'd; drop to a custom Expression exactly where (as here)
@@ -33,20 +36,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val nmin = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < nmin) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    var na = 0.0
-    i = 0
-    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
-    var nb = 0.0
-    i = 0
-    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      var na = 0.0
+      i = 0
+      while (i < n) { val v = x.getFloat(i).toDouble; na += v * v; i += 1 }
+      var nb = 0.0
+      i = 0
+      while (i < n) { val v = y.getFloat(i).toDouble; nb += v * v; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -56,20 +64,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val v = ctx.freshName("v")
-      val nmin = ctx.freshName("nmin")
+      val n = ctx.freshName("n")
       s"""
-        int $nmin = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-        for (int $i = 0; $i < $nmin; $i++) {
-          $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          for (int $i = 0; $i < $n; $i++) {
+            double $v = (double) $a.getFloat($i); $na += $v * $v;
+          }
+          for (int $i = 0; $i < $n; $i++) {
+            double $v = (double) $b.getFloat($i); $nb += $v * $v;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
         }
-        for (int $i = 0; $i < $a.numElements(); $i++) {
-          double $v = (double) $a.getFloat($i); $na += $v * $v;
-        }
-        for (int $i = 0; $i < $b.numElements(); $i++) {
-          double $v = (double) $b.getFloat($i); $nb += $v * $v;
-        }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

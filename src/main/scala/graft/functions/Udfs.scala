@@ -25,12 +25,14 @@ object Udfs {
         if (text == null || keywords == null) 0
         else keywords.count(text.contains))
 
-    // F4 — extract_fenced_json → struct(content, json) (Q6 semantics).
+    // F4 — extract_fenced_json → struct(content, json) (Q6 semantics;
+    // the Val variant also surfaces fenced top-level arrays, which the
+    // reference returns with the span stripped).
     spark.udf.register("extract_fenced_json",
       (text: String) =>
         if (text == null) (null: String, null: String)
         else {
-          val (content, data) = AgentText.splitContentAndJson(text)
+          val (content, data) = AgentText.splitContentAndJsonVal(text)
           (content, data.map(AgentText.renderJson).orNull)
         })
 

@@ -100,6 +100,50 @@ object EventWindows {
             min($"t").as("session_start"), max($"t").as("session_end"),
             dsum($"value").as("value_sum"))
           .orderBy($"user_id", $"session_no")
+      }),
+
+    // The NATIVE session_window operator (the exact expression the
+    // streaming path runs under readStream), pinned by the same
+    // gaps-and-islands oracle. Two alignment subtleties vs the oracle's
+    // integer-second model: (1) timestamps are truncated to whole
+    // seconds before windowing (the oracle compares floor(epoch)
+    // seconds); (2) session_window merges on a CLOSED interval (an
+    // event landing exactly gap seconds after the previous one extends
+    // the session), which matches the oracle's "new only when the gap
+    // EXCEEDS 1800 s" with gap = 1800 exactly.
+    QueryDef(
+      "ev_session_window_native",
+      Some(s"""
+        WITH ordered AS (
+          SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id) AS prev_t
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, value, t,
+                 CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM ordered),
+        sessions AS (
+          SELECT user_id, value, t,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM flagged)
+        SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
+               ${sqlSum("value")} AS value_sum
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .withColumn("tsec", timestamp_seconds(unix_timestamp($"ts")))
+          .groupBy($"user_id", session_window($"tsec", "1800 seconds"))
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("value_sum"))
+          .select($"user_id",
+            unix_timestamp($"session_window.start").as("session_start"),
+            $"n_events", $"value_sum")
+          .orderBy($"user_id", $"session_start")
       })
   )
 }

@@ -125,22 +125,40 @@ object Multimodal {
           .orderBy($"doc_id")
       }),
 
-    // Sketch surface (no SQL oracle — approximate results aren't
-    // hash-comparable; the driver records a rows-only check): HLL
-    // distinct and t-digest-style percentile approximations alongside
-    // their exact counterparts for visible error bounds.
+    // Sketch surface: HLL distinct and quantile-sketch approximations.
+    // Raw approximate values aren't hash-comparable, so the query emits
+    // the EXACT values plus in-bound booleans — the oracle computes the
+    // exact side and expects TRUE, making the sketch row fully
+    // hash-checkable. Bounds: HLL at default rsd 0.05 checked at 3σ
+    // (15%); percentile_approx(accuracy=1000) guarantees rank error
+    // ≤ n/1000, checked against the far looser exact p45..p55 band.
     QueryDef(
       "sk_sketches",
-      None,
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+               TRUE AS cust_in_bound,
+               quantile_cont(o_totalprice, 0.5) AS exact_p50,
+               TRUE AS p50_in_bound
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.trim),
       (s, d) => {
         import s.implicits._
         orders(s, d)
           .groupBy($"o_orderpriority")
           .agg(
-            approx_count_distinct($"o_custkey").as("approx_cust"),
             countDistinct($"o_custkey").as("exact_cust"),
-            percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("approx_p50"),
-            percentile($"o_totalprice", lit(0.5)).as("exact_p50"))
+            approx_count_distinct($"o_custkey").as("ac"),
+            percentile($"o_totalprice", lit(0.45)).as("p45"),
+            percentile($"o_totalprice", lit(0.5)).as("exact_p50"),
+            percentile($"o_totalprice", lit(0.55)).as("p55"),
+            percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("ap50"))
+          .select($"o_orderpriority", $"exact_cust",
+            (abs($"ac" - $"exact_cust") <= $"exact_cust" * 0.15).as("cust_in_bound"),
+            $"exact_p50",
+            ($"ap50" >= $"p45" && $"ap50" <= $"p55").as("p50_in_bound"))
           .orderBy($"o_orderpriority")
       }),
 

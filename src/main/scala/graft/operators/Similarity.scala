@@ -41,18 +41,21 @@ object Similarity {
   def cosineNative(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
-  /** IVF-flat index artifacts: fixed coarse centroids (the first
-    * nCentroids corpus vectors — deterministic; production would train
-    * them with k-means) and an assignment of every vector to its
-    * nearest centroid. The assignment is ONE broadcast join + ranking
-    * window; ANN search then probes only the query's nProbe nearest
-    * centroid lists — cost |Q|·(n/nCentroids)·nProbe instead of |Q|·n.
-    * At cluster scale the corpus is repartitioned by `centroid` so each
-    * probe is a partition-local scan. */
-  def ivfAssignments(emb: DataFrame, nCentroids: Int): DataFrame = {
+  /** IVF-flat index artifacts: coarse centroids and an assignment of
+    * every vector to its nearest centroid. The assignment is ONE
+    * broadcast join + ranking window; ANN search then probes only the
+    * query's nProbe nearest centroid lists — cost
+    * |Q|·(n/nCentroids)·nProbe instead of |Q|·n. At cluster scale the
+    * corpus is repartitioned by `centroid` so each probe is a
+    * partition-local scan. Centroids: first-nCentroids corpus vectors
+    * by default (deterministic baseline), or pass a trained set from
+    * [[kmeansCentroids]]. */
+  def ivfAssignments(emb: DataFrame, nCentroids: Int,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val centroids = broadcast(emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid"), col("embedding").as("cemb")))
+    val centroids = broadcast(centroidsOpt.getOrElse(
+      emb.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("centroid"), col("embedding").as("cemb"))))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(desc("ccos"), asc("centroid"))
     emb.crossJoin(centroids)
@@ -63,14 +66,90 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("centroid"))
   }
 
+  /** Deterministic Lloyd k-means over the embedding corpus, mirrored
+    * bit-for-bit by an unrolled SQL oracle ([[kmeansSqlCte]]):
+    *  - init = first k corpus vectors (fixed seed-free start);
+    *  - assignment = cosine, ties broken on centroid id;
+    *  - means accumulate per-dimension in DECIMAL(28,12) (groupBy sums
+    *    of doubles are order-dependent; decimal sums make the result
+    *    independent of partitioning), divide in double, round to float
+    *    (both engines round IEEE nearest) so the next iteration's
+    *    cosine runs on identical bits;
+    *  - empty clusters keep their previous centroid.
+    * Each iteration aggregates distributed and collects only the k·dim
+    * centroid table to the driver for re-broadcast — the standard
+    * distributed k-means shape (bounded model state, like MLlib's). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Float])] = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val centsDf = broadcast(cents.toDF("centroid", "cemb")
+        .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("centroid"))
+      val assigned = emb.crossJoin(centsDf)
+        .select(col("vec_id"), col("embedding"), col("centroid"),
+          cosineNative(col("embedding"), col("cemb")).as("ccos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      val means = assigned
+        .select(col("centroid"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy(col("centroid"), col("d"))
+        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).cast("float").as("vr"))
+        .groupBy(col("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("vr")))),
+          s => s.getField("vr")).as("cemb"))
+        .as[(Long, Seq[Float])].collect().toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    broadcast(cents.toDF("centroid", "cemb")
+      .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
+  }
+
+  /** Unrolled SQL mirror of [[kmeansCentroids]]: CTEs c0..c{iters},
+    * ending in a `cents(centroid, cemb)` relation. Splice into an
+    * oracle with `WITH ${kmeansSqlCte(k, iters, dim)}, ...`. */
+  def kmeansSqlCte(k: Int, iters: Int, dim: Int): String = {
+    val init = s"c0 AS (SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < $k)"
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (
+        SELECT vec_id, centroid FROM (
+          SELECT e.vec_id, c.centroid,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                            c.centroid) AS rn
+          FROM embeddings e, c${i - 1} c)
+        WHERE rn = 1),
+      m$i AS (
+        SELECT centroid, list(vr ORDER BY d) AS cemb FROM (
+          SELECT a.centroid, t.d,
+                 CAST(CAST(SUM(CAST(e.embedding[t.d + 1] AS DECIMAL(28,12))) AS DOUBLE)
+                      / COUNT(*) AS REAL) AS vr
+          FROM a$i a JOIN embeddings e ON a.vec_id = e.vec_id, range(0, $dim) t(d)
+          GROUP BY a.centroid, t.d)
+        GROUP BY centroid),
+      c$i AS (
+        SELECT p.centroid, COALESCE(m.cemb, p.cemb) AS cemb
+        FROM c${i - 1} p LEFT JOIN m$i m ON p.centroid = m.centroid)"""
+    }
+    (init +: steps).mkString(",\n") + s",\n      cents AS (SELECT centroid, cemb FROM c$iters)"
+  }
+
   /** IVF ANN: probe the nProbe nearest centroids per query, rank only
     * vectors assigned to those centroids. */
   def ivfTopK(emb: DataFrame, queryPred: Column,
-      nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int, k: Int,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val assigned = ivfAssignments(emb, nCentroids)
-    val centroids = broadcast(emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid"), col("embedding").as("cemb")))
+    val assigned = ivfAssignments(emb, nCentroids, centroidsOpt)
+    val centroids = broadcast(centroidsOpt.getOrElse(
+      emb.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("centroid"), col("embedding").as("cemb"))))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(desc("ccos"), asc("centroid"))
     val probes = emb.filter(queryPred)
@@ -300,6 +379,52 @@ object Similarity {
       (s, d) => ivfTopK(embeddings(s, d), col("vec_id") < 10,
         nCentroids = 16, nProbe = 4, k = 5)
         .orderBy(col("qid"), col("rank"))),
+
+    // IVF with TRAINED coarse centroids: 3 deterministic Lloyd
+    // iterations from the first-16 init, every arithmetic step mirrored
+    // in the unrolled SQL oracle (assignment ties, decimal means, float
+    // rounding) so the trained index itself is hash-checked end-to-end.
+    QueryDef(
+      "sim_ivf_kmeans_ann",
+      Some(s"""
+        WITH ${kmeansSqlCte(16, 3, 64)},
+        assigned AS (
+          SELECT vec_id, embedding, centroid FROM (
+            SELECT e.vec_id, e.embedding, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM embeddings e, cents c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT qid, qemb, centroid FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qemb, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM embeddings q, cents c WHERE q.vec_id < 10)
+          WHERE rn <= 4)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT p.qid, a.vec_id AS nid,
+                 list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[]) AS cos,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[]) DESC,
+                            a.vec_id) AS rank
+          FROM probes p JOIN assigned a ON p.centroid = a.centroid
+          WHERE p.qid <> a.vec_id)
+        WHERE rank <= 5
+        ORDER BY qid, rank
+      """.trim),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val trained = kmeansCentroids(emb, k = 16, iters = 3, dim = 64)
+        ivfTopK(emb, col("vec_id") < 10, nCentroids = 16, nProbe = 4, k = 5,
+          centroidsOpt = Some(trained))
+          .orderBy(col("qid"), col("rank"))
+      }),
 
     // Embedding-space near-duplicate pairs (cosine threshold).
     QueryDef(

@@ -68,6 +68,19 @@ class RewriteCosineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rewrite agrees with the fold on length-mismatched arrays (both NULL)") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f)),          // mismatch → NULL
+      (Array(1f, 2f), Array(3f, 4f))               // match → value
+    ).toDF("a", "b")
+    val viaRule = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    val native = df.select(call_function("cosine_sim", col("a"), col("b")).as("c")).collect()
+    assert(viaRule(0).isNullAt(0) && native(0).isNullAt(0))
+    assert(java.lang.Double.doubleToLongBits(viaRule(1).getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(native(1).getDouble(0)))
+  }
+
   test("a merely similar expression is NOT rewritten") {
     // dot without the norm divisor — must stay a HOF aggregate
     val df = emb.select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
