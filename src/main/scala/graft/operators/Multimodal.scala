@@ -151,14 +151,14 @@ object Multimodal {
           .agg(
             countDistinct($"o_custkey").as("exact_cust"),
             approx_count_distinct($"o_custkey").as("ac"),
-            percentile($"o_totalprice", lit(0.45)).as("p45"),
-            percentile($"o_totalprice", lit(0.5)).as("exact_p50"),
-            percentile($"o_totalprice", lit(0.55)).as("p55"),
+            // one percentile agg (one sort buffer), not three
+            percentile($"o_totalprice",
+              array(lit(0.45), lit(0.5), lit(0.55))).as("ps"),
             percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("ap50"))
           .select($"o_orderpriority", $"exact_cust",
             (abs($"ac" - $"exact_cust") <= $"exact_cust" * 0.15).as("cust_in_bound"),
-            $"exact_p50",
-            ($"ap50" >= $"p45" && $"ap50" <= $"p55").as("p50_in_bound"))
+            $"ps".getItem(1).as("exact_p50"),
+            ($"ap50" >= $"ps".getItem(0) && $"ap50" <= $"ps".getItem(2)).as("p50_in_bound"))
           .orderBy($"o_orderpriority")
       }),
 

@@ -5,6 +5,7 @@ per-query delta sorted by regression size, plus totals.
 Usage: python3 tools/bench_compare.py OLD.json NEW.json [threshold_pct]
 """
 import json
+import re
 import sys
 
 
@@ -13,7 +14,22 @@ def load(path):
         text = f.read()
     # accept either a bare JSON object or a log line containing one
     start = text.find('{"metric"')
-    return json.loads(text[start:] if start >= 0 else text)
+    try:
+        obj = json.loads(text[start:] if start >= 0 else text)
+        if "queries" in obj:
+            return obj
+    except json.JSONDecodeError:
+        pass
+    # driver wrapper with a truncated "tail" string: recover whatever
+    # "name":seconds pairs survive, and the total if present
+    obj = {"queries": {}, "value": None}
+    for m in re.finditer(r'\\?"([A-Za-z_][\w]*)\\?":([0-9.]+)', text):
+        name, val = m.group(1), float(m.group(2))
+        if name == "value":
+            obj["value"] = val
+        elif name not in ("n", "rc", "cpus", "sf", "metric", "unit"):
+            obj["queries"][name] = val
+    return obj
 
 
 def main():
@@ -33,8 +49,14 @@ def main():
             rows.append((-pct, f"  {flag}  {name}: {a:.2f}s -> {b:.2f}s ({pct:+.0f}%)"))
     for _, line in sorted(rows):
         print(line)
-    print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
-          f"({(new['value'] - old['value']) / old['value'] * 100:+.0f}%)")
+    if old.get("value") and new.get("value"):
+        print(f"total: {old['value']:.1f}s -> {new['value']:.1f}s "
+              f"({(new['value'] - old['value']) / old['value'] * 100:+.0f}%)")
+    else:
+        oc = sum(v for k, v in oq.items() if k in nq)
+        nc = sum(v for k, v in nq.items() if k in oq)
+        print(f"comparable-query totals: {oc:.1f}s -> {nc:.1f}s "
+              f"({(nc - oc) / oc * 100:+.0f}%) over {len(set(oq) & set(nq))} queries")
 
 
 if __name__ == "__main__":
