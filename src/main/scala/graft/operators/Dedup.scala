@@ -89,19 +89,31 @@ object Dedup {
     * true-pair similarity observed on the benchmark corpora. */
   def lshCandidates(sigs: DataFrame, nBands: Int = 4): DataFrame = {
     // One explode, not a union of nBands projections: a union re-runs
-    // the signature aggregation once per band.
-    val bands = sigs.select(col("doc_id"), explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band_no"),
-          col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
-      }: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_no").as("band_no"),
-        col("band.ba").as("ba"), col("band.bb").as("bb"))
+    // the signature aggregation once per band. Signatures ride the band
+    // rows so a first-match-band filter (keep a pair only at its LOWEST
+    // matching band) dedups candidates with a codegen'd predicate
+    // instead of a DISTINCT shuffle — same trick as [[simhashPairs64]].
+    val sigCols = (0 until 2 * nBands).map(i => col(s"mh$i"))
+    val bands = sigs.select((col("doc_id") +: sigCols) :+
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band_no"),
+            col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
+        }: _*)).as("band"): _*)
+      .select((col("doc_id") +: sigCols) ++ Seq(
+        col("band.band_no").as("band_no"),
+        col("band.ba").as("ba"), col("band.bb").as("bb")): _*)
+    val firstMatch = (0 until nBands).map { bn =>
+      (0 until bn).map { b2 =>
+        !(col(s"x.mh${2 * b2}") === col(s"y.mh${2 * b2}") &&
+          col(s"x.mh${2 * b2 + 1}") === col(s"y.mh${2 * b2 + 1}"))
+      }.foldLeft(col("x.band_no") === bn)(_ && _)
+    }.reduce(_ || _)
     bands.as("x").join(bands.as("y"),
         col("x.band_no") === col("y.band_no") &&
           col("x.ba") === col("y.ba") && col("x.bb") === col("y.bb") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(firstMatch)
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-      .distinct()
   }
 
   /** Exact bigram Jaccard for given candidate (i, j) pairs — candidate-
@@ -192,6 +204,77 @@ object Dedup {
         if (jac >= minJac) Some((i, j, jac)) else None
       }
     }.toDF("i", "j", "jac")
+  }
+
+  /** The classic MinHash-LSH near-dup pipeline as one reusable unit:
+    * 4-band candidates → distributed exact Jaccard verify → ≥ 0.7.
+    * No driver-side corpus state anywhere in the dataflow. */
+  def minhashLshPairs(docs: DataFrame): DataFrame =
+    jaccardForPairs(docs, lshCandidates(minhashSignatures(shingles(docs))))
+      .filter(col("jac") >= 0.7)
+
+  /** SQL mirror of [[minhashLshPairs]]: CTE chain ending in
+    * `pairs(i, j, jac)`. Splice with `WITH $sqlLshPairsCtes, ...`. */
+  private def sqlLshPairsCtes: String = {
+    val h = sqlH32("sh")
+    val minAggs = minhashParams.indices
+      .map(i => s"MIN(${sqlUhash(h, i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band_no, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""sh AS ($sqlShingles),
+          sigs AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+          bands AS ($bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+            FROM bands x JOIN bands y
+              ON x.band_no = y.band_no AND x.ba = y.ba AND x.bb = y.bb
+             AND x.doc_id < y.doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          common AS (
+            SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = a.doc_id AND c.j = b.doc_id)
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT i, j, (common * 1.0 / (sa.n + sb.n - common)) AS jac
+            FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+            WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7)"""
+  }
+
+  /** Duplicate CLUSTERS from near-dup pairs: connected components via
+    * iterative min-label propagation (the standard distributed CC —
+    * every step is a key-shuffled join/aggregate; labels are
+    * `localCheckpoint`ed per iteration to truncate lineage and the loop
+    * runs to the fixpoint, which for min-label propagation is unique —
+    * deterministic regardless of execution order). A 100 TB dedup needs
+    * cluster representatives, not just pairs: "keep min doc_id per
+    * component" is the canonical keep-one policy. Singletons are their
+    * own representative. */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neigh = edges
+        .join(labels.select(col("doc_id").as("b"), col("rep").as("nrep")), "b")
+        .groupBy(col("a")).agg(min(col("nrep")).as("mn"))
+      val next = labels
+        .join(neigh.select(col("a").as("doc_id"), col("mn")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("mn"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("doc_id"), col("rep").as("orep")), "doc_id")
+        .filter(col("rep") =!= col("orep")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
   }
 
   /** Exact near-dup pairs (Jaccard ≥ minJac) via prefix filtering
@@ -317,43 +400,42 @@ object Dedup {
     // MinHash + LSH near-dup pairs: signatures → banded candidates →
     // exact Jaccard verification of candidates only.
     QueryDef(
-      "dd_minhash_lsh", {
-        val h = sqlH32("sh")
-        val minAggs = minhashParams.indices
-          .map(i => s"MIN(${sqlUhash(h, i)}) AS mh$i").mkString(", ")
-        val bandSelects = (0 until 4)
-          .map(b => s"SELECT doc_id, $b AS band_no, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sigs")
-          .mkString(" UNION ALL ")
-        Some(s"""
-          WITH sh AS ($sqlShingles),
-          sigs AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
-          bands AS ($bandSelects),
-          cand AS (
-            SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-            FROM bands x JOIN bands y
-              ON x.band_no = y.band_no AND x.ba = y.ba AND x.bb = y.bb
-             AND x.doc_id < y.doc_id),
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-          common AS (
-            SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = a.doc_id AND c.j = b.doc_id)
-            GROUP BY 1, 2)
-          SELECT i, j, (common * 1.0 / (sa.n + sb.n - common)) AS jac
-          FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
-          WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7
-          ORDER BY i, j
-        """.trim)
-      },
+      "dd_minhash_lsh",
+      Some(s"""
+        WITH $sqlLshPairsCtes
+        SELECT i, j, jac FROM pairs
+        ORDER BY i, j
+      """.trim),
+      (s, d) => minhashLshPairs(documents(s, d))
+        .orderBy(col("i"), col("j"))),
+
+    // Duplicate clusters over the MinHash-LSH pairs: Spark runs
+    // distributed min-label propagation to the fixpoint; the oracle
+    // computes the same transitive closure with a recursive CTE.
+    QueryDef(
+      "dd_dup_clusters",
+      Some(s"""
+        WITH RECURSIVE $sqlLshPairsCtes,
+        edges AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+        walk(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+        mins AS (SELECT a AS doc_id, MIN(b) AS mn FROM walk GROUP BY a),
+        reps AS (
+          SELECT d.doc_id,
+                 COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS cluster_rep
+          FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id)
+        SELECT doc_id, cluster_rep,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+        FROM reps
+        ORDER BY doc_id
+      """.trim),
       (s, d) => {
         val docs = documents(s, d)
-        val cand = lshCandidates(minhashSignatures(shingles(docs)))
-        // Distributed exact verification of candidates only: the pair
-        // set joins to per-doc shingle arrays, cost ∝ |pairs| — no
-        // driver-side corpus state anywhere in this dataflow.
-        jaccardForPairs(docs, cand)
-          .filter(col("jac") >= 0.7)
-          .orderBy(col("i"), col("j"))
+        duplicateClusters(docs, minhashLshPairs(docs))
+          .orderBy(col("doc_id"))
       }),
 
     // SimHash signatures (32-bit): per-token hash bit votes → sign bits.

@@ -41,6 +41,33 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == full, s"LSH missed pairs: ${full.diff(lsh)}")
   }
 
+  test("dedup: duplicate clusters are consistent with their pair set") {
+    val docs = sources.Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshPairs(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.duplicateClusters(docs, Dedup.minhashLshPairs(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc labeled exactly once
+    assert(clusters.size == docs.count())
+    // both endpoints of every near-dup pair land in the same cluster
+    pairs.foreach { case (i, j) =>
+      assert(clusters(i)._1 == clusters(j)._1, s"pair ($i,$j) split across clusters")
+    }
+    // the representative is the cluster's minimum member and in-cluster
+    val byRep = clusters.groupBy(_._2._1)
+    byRep.foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+      assert(members.contains(rep))
+      // reported size matches actual membership
+      members.values.foreach { case (_, size) => assert(size == members.size) }
+    }
+    // docs untouched by any pair are singletons
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.foreach { case (d, (rep, size)) =>
+      if (!inPairs.contains(d)) assert(rep == d && size == 1)
+    }
+  }
+
   test("dedup: prefix filtering equals the exact all-pairs baseline") {
     val docs = sources.Tables.documents(spark, sf)
     def key(df: org.apache.spark.sql.DataFrame) =
