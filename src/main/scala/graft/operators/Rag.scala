@@ -50,6 +50,56 @@ object SimpleRag {
           LIMIT $harnessK
         """.trim)
       },
-      (s, d) => topK(documents(s, d), "doc_id", "text", harnessQuery, harnessK))
+      (s, d) => topK(documents(s, d), "doc_id", "text", harnessQuery, harnessK)),
+
+    // Ranked retrieval upgrade: TF-IDF top-k over cleaned tokens. The
+    // idf is the RAW ratio N/df (no logarithm): ln() is not guaranteed
+    // to round identically across engines, while tf·N is an exact
+    // integer in double and IEEE division is deterministic — so each
+    // term's score is bit-identical in Spark and DuckDB, and the
+    // per-doc sum goes through DECIMAL (order-independent). Plan shape:
+    // one token explode + two hash aggregations + a broadcast join of
+    // the |Q|-row df table + TakeOrderedAndProject — at 100 TB the only
+    // wide exchange is the per-(doc,term) tf aggregation.
+    QueryDef(
+      "rag_tfidf_topk", {
+        val terms = getKeywords(cleanString(harnessQuery)).distinct
+        val vals = terms.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+        Some(s"""
+          WITH toks AS (SELECT doc_id, string_split(${sqlClean("text")}, ' ') AS tk FROM documents),
+          tf AS (
+            SELECT doc_id, term, len(list_filter(tk, x -> x = term)) AS tf
+            FROM toks, (VALUES $vals) t(term)),
+          pos AS (SELECT doc_id, term, tf FROM tf WHERE tf > 0),
+          dfs AS (SELECT term, COUNT(*) AS df FROM pos GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n FROM documents)
+          SELECT doc_id,
+                 CAST(SUM(CAST(CAST(pos.tf AS DOUBLE) * n.n / dfs.df AS DECIMAL(18,6))) AS DOUBLE) AS score
+          FROM pos JOIN dfs USING (term) CROSS JOIN n
+          GROUP BY doc_id
+          ORDER BY score DESC, doc_id
+          LIMIT 10
+        """.trim)
+      },
+      (s, d) => {
+        val docs = documents(s, d)
+        val terms = getKeywords(cleanString(harnessQuery)).distinct
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), split(cleanText(col("text")), " ").as("tk"))
+          .select(col("doc_id"), explode(array(terms.map { t =>
+            struct(lit(t).as("term"),
+              size(filter(col("tk"), x => x === lit(t))).cast("long").as("tf"))
+          }: _*)).as("s"))
+          .select(col("doc_id"), col("s.term").as("term"), col("s.tf").as("tf"))
+          .filter(col("tf") > 0)
+        val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfs), "term")
+          .groupBy(col("doc_id"))
+          .agg(graft.det.dsum(
+            col("tf").cast("double") * lit(nDocs) / col("df"), scale = 6).as("score"))
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(10)
+      })
   )
 }

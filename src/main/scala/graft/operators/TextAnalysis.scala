@@ -83,6 +83,31 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Deterministic content-hash sampling: the reproducible-corpus
+    // staple. Keep a doc iff h32(text) mod 100 lands under the rate —
+    // stable across runs, partitionings, and engines (portable MD5
+    // family), and re-running with a wider rate yields a SUPERSET
+    // (nested samples, the property ad-hoc random sampling loses).
+    // Content-keyed (not id-keyed) so re-ingested duplicates sample
+    // identically. Pure row-local projection + filter: at 100 TB it is
+    // one scan with the predicate pushed into the projection, no
+    // shuffle at all.
+    QueryDef(
+      "ta_det_sample", {
+        val h = graft.functions.PortableHash.sqlH32("text")
+        Some(s"""
+          SELECT doc_id, CAST($h % 100 AS BIGINT) AS bucket
+          FROM documents
+          WHERE $h % 100 < 10
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          (graft.functions.PortableHash.h32(col("text")) % 100).as("bucket"))
+        .filter(col("bucket") < 10)
+        .orderBy(col("doc_id"))),
+
     // Token counting: counts, type-token ratio, longest token.
     QueryDef(
       "ta_token_stats",

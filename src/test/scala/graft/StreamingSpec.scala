@@ -66,6 +66,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("rate-limited replay (maxFilesPerTrigger=1 + AvailableNow) drains in bounded micro-batches") {
+    import spark.implicits._
+    // stage the table as 3 separate files; cap ingestion at one file per
+    // micro-batch — the backpressure pattern for backfills (bounded
+    // state growth per batch) — and AvailableNow to drain and stop.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rate_replay")
+    val src = sources.Tables.events(spark, sf).select($"ts", $"event_type", $"value")
+    src.repartition(3).write.parquet(dir.toString + "/in")
+    val schema = src.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/in")
+    val q = Streams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("rate_replay_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected >=3 rate-limited micro-batches, got ${batches.length}")
+    val streamed = spark.table("rate_replay_test")
+      .select($"window_start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Streams.tumblingCounts(src)
+      .select($"window_start", $"event_type", $"n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming memory updates converge to the batch store fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
