@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.functions.PortableHash
+import graft.functions.TextFunctions
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** End-to-end corpus curation — the composed training-data pipeline the
+  * individual `ta_*`/`dd_*` operators exist to serve:
+  *
+  *   quality score → threshold filter → exact-dedup canonicalization →
+  *   deterministic content-hash sample → surviving rows.
+  *
+  * Composition is the point: every stage is a row-local projection, a
+  * window over a content-hash partition, or a filter — Catalyst fuses
+  * the projections into the scan and the single shuffle is the dedup
+  * window's hash partitioning on md5(text). At 100 TB the plan is one
+  * scan + one exchange, and each stage's semantics match its
+  * stand-alone oracle-checked query (`ta_quality_score`,
+  * `dd_exact_documents`, `ta_det_sample`).
+  */
+object Pipeline {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pl_corpus_curation", {
+        val sw = TextFunctions.englishStopwords.toSeq.sorted
+          .map(w => s"'$w'").mkString(", ")
+        val h = PortableHash.sqlH32("text")
+        Some(s"""
+          WITH scored AS (
+            SELECT doc_id, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN len(string_split(text, ' ')) >= 20 THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN (len(list_filter(string_split(text, ' '), t -> list_contains([$sw], t))) * 1.0
+                                   / len(string_split(text, ' '))) BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
+                    + CASE WHEN ((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                                   / len(string_split(text, ' '))) BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END
+                      AS DOUBLE) AS quality
+            FROM documents),
+          kept AS (SELECT * FROM scored WHERE quality >= 0.7),
+          canonical AS (
+            SELECT doc_id, n_tokens, quality,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon,
+                   CAST($h % 100 AS BIGINT) AS bucket
+            FROM kept)
+          SELECT doc_id, n_tokens, quality, bucket
+          FROM canonical
+          WHERE doc_id = canon AND bucket < 50
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val sw = TextFunctions.englishStopwords.toSeq.sorted
+        val scored = documents(s, d)
+          .select($"doc_id", $"text", split($"text", " ").as("tk"))
+          .select($"doc_id", $"text",
+            size($"tk").cast("long").as("n_tokens"),
+            (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
+              / size($"tk")).as("stop_ratio"),
+            ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_token_len"))
+          .withColumn("quality",
+            when($"n_tokens" >= 20, 0.5).otherwise(0.0)
+              + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
+              + when($"mean_token_len".between(3.0, 10.0), 0.2).otherwise(0.0))
+        scored
+          .filter($"quality" >= 0.7)
+          .withColumn("canon", min($"doc_id").over(Window.partitionBy(md5($"text"))))
+          .withColumn("bucket", PortableHash.h32($"text") % 100)
+          .filter($"doc_id" === $"canon" && $"bucket" < 50)
+          .select($"doc_id", $"n_tokens", $"quality", $"bucket")
+          .orderBy($"doc_id")
+      })
+  )
+}
