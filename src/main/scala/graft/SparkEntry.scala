@@ -21,7 +21,8 @@ object SparkEntry {
       operators.EventWindows.defs ++
       operators.Multimodal.defs ++
       operators.JoinsExtra.defs ++
-      operators.TimeSeries.defs
+      operators.TimeSeries.defs ++
+      operators.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
