@@ -27,11 +27,18 @@ object Bench {
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // Median of nRuns measured runs (after one unmeasured warm run):
+    // single-run times swing ±20% on a busy 32-thread JVM, and the
+    // per-query numbers feed round-over-round regression tracking.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       runOnce(fn)
-      val t0 = System.nanoTime()
-      runOnce(fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = Seq.fill(nRuns) {
+        val t0 = System.nanoTime()
+        runOnce(fn)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

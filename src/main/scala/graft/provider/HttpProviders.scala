@@ -1,0 +1,133 @@
+package graft.provider
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import graft.functions.AgentText
+import graft.functions.AgentText.{JObj, JStr, JVal, JBool, JArr}
+import scala.collection.immutable.ListMap
+
+/** Concrete HTTP adapters for the [[Provider]] seam — the reference's
+  * provider surface (provider.py:33-257) re-expressed over JDK 17's
+  * `java.net.http` so a user can point the engine at a real endpoint
+  * with zero extra dependencies. All three share the reference's
+  * contract: `generateResponse(prompt) -> String`, empty string on a
+  * non-200 response (the reference logs and returns None), and a
+  * 180-second timeout (the reference's only latency constant,
+  * provider.py/manager.py).
+  *
+  * Dataflow use: construct INSIDE `mapPartitions` via
+  * [[LlmMap.completePrompts]]'s factory — the client lives once per
+  * task and is never serialized (it is `@transient lazy`).
+  */
+object HttpProviders {
+
+  private[provider] def field(v: JVal, key: String): Option[JVal] = v match {
+    case JObj(fields) => fields.collectFirst { case (k, x) if k == key => x }
+    case _ => None
+  }
+
+  private[provider] def str(v: JVal): Option[String] = v match {
+    case JStr(s) => Some(s)
+    case _ => None
+  }
+
+  private[provider] def index(v: JVal, i: Int): Option[JVal] = v match {
+    case JArr(items) if items.length > i => Some(items(i))
+    case _ => None
+  }
+}
+
+/** Base plumbing: one lazily-built JDK HTTP client per instance (and,
+  * via the mapPartitions factory, per task). */
+sealed abstract class HttpProviderBase(timeoutSeconds: Long) extends Provider {
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(timeoutSeconds))
+    .build()
+
+  protected final def post(url: String, body: String, headers: Seq[(String, String)]): (Int, String) = {
+    val builder = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+    headers.foreach { case (k, v) => builder.header(k, v) }
+    val resp = client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  protected final def get(url: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds)).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+}
+
+/** OpenAI-compatible chat-completions adapter (provider.py OpenProvider
+  * / OpenAIProvider, lines 81-257): POST `{model, messages:[{role:
+  * user, content: prompt}], stream: false}` to
+  * `<base>/chat/completions` with a Bearer key; the reply is
+  * `choices[0].message.content`, falling back to `reasoning_content`
+  * exactly as the reference does. */
+final class OpenCompatProvider(
+    baseUrl: String, model: String, apiKey: String,
+    timeoutSeconds: Long = 180L) extends HttpProviderBase(timeoutSeconds) {
+  import HttpProviders._
+
+  def generateResponse(prompt: String): String = {
+    val payload = AgentText.renderJson(JObj(ListMap(
+      "model" -> JStr(model),
+      "messages" -> JArr(Vector(JObj(ListMap(
+        "role" -> JStr("user"), "content" -> JStr(prompt))))),
+      "stream" -> JBool(false))))
+    val (status, body) = post(
+      AgentText.robustUrlJoin(baseUrl, "chat/completions"), payload,
+      Seq("Authorization" -> s"Bearer $apiKey", "Content-Type" -> "application/json"))
+    if (status != 200) ""
+    else {
+      val parsed = AgentText.parseJson5ish(body)
+      val message = parsed
+        .flatMap(field(_, "choices")).flatMap(index(_, 0))
+        .flatMap(field(_, "message"))
+      message.flatMap(field(_, "content")).flatMap(str)
+        .orElse(message.flatMap(field(_, "reasoning_content")).flatMap(str))
+        .getOrElse("")
+    }
+  }
+}
+
+/** Ollama-style adapter (provider.py OllamaProvider, lines 48-76):
+  * POST `{model, prompt, stream: false}` to `<base>/api/generate`; the
+  * reply is the `response` field. */
+final class OllamaStyleProvider(
+    baseUrl: String, model: String,
+    timeoutSeconds: Long = 180L) extends HttpProviderBase(timeoutSeconds) {
+  import HttpProviders._
+
+  def generateResponse(prompt: String): String = {
+    val payload = AgentText.renderJson(JObj(ListMap(
+      "model" -> JStr(model),
+      "prompt" -> JStr(prompt),
+      "stream" -> JBool(false))))
+    val (status, body) = post(
+      AgentText.robustUrlJoin(baseUrl, "api/generate"), payload,
+      Seq("Content-Type" -> "application/json"))
+    if (status != 200) ""
+    else AgentText.parseJson5ish(body)
+      .flatMap(field(_, "response")).flatMap(str).getOrElse("")
+  }
+}
+
+/** Plain-text GET adapter (provider.py PollinationsProvider, lines
+  * 33-46): GET `<base>/<urlencoded prompt>`, the body IS the reply. */
+final class TextGetProvider(
+    baseUrl: String,
+    timeoutSeconds: Long = 180L) extends HttpProviderBase(timeoutSeconds) {
+  def generateResponse(prompt: String): String = {
+    val encoded = java.net.URLEncoder.encode(prompt, "UTF-8").replace("+", "%20")
+    val (status, body) = get(
+      AgentText.robustUrlJoin(baseUrl, encoded))
+    if (status != 200) "" else body
+  }
+}

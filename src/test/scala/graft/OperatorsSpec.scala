@@ -135,6 +135,23 @@ class OperatorsSpec extends SparkSpec {
     assert(assigned.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("similarity: trained-IVF ANN keeps useful recall@5 vs brute force") {
+    val emb = sources.Tables.embeddings(spark, sf)
+    def topsets(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    val brute = topsets(Similarity.cosineTopK(emb, col("vec_id") < 10, 5))
+    val trained = Similarity.kmeansCentroids(emb, k = 16, iters = 3, dim = 64)
+    val ivf = topsets(Similarity.ivfTopK(emb, col("vec_id") < 10,
+      nCentroids = 16, nProbe = 4, k = 5, centroidsOpt = Some(trained)))
+    val recalls = brute.keys.toSeq.map { q =>
+      (ivf.getOrElse(q, Set.empty[Long]) & brute(q)).size / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    // nProbe = 4 of 16 lists: exactness isn't expected, usefulness is.
+    assert(mean >= 0.5, s"mean recall@5 = $mean")
+  }
+
   test("multimodal: fake decoder plumbing emits one feature row per doc") {
     val docs = sources.Tables.documents(spark, sf)
     val feats = Multimodal.extractFeatures(docs, Multimodal.FakeDecoder)

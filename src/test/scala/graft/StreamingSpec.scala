@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // clicks joined to purchases by the same user within 30 minutes
+    // AFTER the click — the watermarked interval-join pattern.
+    val clicks = Seq((ts(100), 1L, "c1"), (ts(2000), 1L, "c2"), (ts(100), 2L, "c3"))
+    val buys = Seq((ts(900), 1L, "b1"), (ts(5000), 1L, "b2"), (ts(1900), 2L, "b3"))
+
+    val cs = MemoryStream[(Timestamp, Long, String)]
+    val bs = MemoryStream[(Timestamp, Long, String)]
+    cs.addData(clicks)
+    bs.addData(buys)
+    val cdf = cs.toDF.toDF("cts", "cuser", "click")
+      .withWatermark("cts", "1 hour")
+    val bdf = bs.toDF.toDF("bts", "buser", "buy")
+      .withWatermark("bts", "1 hour")
+    val joined = cdf.join(bdf,
+      expr("cuser = buser AND bts >= cts AND bts <= cts + INTERVAL 30 MINUTES"))
+    val q = joined.select($"click", $"buy").writeStream
+      .format("memory").queryName("ss_join_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join_test")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+    val batch = clicks.toDF("cts", "cuser", "click")
+      .join(buys.toDF("bts", "buser", "buy"),
+        expr("cuser = buser AND bts >= cts AND bts <= cts + INTERVAL 30 MINUTES"))
+      .select($"click", $"buy")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed == Set(("c1", "b1"), ("c3", "b3")))
+  }
+
   test("streaming memory updates converge to the batch store fold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
