@@ -95,12 +95,19 @@ object GraftFunctions {
   private val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "cosine_sim")
 
+  private val jaccardInfo = new ExpressionInfo(
+    classOf[JaccardSimilarity].getName, "jaccard_sim")
+
   /** Idempotent in-session registration (for sessions built without
     * extensions — tests, the driver harness). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo,
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaccard_sim"), jaccardInfo,
+      (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1)))
+  }
 }
 
 /** `SparkSessionExtensions` entry point: build sessions with
@@ -114,6 +121,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+      (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1))))
     // declarative HOF cosine → fused codegen loop (bit-exact rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteCosine)
     // filter(row_number <= k over window) → two-phase physical top-k

@@ -119,17 +119,19 @@ object Dedup {
   /** Exact bigram Jaccard for given candidate (i, j) pairs — candidate-
     * driven: joins the (small) pair set to per-doc shingle arrays and
     * intersects per pair. Cost scales with |pairs|, not the corpus
-    * square; at cluster scale both joins shuffle on doc id. */
+    * square; at cluster scale both joins shuffle on doc id. The per-pair
+    * intersection is the native codegen'd
+    * [[graft.functions.JaccardSimilarity]] — one hash-set pass instead
+    * of materializing `array_intersect` per pair; arithmetic identical
+    * to the SQL oracle's `common * 1.0 / (na + nb - common)`. */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val arrs = shingleArrays(docs)
     pairs
       .join(arrs.select(col("doc_id").as("i"), col("shs").as("sha")), "i")
       .join(arrs.select(col("doc_id").as("j"), col("shs").as("shb")), "j")
       .select(col("i"), col("j"),
-        size(array_intersect(col("sha"), col("shb"))).as("common"),
-        size(col("sha")).as("na"), size(col("shb")).as("nb"))
-      .select(col("i"), col("j"),
-        (col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))).as("jac"))
+        call_function("jaccard_sim", col("sha"), col("shb")).as("jac"))
   }
 
   /** [[jaccardForPairs]] over a broadcast bitset signature table — same

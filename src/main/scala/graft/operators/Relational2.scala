@@ -312,6 +312,37 @@ object Relational2 {
           .select($"order_month" +: prios.map(p =>
             coalesce(col(s"`$p`"), lit(0L)).as("p" + p.charAt(0))): _*)
           .orderBy($"order_month")
+      }),
+
+    // ---------------------------------------------------------------- q28
+    // Unpivot (pivot's inverse): lineitem measures melt to long form via
+    // Spark's native Unpivot node (ONE scan, a generator — not the 4
+    // scans the oracle's UNION ALL formulation spells out).
+    QueryDef(
+      "q28_unpivot_lineitem", {
+        val measures = Seq("quantity" -> "l_quantity",
+          "extendedprice" -> "l_extendedprice",
+          "discount" -> "l_discount", "tax" -> "l_tax")
+        val arms = measures.map { case (m, c) =>
+          s"SELECT '$m' AS measure, $c AS value FROM lineitem"
+        }.mkString(" UNION ALL ")
+        Some(s"""
+          SELECT measure, COUNT(*) AS n, ${sqlSum("value")} AS value_sum
+          FROM ($arms)
+          GROUP BY measure
+          ORDER BY measure
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        lineitem(s, d)
+          .select($"l_quantity".as("quantity"), $"l_extendedprice".as("extendedprice"),
+            $"l_discount".as("discount"), $"l_tax".as("tax"))
+          .unpivot(Array.empty, Array($"quantity", $"extendedprice", $"discount", $"tax"),
+            "measure", "value")
+          .groupBy($"measure")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("value_sum"))
+          .orderBy($"measure")
       })
   )
 }

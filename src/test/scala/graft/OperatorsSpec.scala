@@ -41,6 +41,30 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh == full, s"LSH missed pairs: ${full.diff(lsh)}")
   }
 
+  test("dedup: native jaccard_sim is bit-identical to the composed array_intersect form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = sources.Tables.documents(spark, sf)
+    val arrs = Dedup.shingleArrays(docs)
+    val pairs = arrs.as("x").join(arrs.as("y"),
+        col("x.doc_id") < col("y.doc_id") && col("y.doc_id") < col("x.doc_id") + 7)
+      .select(col("x.shs").as("sha"), col("y.shs").as("shb"))
+    val both = pairs.select(
+        call_function("jaccard_sim", $"sha", $"shb").as("native"),
+        (size(array_intersect($"sha", $"shb")) * lit(1.0) /
+          (size($"sha") + size($"shb") - size(array_intersect($"sha", $"shb")))).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // empty ∩ empty is NaN in both formulations (SQL 0/0)
+    val edge = Seq((Array.empty[String], Array.empty[String])).toDF("sha", "shb")
+      .select(call_function("jaccard_sim", $"sha", $"shb")).head().getDouble(0)
+    assert(edge.isNaN)
+  }
+
   test("dedup: duplicate clusters are consistent with their pair set") {
     val docs = sources.Tables.documents(spark, sf)
     val pairs = Dedup.minhashLshPairs(docs)
