@@ -30,7 +30,8 @@ object Bench {
     // Median of nRuns measured runs (after one unmeasured warm run):
     // single-run times swing ±20% on a busy 32-thread JVM, and the
     // per-query numbers feed round-over-round regression tracking.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => v.trim.toIntOption).getOrElse(3).max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       runOnce(fn)
       val times = Seq.fill(nRuns) {

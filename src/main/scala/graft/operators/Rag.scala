@@ -84,7 +84,11 @@ object SimpleRag {
       (s, d) => {
         val docs = documents(s, d)
         val terms = getKeywords(cleanString(harnessQuery)).distinct
-        val nDocs = docs.count()
+        // corpus size rides the plan as a broadcast 1-row aggregate
+        // (mirroring the oracle's `n AS (SELECT COUNT(*) ...)` CTE) —
+        // an eager docs.count() here would run a full extra scan job
+        // every time the query is built.
+        val n = docs.agg(count(lit(1)).as("n_docs"))
         val tf = docs
           .select(col("doc_id"), split(cleanText(col("text")), " ").as("tk"))
           .select(col("doc_id"), explode(array(terms.map { t =>
@@ -95,9 +99,10 @@ object SimpleRag {
           .filter(col("tf") > 0)
         val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         tf.join(broadcast(dfs), "term")
+          .crossJoin(broadcast(n))
           .groupBy(col("doc_id"))
           .agg(graft.det.dsum(
-            col("tf").cast("double") * lit(nDocs) / col("df"), scale = 6).as("score"))
+            col("tf").cast("double") * col("n_docs") / col("df"), scale = 6).as("score"))
           .orderBy(desc("score"), asc("doc_id"))
           .limit(10)
       })

@@ -47,21 +47,33 @@ sealed abstract class HttpProviderBase(timeoutSeconds: Long) extends Provider {
     .connectTimeout(Duration.ofSeconds(timeoutSeconds))
     .build()
 
-  protected final def post(url: String, body: String, headers: Seq[(String, String)]): (Int, String) = {
-    val builder = HttpRequest.newBuilder(URI.create(url))
-      .timeout(Duration.ofSeconds(timeoutSeconds))
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-    headers.foreach { case (k, v) => builder.header(k, v) }
-    val resp = client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
-  }
+  /** Transport failures (connect/read timeout, reset, interrupt) map to
+    * status -1 — generateResponse then yields "" like any non-200, so a
+    * single bad call inside a mapPartitions task costs one empty row,
+    * not 4 task retries re-billing the whole partition. */
+  protected final def post(url: String, body: String, headers: Seq[(String, String)]): (Int, String) =
+    try {
+      val builder = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(timeoutSeconds))
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      headers.foreach { case (k, v) => builder.header(k, v) }
+      val resp = client.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    } catch {
+      case e: InterruptedException => Thread.currentThread().interrupt(); (-1, "")
+      case scala.util.control.NonFatal(_) => (-1, "")
+    }
 
-  protected final def get(url: String): (Int, String) = {
-    val req = HttpRequest.newBuilder(URI.create(url))
-      .timeout(Duration.ofSeconds(timeoutSeconds)).GET().build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
-  }
+  protected final def get(url: String): (Int, String) =
+    try {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(timeoutSeconds)).GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    } catch {
+      case e: InterruptedException => Thread.currentThread().interrupt(); (-1, "")
+      case scala.util.control.NonFatal(_) => (-1, "")
+    }
 }
 
 /** OpenAI-compatible chat-completions adapter (provider.py OpenProvider
@@ -126,8 +138,10 @@ final class TextGetProvider(
     timeoutSeconds: Long = 180L) extends HttpProviderBase(timeoutSeconds) {
   def generateResponse(prompt: String): String = {
     val encoded = java.net.URLEncoder.encode(prompt, "UTF-8").replace("+", "%20")
-    val (status, body) = get(
-      AgentText.robustUrlJoin(baseUrl, encoded))
+    // Plain concatenation, exactly the reference's f"{base}/{quote(p)}"
+    // — routing the pre-encoded path through a URI constructor would
+    // re-quote the '%' and double-encode the prompt.
+    val (status, body) = get(s"${baseUrl.stripSuffix("/")}/$encoded")
     if (status != 200) "" else body
   }
 }

@@ -29,6 +29,10 @@ final class McpStdioClient(
   private val proc = {
     val pb = new ProcessBuilder(command: _*)
     env.foreach { case (k, v) => pb.environment().put(k, v) }
+    // MCP servers conventionally log to stderr; inherit it so the pipe
+    // can never fill and deadlock the server against our blocking
+    // readLine (a ~64 KB stderr backlog would otherwise wedge both).
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     pb.start()
   }
   private val out = new BufferedWriter(
@@ -67,7 +71,11 @@ final class McpStdioClient(
             field(msg, "error").foreach { e =>
               throw new RuntimeException(s"MCP $method error: ${AgentText.renderJson(e)}")
             }
-            result = field(msg, "result")
+            // A reply to our id with neither result nor error is
+            // nonconforming; treat as empty rather than looping forever
+            // waiting for a result that already went by.
+            result = Some(field(msg, "result")
+              .getOrElse(JObj(ListMap.empty[String, JVal])))
           case _ => () // notification or foreign id — skip
         }
       }

@@ -31,7 +31,8 @@ final class ViewServer(routes: Map[String, () => DataFrame]) extends AutoCloseab
         try (200, view().toJSON.collect().mkString("[", ",", "]"))
         catch {
           case e: Throwable =>
-            (500, s"""{"error": "${e.getMessage.replace("\"", "'")}"}""")
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            (500, s"""{"error": "${graft.functions.AgentText.escapeJson(msg)}"}""")
         }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -74,12 +74,20 @@ class HttpProvidersSpec extends SparkSpec {
     }
   }
 
-  test("TextGetProvider GETs the url-encoded prompt and returns the raw body") {
+  test("TextGetProvider GETs the url-encoded prompt exactly once") {
     withServer(Map("/" -> { ex =>
+      // getPath decodes one layer: a single-encoded "a%20b" arrives as
+      // "a b" here; a double-encoded request would show "a%20b".
       (200, s"echo:${ex.getRequestURI.getPath}")
     })) { base =>
-      assert(new TextGetProvider(base).generateResponse("a b") == "echo:/a%20b")
+      assert(new TextGetProvider(base).generateResponse("a b") == "echo:/a b")
     }
+  }
+
+  test("transport failures yield empty string, not an exception") {
+    // nothing listens on this port; connection refused must map to ""
+    val p = new OpenCompatProvider("http://127.0.0.1:9/v1/", "m", "k", timeoutSeconds = 2)
+    assert(p.generateResponse("x") == "")
   }
 
   test("completePrompts drives a live endpoint from executor threads") {

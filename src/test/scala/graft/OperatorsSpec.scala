@@ -127,6 +127,26 @@ class OperatorsSpec extends SparkSpec {
     sigs.unpersist()
   }
 
+  test("similarity: the HOF cosine fold and native cosine_sim agree, incl. mismatched lengths") {
+    // This session has NO optimizer rule injected, so Similarity.cosine
+    // genuinely evaluates the zip_with/aggregate fold — the comparison
+    // the rewrite's bit-exactness claim rests on.
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f)),          // mismatch → NULL both
+      (Array(0.3f, -1.2f, 2f), Array(2f, 0.5f, -0.25f))
+    ).toDF("a", "b")
+    val plan = df.select(Similarity.cosine(col("a"), col("b"))).queryExecution
+      .optimizedPlan.toString
+    assert(!plan.contains("cosine_sim"), plan.take(300)) // fold really runs
+    val fold = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    val native = df.select(call_function("cosine_sim", col("a"), col("b")).as("c")).collect()
+    assert(fold(0).isNullAt(0) && native(0).isNullAt(0))
+    assert(java.lang.Double.doubleToLongBits(fold(1).getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(native(1).getDouble(0)))
+  }
+
   test("similarity: distributed all-pairs cosine equals the driver-side baseline") {
     val emb = sources.Tables.embeddings(spark, sf)
     def key(df: org.apache.spark.sql.DataFrame) =

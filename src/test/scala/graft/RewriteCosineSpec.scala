@@ -68,7 +68,11 @@ class RewriteCosineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("rewrite agrees with the fold on length-mismatched arrays (both NULL)") {
+  test("the rewritten expression is NULL on length-mismatched arrays") {
+    // Both columns here go through the injected rule (this session has
+    // extensions), so this pins the NATIVE null semantics; the genuine
+    // fold-vs-native comparison lives in OperatorsSpec, whose shared
+    // session has no optimizer rule and so evaluates the real HOF fold.
     import spark.implicits._
     val df = Seq(
       (Array(1f, 2f, 3f), Array(1f, 2f)),          // mismatch → NULL
