@@ -179,6 +179,17 @@ class OperatorsSpec extends SparkSpec {
     assert(assigned.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("similarity: k-means training is bit-deterministic across runs and partitionings") {
+    val emb = sources.Tables.embeddings(spark, sf)
+    def centroidBits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(java.lang.Float.floatToIntBits).toVector).toMap
+    val a = centroidBits(Similarity.kmeansCentroids(emb, k = 8, iters = 2, dim = 64))
+    val b = centroidBits(Similarity.kmeansCentroids(emb.repartition(7), k = 8, iters = 2, dim = 64))
+    // decimal per-dim means make the result independent of partitioning
+    assert(a == b && a.size == 8)
+  }
+
   test("similarity: trained-IVF ANN keeps useful recall@5 vs brute force") {
     val emb = sources.Tables.embeddings(spark, sf)
     def topsets(df: org.apache.spark.sql.DataFrame) =
