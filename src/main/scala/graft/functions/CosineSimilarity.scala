@@ -127,6 +127,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1))))
     // declarative HOF cosine → fused codegen loop (bit-exact rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteCosine)
+    // composed size(array_intersect)/union-size Jaccard → fused pass
+    ext.injectOptimizerRule(_ => graft.plans.RewriteJaccard)
     // filter(row_number <= k over window) → two-phase physical top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

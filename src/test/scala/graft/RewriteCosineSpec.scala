@@ -85,6 +85,32 @@ class RewriteCosineSpec extends AnyFunSuite with BeforeAndAfterAll {
       java.lang.Double.doubleToLongBits(native(1).getDouble(0)))
   }
 
+  test("composed Jaccard shape is rewritten to jaccard_sim and agrees in value") {
+    // parquet-backed input — literal rows would be constant-folded into
+    // a LocalRelation before the rule could be observed
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("sa"),
+        split(substring(col("text"), 1, 60), " ").as("sb"))
+    def composed = (size(array_intersect(col("sa"), col("sb"))) * lit(1.0) /
+      (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb"))))).as("j")
+    val q = docs.select(col("doc_id"), composed)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("jaccard_sim"), optimized.take(600))
+    // value parity: rewritten result equals the explicit native call
+    val viaRule = q.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = docs.select(col("doc_id"),
+        call_function("jaccard_sim", col("sa"), col("sb")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRule.nonEmpty && viaRule.keySet == native.keySet)
+    viaRule.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(native(k)))
+    }
+    // numerator-only (no union-size denominator) must NOT be rewritten
+    val partial = docs.select((size(array_intersect(col("sa"), col("sb"))) * lit(1.0)).as("x"))
+    assert(!partial.queryExecution.optimizedPlan.toString.contains("jaccard_sim"))
+  }
+
   test("a merely similar expression is NOT rewritten") {
     // dot without the norm divisor — must stay a HOF aggregate
     val df = emb.select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
