@@ -343,6 +343,40 @@ object Relational2 {
           .groupBy($"measure")
           .agg(count(lit(1)).as("n"), dsum($"value").as("value_sum"))
           .orderBy($"measure")
+      }),
+
+    // ---------------------------------------------------------------- q29
+    // Full outer join — the one join type the rest of the surface
+    // doesn't exercise: deliberately mismatched key subsets so rows
+    // survive from the left only, right only, and both, with the
+    // null-side flags made explicit.
+    QueryDef(
+      "q29_full_outer",
+      Some("""
+        WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+        o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+              WHERE o_custkey % 3 = 0 GROUP BY 1)
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+               c_mktsegment,
+               CAST(COALESCE(n_orders, -1) AS BIGINT) AS n_orders,
+               (c_custkey IS NULL) AS cust_missing,
+               (o_custkey IS NULL) AS orders_missing
+        FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        ORDER BY custkey
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val c = customer(s, d).filter($"c_custkey" % 2 === 0)
+          .select($"c_custkey", $"c_mktsegment")
+        val o = orders(s, d).filter($"o_custkey" % 3 === 0)
+          .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+          .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+            $"c_mktsegment",
+            coalesce($"n_orders", lit(-1L)).as("n_orders"),
+            $"c_custkey".isNull.as("cust_missing"),
+            $"o_custkey".isNull.as("orders_missing"))
+          .orderBy($"custkey")
       })
   )
 }
