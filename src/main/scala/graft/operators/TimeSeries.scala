@@ -120,6 +120,55 @@ object TimeSeries {
           sum(when($"text".isNull || length($"text") === 0, 1).otherwise(0))
             .cast("long").as("n_empty"),
           countDistinct(md5($"text")).as("n_unique"))
+      }),
+
+    // Resample to a fixed 15-minute grid per user with forward-fill —
+    // the gap-repair staple of event-stream feature pipelines. Grid
+    // bounds are data-dependent per user (min..max bucket via one agg);
+    // the grid explodes from a sequence (generator, no driver state),
+    // observed buckets left-join in, and the fill is last-non-null over
+    // an ordered window — one shuffle on user_id end to end.
+    QueryDef(
+      "ts_resample_ffill",
+      Some(s"""
+        WITH vals AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 900 AS bucket,
+                 ${sqlSum("value")} AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                   FROM vals GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds),
+        joined AS (
+          SELECT g.user_id, g.bucket, v.v, (v.v IS NULL) AS gap_filled
+          FROM grid g LEFT JOIN vals v
+            ON g.user_id = v.user_id AND g.bucket = v.bucket)
+        SELECT user_id, bucket,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS v_filled,
+               gap_filled
+        FROM joined
+        ORDER BY user_id, bucket
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val vals = events(s, d)
+          .groupBy($"user_id",
+            // floor(x/900.0) == x div 900 for non-negative epochs and is
+            // exact in double far past any epoch second (`/` on longs in
+            // Spark is double division; `//` in the oracle floor-divides)
+            floor(unix_timestamp($"ts") / 900).cast("long").as("bucket"))
+          .agg(dsum($"value").as("v"))
+        val grid = vals.groupBy($"user_id")
+          .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+          .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
+        val w = Window.partitionBy($"user_id").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(vals, Seq("user_id", "bucket"), "left")
+          .select($"user_id", $"bucket",
+            last($"v", ignoreNulls = true).over(w).as("v_filled"),
+            $"v".isNull.as("gap_filled"))
+          .orderBy($"user_id", $"bucket")
       })
   )
 }
