@@ -122,7 +122,7 @@ object TimeSeries {
           countDistinct(md5($"text")).as("n_unique"))
       }),
 
-    // Resample to a fixed 15-minute grid per user with forward-fill —
+    // Resample to a fixed hourly grid per user with forward-fill —
     // the gap-repair staple of event-stream feature pipelines. Grid
     // bounds are data-dependent per user (min..max bucket via one agg);
     // the grid explodes from a sequence (generator, no driver state),
@@ -132,7 +132,7 @@ object TimeSeries {
       "ts_resample_ffill",
       Some(s"""
         WITH vals AS (
-          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 900 AS bucket,
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
                  ${sqlSum("value")} AS v
           FROM events GROUP BY 1, 2),
         bounds AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
@@ -154,10 +154,10 @@ object TimeSeries {
         import s.implicits._
         val vals = events(s, d)
           .groupBy($"user_id",
-            // floor(x/900.0) == x div 900 for non-negative epochs and is
+            // floor(x/3600.0) == x div 3600 for non-negative epochs and is
             // exact in double far past any epoch second (`/` on longs in
             // Spark is double division; `//` in the oracle floor-divides)
-            floor(unix_timestamp($"ts") / 900).cast("long").as("bucket"))
+            floor(unix_timestamp($"ts") / 3600).cast("long").as("bucket"))
           .agg(dsum($"value").as("v"))
         val grid = vals.groupBy($"user_id")
           .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
