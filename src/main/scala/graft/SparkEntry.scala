@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.JoinsExtra.defs ++
       operators.TimeSeries.defs ++
-      operators.Pipeline.defs
+      operators.Pipeline.defs ++
+      operators.CommitLogOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -43,8 +43,8 @@ object Similarity {
 
   /** IVF-flat index artifacts: coarse centroids and an assignment of
     * every vector to its nearest centroid. The assignment is ONE
-    * broadcast join + ranking window; ANN search then probes only the
-    * query's nProbe nearest centroid lists — cost
+    * broadcast join + an argmax aggregation; ANN search then probes
+    * only the query's nProbe nearest centroid lists — cost
     * |Q|·(n/nCentroids)·nProbe instead of |Q|·n. At cluster scale the
     * corpus is repartitioned by `centroid` so each probe is a
     * partition-local scan. Centroids: first-nCentroids corpus vectors
@@ -56,15 +56,26 @@ object Similarity {
     val centroids = broadcast(centroidsOpt.getOrElse(
       emb.filter(col("vec_id") < nCentroids)
         .select(col("vec_id").as("centroid"), col("embedding").as("cemb"))))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("ccos"), asc("centroid"))
+    nearestCentroid(emb, centroids)
+  }
+
+  /** Argmax assignment: nearest centroid per vector, ties broken on the
+    * smaller centroid id (same order as `ROW_NUMBER ... ccos DESC,
+    * centroid ASC` = 1, which the oracles use). `max_by` over a
+    * `(ccos, -centroid)` struct instead of a ranking window: the
+    * broadcast cross join emits a vector's candidate rows consecutively
+    * in its own partition, so partial aggregation collapses them
+    * map-side and the shuffle carries one row per vector — a window
+    * would shuffle and sort every candidate row. */
+  private def nearestCentroid(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(centroids)
       .select(col("vec_id"), col("embedding"), col("centroid"),
         cosineNative(col("embedding"), col("cemb")).as("ccos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("centroid"), struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), col("centroid"))
-  }
 
   /** Deterministic Lloyd k-means over the embedding corpus, mirrored
     * bit-for-bit by an unrolled SQL oracle ([[kmeansSqlCte]]):
@@ -83,31 +94,36 @@ object Similarity {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    var cents: Seq[(Long, Seq[Float])] = emb.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .collect().sortBy(_._1).toSeq
-    for (_ <- 1 to iters) {
-      val centsDf = broadcast(cents.toDF("centroid", "cemb")
+    // The corpus is scanned 2×iters+1 times during training (assignment
+    // + means per iteration, plus init) — cache it for the duration.
+    // Model state (k·dim floats) is the only thing that ever reaches
+    // the driver, same contract as MLlib's distributed k-means.
+    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Long, Seq[Float])] = cached.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect().sortBy(_._1).toSeq
+      for (_ <- 1 to iters) {
+        val centsDf = broadcast(cents.toDF("centroid", "cemb")
+          .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
+        val assigned = nearestCentroid(cached, centsDf)
+        // per-(centroid, dimension) decimal means: k·dim rows total —
+        // assembled into vectors driver-side (no second shuffle)
+        val meanRows = assigned
+          .select(col("centroid"), posexplode(col("embedding")).as(Seq("d", "v")))
+          .groupBy(col("centroid"), col("d"))
+          .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+            count(lit(1))).cast("float").as("vr"))
+          .select(col("centroid"), col("d"), col("vr"))
+          .as[(Long, Int, Float)].collect()
+        val means = meanRows.groupBy(_._1).map { case (cid, rows) =>
+          cid -> rows.sortBy(_._2).map(_._3).toSeq
+        }
+        cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      }
+      broadcast(cents.toDF("centroid", "cemb")
         .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
-      val w = Window.partitionBy(col("vec_id")).orderBy(desc("ccos"), asc("centroid"))
-      val assigned = emb.crossJoin(centsDf)
-        .select(col("vec_id"), col("embedding"), col("centroid"),
-          cosineNative(col("embedding"), col("cemb")).as("ccos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-      val means = assigned
-        .select(col("centroid"), posexplode(col("embedding")).as(Seq("d", "v")))
-        .groupBy(col("centroid"), col("d"))
-        .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
-          count(lit(1))).cast("float").as("vr"))
-        .groupBy(col("centroid"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("vr")))),
-          s => s.getField("vr")).as("cemb"))
-        .as[(Long, Seq[Float])].collect().toMap
-      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
-    }
-    broadcast(cents.toDF("centroid", "cemb")
-      .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Unrolled SQL mirror of [[kmeansCentroids]]: CTEs c0..c{iters},
