@@ -23,7 +23,9 @@ object SparkEntry {
       operators.JoinsExtra.defs ++
       operators.TimeSeries.defs ++
       operators.Pipeline.defs ++
-      operators.CommitLogOps.defs
+      operators.CommitLogOps.defs ++
+      operators.Analytics.defs ++
+      operators.Skew.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

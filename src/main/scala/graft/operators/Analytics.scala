@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.events
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events stream table: staged
+  * funnel conversion, cohort retention, and ordered-path mining — the
+  * product-analytics operators a telemetry pipeline runs at scale.
+  *
+  * Timestamps are compared at SECOND granularity on both engines
+  * (Spark `unix_timestamp` floors; the oracle uses
+  * `CAST(floor(epoch(ts)) AS BIGINT)`) because the parquet carries
+  * nanosecond timestamps that Spark reads at microseconds — comparing
+  * at a shared granularity with an `event_id` tiebreak keeps every
+  * ordering decision identical across engines.
+  */
+object Analytics {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Staged funnel: users who viewed; clicked at-or-after their first
+    // view; purchased at-or-after that first qualifying click. Each
+    // stage is a groupBy + join of per-user firsts — the per-stage
+    // frames shrink monotonically and broadcast under AQE; nothing
+    // scans events more than the three type-pruned passes.
+    QueryDef(
+      "ev_funnel",
+      Some("""
+        WITH e AS (SELECT user_id, event_type,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events),
+        v AS (SELECT user_id, MIN(tse) AS v_ts FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.tse) AS c_ts FROM e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.tse >= v.v_ts GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.tse) AS p_ts FROM e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.tse >= c.c_ts GROUP BY e.user_id)
+        SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+        UNION ALL
+        SELECT '2_click' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM c
+        UNION ALL
+        SELECT '3_purchase' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM p
+        ORDER BY stage
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d)
+          .select($"user_id", $"event_type", unix_timestamp($"ts").as("tse"))
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"tse").as("v_ts"))
+        val c = ev.filter($"event_type" === "click")
+          .join(v, "user_id").filter($"tse" >= $"v_ts")
+          .groupBy($"user_id").agg(min($"tse").as("c_ts"))
+        val p = ev.filter($"event_type" === "purchase")
+          .join(c, "user_id").filter($"tse" >= $"c_ts")
+          .groupBy($"user_id").agg(min($"tse").as("p_ts"))
+        v.agg(count(lit(1)).as("users")).select(lit("1_view").as("stage"), $"users")
+          .unionByName(c.agg(count(lit(1)).as("users"))
+            .select(lit("2_click").as("stage"), $"users"))
+          .unionByName(p.agg(count(lit(1)).as("users"))
+            .select(lit("3_purchase").as("stage"), $"users"))
+          .orderBy($"stage")
+      }),
+
+    // Cohort retention: signup-day cohorts × active-day offsets. The
+    // distinct (user, day) activity set and the cohort frame both
+    // reduce before the join — at scale this is two shuffles on
+    // user_id and one on the (cohort, offset) output key.
+    QueryDef(
+      "ev_retention",
+      Some("""
+        WITH s AS (SELECT user_id,
+                          MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+              FROM events)
+        SELECT CAST(s.cohort AS VARCHAR) AS cohort_day,
+               CAST(date_diff('day', s.cohort, a.d) AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS users
+        FROM s JOIN a ON s.user_id = a.user_id
+        WHERE date_diff('day', s.cohort, a.d) >= 0
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d)
+        val cohorts = ev.filter($"event_type" === "signup")
+          .groupBy($"user_id")
+          .agg(min(to_date(date_trunc("DAY", $"ts"))).as("cohort"))
+        val active = ev
+          .select($"user_id", to_date(date_trunc("DAY", $"ts")).as("d"))
+          .distinct()
+        cohorts.join(active, "user_id")
+          .filter(datediff($"d", $"cohort") >= 0)
+          .groupBy($"cohort".cast("string").as("cohort_day"),
+            datediff($"d", $"cohort").cast("long").as("day_offset"))
+          .agg(count(lit(1)).as("users"))
+          .orderBy($"cohort_day", $"day_offset")
+      }),
+
+    // Ordered path mining: each user's first three events (by time,
+    // event_id tiebreak) as a ">"-joined path, counted per distinct
+    // path. One groupBy(user) with an in-memory sort of that user's
+    // events, one groupBy(path) — no window over the global stream.
+    QueryDef(
+      "ev_user_paths",
+      Some("""
+        WITH r AS (SELECT user_id, event_type,
+                          ROW_NUMBER() OVER (
+                            PARTITION BY user_id
+                            ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+                   FROM events),
+        paths AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+                  FROM r WHERE rn <= 3 GROUP BY user_id)
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        FROM paths GROUP BY path
+        ORDER BY n DESC, path
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .select($"user_id",
+            struct(unix_timestamp($"ts").as("tse"), $"event_id", $"event_type").as("e"))
+          .groupBy($"user_id")
+          .agg(array_join(
+            transform(slice(array_sort(collect_list($"e")), 1, 3),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy($"path")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path")
+      }))
+}

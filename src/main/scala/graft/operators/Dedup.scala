@@ -254,11 +254,18 @@ object Dedup {
     * component" is the canonical keep-one policy. Singletons are their
     * own representative. */
   def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // Only edge endpoints participate in propagation — the (vastly
+    // larger) singleton set joins back in after the fixpoint with
+    // rep = doc_id. The iteration state is a few hundred rows even on
+    // a corpus of billions, so it is coalesced to one partition: each
+    // step's joins then run as single-task broadcast joins instead of
+    // full-width shuffles (iteration cost ∝ |dup nodes|, not |corpus|).
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("rep"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep"))
+      .coalesce(1).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val neigh = edges
@@ -268,14 +275,17 @@ object Dedup {
         .join(neigh.select(col("a").as("doc_id"), col("mn")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("mn"), col("rep"))).as("rep"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
       changed = next
         .join(labels.select(col("doc_id"), col("rep").as("orep")), "doc_id")
         .filter(col("rep") =!= col("orep")).count()
       labels = next
     }
-    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "rep")
+    val full = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    val sizes = full.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "rep")
       .select(col("doc_id"), col("rep").as("cluster_rep"), col("cluster_size"))
   }
 

@@ -146,15 +146,24 @@ object Multimodal {
       """.trim),
       (s, d) => {
         import s.implicits._
-        orders(s, d)
-          .groupBy($"o_orderpriority")
+        val o = orders(s, d)
+        // Two aggregations joined on the (5-row) group key instead of
+        // one: mixing a distinct aggregate with TypedImperative buffers
+        // (percentile) forces the whole aggregate through the distinct
+        // rewrite — the percentile buffers would be merged across twice
+        // the rows. Split, each side takes its best physical form
+        // (two-phase distinct hash agg | ObjectHashAggregate).
+        val distincts = o.groupBy($"o_orderpriority")
           .agg(
             countDistinct($"o_custkey").as("exact_cust"),
-            approx_count_distinct($"o_custkey").as("ac"),
+            approx_count_distinct($"o_custkey").as("ac"))
+        val quantiles = o.groupBy($"o_orderpriority")
+          .agg(
             // one percentile agg (one sort buffer), not three
             percentile($"o_totalprice",
               array(lit(0.45), lit(0.5), lit(0.55))).as("ps"),
             percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("ap50"))
+        distincts.join(quantiles, "o_orderpriority")
           .select($"o_orderpriority", $"exact_cust",
             (abs($"ac" - $"exact_cust") <= $"exact_cust" * 0.15).as("cust_in_bound"),
             $"ps".getItem(1).as("exact_p50"),

@@ -73,6 +73,78 @@ object Pipeline {
           .filter($"doc_id" === $"canon" && $"bucket" < 50)
           .select($"doc_id", $"n_tokens", $"quality", $"bucket")
           .orderBy($"doc_id")
+      }),
+
+    // Fixed-window document chunking with overlap — the pretraining
+    // tokenize-and-pack precursor: each doc explodes into ⌈n/stride⌉
+    // windows of `chunk` tokens starting every `stride` tokens. Pure
+    // row-local generate+slice (no shuffle; Catalyst keeps the explode
+    // inside the scan stage). 64-token chunks, 48-token stride.
+    QueryDef(
+      "pl_chunking",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 48)) AS start
+              FROM t)
+        SELECT doc_id,
+               CAST(start // 48 AS BIGINT) AS chunk_no,
+               CAST(LEAST(64, len(toks) - start) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text
+        FROM s
+        ORDER BY doc_id, chunk_no
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val C = 64
+        val S = 48
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .select($"doc_id", $"toks",
+            explode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(S))).as("start"))
+          .select($"doc_id",
+            floor($"start" / S).cast("long").as("chunk_no"),
+            least(lit(C), size($"toks") - $"start").cast("long").as("n_tokens"),
+            array_join(slice($"toks", $"start" + 1, lit(C)), " ").as("chunk_text"))
+          .orderBy($"doc_id", $"chunk_no")
+      }),
+
+    // Deterministic dataset-mixture sampling: each source gets a target
+    // admission rate; a document is kept iff its content-hash bucket
+    // falls under its source's rate — the reproducible way to mix
+    // corpora to a recipe (same doc set on every run / every cluster,
+    // no rand()). Reports kept-counts per source. Rates: src0..src4 →
+    // 100%, 75%, 50%, 25%, 10%.
+    QueryDef(
+      "pl_mixture", {
+        val h = PortableHash.sqlH32("text")
+        Some(s"""
+          WITH rated AS (
+            SELECT source, $h % 100 AS bucket,
+                   CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+                               WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+                               ELSE 10 END AS rate
+            FROM documents)
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COUNT(*) FILTER (WHERE bucket < rate) AS BIGINT) AS n_kept
+          FROM rated
+          GROUP BY source
+          ORDER BY source
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val rate = typedLit(Map(
+          "src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25))
+        documents(s, d)
+          .select($"source",
+            (PortableHash.h32($"text") % 100).as("bucket"),
+            coalesce(element_at(rate, $"source"), lit(10)).as("rate"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when($"bucket" < $"rate", 1)).as("n_kept"))
+          .orderBy($"source")
       })
   )
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.{det, QueryDef}
+import graft.sources.Tables.{lineitem, supplier}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -29,4 +31,28 @@ object Skew {
           saltedFact("__salt") === replicatedOther("__salt"))
       .drop(replicatedOther(key)).drop("__salt")
   }
+
+  /** Oracle-checked salted join: lineitem (fact) ⋈ supplier on
+    * suppkey, salted 8 ways, aggregated per nation. Salting is
+    * invisible in the result — the oracle is the PLAIN join — which is
+    * exactly the property that makes it a safe skew mitigation. */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "jx_salted_join",
+      Some(s"""
+        SELECT CAST(s_nationkey AS BIGINT) AS nation,
+               COUNT(*) AS n,
+               ${det.sqlSum("l_quantity")} AS qty_sum
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1
+        ORDER BY 1
+      """.trim),
+      (s, d) => {
+        val fact = lineitem(s, d).select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+        val dim = supplier(s, d).select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        saltedJoin(fact, dim, "suppkey", salts = 8)
+          .groupBy(col("s_nationkey").cast("bigint").as("nation"))
+          .agg(count(lit(1)).as("n"), det.dsum(col("l_quantity")).as("qty_sum"))
+          .orderBy(col("nation"))
+      }))
 }
