@@ -322,9 +322,14 @@ final class CommitLogReaderFactory extends PartitionReaderFactory {
   * (the table declares ACCEPT_ANY_SCHEMA): `key`/`value` strings are
   * required, `ts` timestamp and `partition` int are optional —
   * partition defaults to `hash(key) mod numPartitions`, the queue
-  * contract that keeps a key's records totally ordered. */
+  * contract that keeps a key's records totally ordered.
+  *
+  * Update-mode output is accepted as append (the Kafka-sink contract:
+  * a queue records every emission; upsert-by-key is the READER's
+  * compaction concern), via [[SupportsStreamingUpdateAsAppend]]. */
 final class CommitLogWriteBuilder(dir: String, numPartitions: Int, input: StructType)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   override def build(): Write = new Write {
     override def toStreaming: StreamingWrite =
       new CommitLogStreamingWrite(dir, numPartitions, input)
