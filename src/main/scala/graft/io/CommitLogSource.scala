@@ -11,7 +11,7 @@ import graft.functions.AgentText.{JNum, JObj}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -196,20 +196,56 @@ final class CommitLogTable(path: String, numPartitions: Int)
   }
 }
 
-/** Batch scan (full log) + micro-batch stream over the same layout. */
+/** Batch scan (full log) + micro-batch stream over the same layout.
+  * Supports column pruning (a projection that drops `value` never
+  * materializes payload strings) and partition-predicate pushdown
+  * (`WHERE partition = 3` reads one directory — the queue analogue of
+  * parquet partition pruning). */
 final class CommitLogScan(dir: String, maxPerTrigger: Option[Long])
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = CommitLog.schema
+  private var partitionFilter: Option[Set[Int]] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val (accepted, rest) = filters.partition {
+      case EqualTo("partition", _: Int) => true
+      case In("partition", vs) => vs.forall(_.isInstanceOf[Int])
+      case _ => false
+    }
+    val keep = accepted.flatMap {
+      case EqualTo("partition", v: Int) => Seq(v)
+      case In("partition", vs) => vs.toSeq.map(_.asInstanceOf[Int])
+      case _ => Seq.empty
+    }.toSet
+    if (accepted.nonEmpty) partitionFilter = Some(keep)
+    pushed = accepted
+    rest // non-partition predicates stay with Spark
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  private def keepPid(pid: Int): Boolean = partitionFilter.forall(_.contains(pid))
+
   override def build(): Scan = this
-  override def readSchema(): StructType = CommitLog.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val latest = CommitLog.latestOffsets(dir)
-    latest.toSeq.sortBy(_._1).map { case (pid, n) =>
-      CommitLogInputPartition(dir, pid, 0L, n): InputPartition
+    latest.toSeq.sortBy(_._1).collect {
+      case (pid, n) if keepPid(pid) =>
+        CommitLogInputPartition(dir, pid, 0L, n): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitLogReaderFactory
+    new CommitLogReaderFactory(required.fieldNames)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CommitLogMicroBatchStream(dir, maxPerTrigger)
 }
@@ -284,7 +320,7 @@ final class CommitLogMicroBatchStream(dir: String, maxPerTrigger: Option[Long])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitLogReaderFactory
+    new CommitLogReaderFactory(CommitLog.schema.fieldNames)
   override def deserializeOffset(json: String): Offset =
     CommitLogOffset(CommitLog.offsetsFromJson(json))
   override def commit(end: Offset): Unit = ()
@@ -294,7 +330,7 @@ final class CommitLogMicroBatchStream(dir: String, maxPerTrigger: Option[Long])
 final case class CommitLogInputPartition(dir: String, pid: Int, from: Long, until: Long)
     extends InputPartition
 
-final class CommitLogReaderFactory extends PartitionReaderFactory {
+final class CommitLogReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CommitLogInputPartition]
     val it = CommitLog.readRange(p.dir, p.pid, p.from, p.until)
@@ -303,9 +339,13 @@ final class CommitLogReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean =
         if (it.hasNext) {
           val (off, ts, k, v) = it.next()
-          current = InternalRow(p.pid, off, ts,
-            if (k == null) null else UTF8String.fromString(k),
-            if (v == null) null else UTF8String.fromString(v))
+          current = InternalRow.fromSeq(fields.toSeq.map {
+            case "partition" => p.pid
+            case "offset" => off
+            case "ts" => ts
+            case "key" => if (k == null) null else UTF8String.fromString(k)
+            case "value" => if (v == null) null else UTF8String.fromString(v)
+          })
           true
         } else false
       override def get(): InternalRow = current

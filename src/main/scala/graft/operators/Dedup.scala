@@ -260,9 +260,12 @@ object Dedup {
     // a corpus of billions, so it is coalesced to one partition: each
     // step's joins then run as single-task broadcast joins instead of
     // full-width shuffles (iteration cost ∝ |dup nodes|, not |corpus|).
+    // repartition(1), NOT coalesce(1): coalesce would collapse the whole
+    // upstream candidate-generation pipeline into a single task; the
+    // exchange keeps it parallel and only the (tiny) edge list moves.
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .coalesce(1).localCheckpoint()
+      .repartition(1).localCheckpoint()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("rep"))
       .coalesce(1).localCheckpoint()

@@ -133,6 +133,33 @@ class CommitLogSpec extends SparkSpec {
     assert(Files.list(Paths.get(dir, "_tmp")).count() == 0, "temp files left behind")
   }
 
+  test("partition predicates prune directories; projections prune columns") {
+    import spark.implicits._
+    val dir = tmpDir("graft_cl_prune")
+    (0 until 3).foreach { pid =>
+      CommitLog.append(dir, pid, (0 until 4).map(i => (i * 1000L, s"k$pid-$i", "x")))
+    }
+    val full = spark.read.format("commit-log").load(dir)
+    assert(full.rdd.getNumPartitions == 3)
+
+    // partition = 1 must plan exactly ONE input partition (directory
+    // pruning, the queue analogue of parquet partition pruning)
+    val one = full.filter($"partition" === 1)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.select($"key").as[String].collect().toSet ==
+      (0 until 4).map(i => s"k1-$i").toSet)
+
+    // IN-list over two partitions
+    val two = full.filter($"partition".isin(0, 2))
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.count() == 8)
+
+    // pruned projection (no value/ts) still reads correctly
+    val keysOnly = full.select($"key", $"offset")
+    assert(keysOnly.schema.fieldNames.toSeq == Seq("key", "offset"))
+    assert(keysOnly.count() == 12)
+  }
+
   test("windowed aggregation over the commit-log stream matches the batch twin") {
     import spark.implicits._
     val dir = tmpDir("graft_cl_window")
