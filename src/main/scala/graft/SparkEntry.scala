@@ -25,7 +25,8 @@ object SparkEntry {
       operators.Pipeline.defs ++
       operators.CommitLogOps.defs ++
       operators.Analytics.defs ++
-      operators.Skew.defs
+      operators.Skew.defs ++
+      operators.Graph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

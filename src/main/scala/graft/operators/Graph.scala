@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables.{lineitem, orders}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed graph analytics beyond connected components
+  * ([[Dedup.duplicateClusters]]): fixed-iteration PageRank, mirrored
+  * arithmetic-step-for-arithmetic-step by an unrolled SQL oracle (the
+  * same proof pattern as [[Similarity.kmeansSqlCte]]).
+  *
+  * Graph: the customer↔supplier bipartite purchase graph (distinct
+  * (o_custkey, l_suppkey) pairs, both directions, so every node has
+  * out-degree ≥ 1 — no dangling-mass term). Node ids are disjoint by
+  * parity: customer c → 2c, supplier s → 2s+1.
+  *
+  * Every iteration is edges ⋈ ranks ⋈ degrees → per-target DECIMAL sum
+  * — three hash-shuffles on node id, state is one rank row per node,
+  * nothing driver-side but the node count. Contribution sums go
+  * through DECIMAL(28,12) so the result is independent of partitioning
+  * (and bit-equal to DuckDB's sum over the same terms).
+  */
+object Graph {
+
+  val damping = 0.85
+  val iters = 3
+
+  /** Fixed-iteration PageRank over the bidirectional edge list. */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val e = edges.localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val n = nodes.count()
+    var pr = nodes.select(col("node"), col("deg"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("node").as("src"), col("deg"), col("pr")), "src")
+        .select(col("dst"), (col("pr") / col("deg")).as("w"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("s"))
+      pr = nodes
+        .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("node"), col("pr"))
+  }
+
+  private def sqlIter(i: Int): String = {
+    val prev = if (i == 1) "p0" else s"p${i - 1}"
+    s"""c$i AS (
+         SELECT e.dst, CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+         FROM e JOIN $prev p ON e.src = p.node
+         GROUP BY e.dst),
+       p$i AS (
+         SELECT nodes.node, nodes.deg,
+                (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)) AS pr
+         FROM nodes CROSS JOIN nn LEFT JOIN c$i c ON nodes.node = c.dst)"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "gx_pagerank",
+      Some(s"""
+        WITH e0 AS (
+          SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+        nodes AS (SELECT src AS node, deg FROM deg),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        p0 AS (SELECT node, deg, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+        ${(1 to iters).map(sqlIter).mkString(",\n")}
+        SELECT CAST(node AS BIGINT) AS node, pr
+        FROM p$iters
+        ORDER BY pr DESC, node
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        val e0 = orders(s, d)
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        pagerank(edges, iters, damping)
+          .orderBy(col("pr").desc, col("node"))
+          .limit(20)
+          .select(col("node").cast("bigint").as("node"), col("pr"))
+      }))
+}
