@@ -225,6 +225,29 @@ class StreamingSpec extends SparkSpec {
     assert(counts(at(10, 0)) == 2L, s"late event was not dropped: $counts")
   }
 
+  test("streaming dedup drops replayed records within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = stream.toDF.toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct events plus an in-batch duplicate
+      stream.addData(Seq((1L, at(10, 0), "a"), (2L, at(10, 5), "b"), (1L, at(10, 1), "a-dup")))
+      q.processAllAvailable()
+      // batch 2: a replay of event 1 (at-least-once upstream delivery)
+      // within the watermark window — must be suppressed
+      stream.addData(Seq((1L, at(10, 30), "a-replay"), (3L, at(11, 0), "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_test").select($"event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L), s"duplicates not dropped: $ids")
+  }
+
   test("foreachBatch sink lands every micro-batch in the parquet store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
