@@ -203,7 +203,22 @@ final class CommitLogTable(path: String, numPartitions: Int)
   * parquet partition pruning). */
 final class CommitLogScan(dir: String, maxPerTrigger: Option[Long])
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Segment bytes of the partitions that survive pruning — lets the
+    * planner (AQE, join-side selection) treat a small topic as
+    * broadcastable instead of assuming unknown size. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = {
+        val bytes = CommitLog.partitionIds(dir).filter(keepPid).map { pid =>
+          CommitLog.segments(dir, pid).map(p => java.nio.file.Files.size(p)).sum
+        }.sum
+        java.util.OptionalLong.of(bytes)
+      }
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
 
   private var required: StructType = CommitLog.schema
   private var partitionFilter: Option[Set[Int]] = None

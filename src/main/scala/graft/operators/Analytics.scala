@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{det, QueryDef}
 import graft.sources.Tables.events
 import org.apache.spark.sql.functions._
 
@@ -130,5 +130,50 @@ object Analytics {
           .groupBy($"path")
           .agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"path")
+      }),
+
+    // Per-user z-score anomaly counts. The moments come from exact
+    // DECIMAL sums (sum, sum-of-squares) so mean/stddev are
+    // bit-identical across partitionings and engines; the z-test then
+    // re-joins the (small) per-user moment table to the stream — one
+    // groupBy + one broadcast-size join at any scale.
+    QueryDef(
+      "ev_anomaly",
+      Some(s"""
+        WITH s AS (
+          SELECT user_id, COUNT(*) AS n,
+                 ${det.sqlSum("value")} AS sv,
+                 ${det.sqlSum("value * value", 6)} AS sv2
+          FROM events GROUP BY user_id),
+        m AS (
+          SELECT user_id, n, sv / n AS mean,
+                 sqrt(GREATEST(sv2 / n - (sv / n) * (sv / n), CAST(0 AS DOUBLE))) AS sd
+          FROM s)
+        SELECT m.user_id,
+               CAST(m.n AS BIGINT) AS n_events,
+               CAST(COUNT(CASE WHEN m.sd > 0
+                                AND abs(e.value - m.mean) / m.sd > 2
+                               THEN 1 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN m ON e.user_id = m.user_id
+        GROUP BY m.user_id, m.n
+        ORDER BY m.user_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d).select($"user_id", $"value")
+        val moments = ev.groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            det.dsum($"value").as("sv"),
+            det.dsum($"value" * $"value", 6).as("sv2"))
+          .select($"user_id", $"n",
+            ($"sv" / $"n").as("mean"),
+            sqrt(greatest($"sv2" / $"n" - ($"sv" / $"n") * ($"sv" / $"n"),
+              lit(0.0))).as("sd"))
+        ev.join(moments, "user_id")
+          .groupBy($"user_id", $"n")
+          .agg(count(when($"sd" > 0 && abs($"value" - $"mean") / $"sd" > 2, 1))
+            .as("n_outliers"))
+          .select($"user_id", $"n".as("n_events"), $"n_outliers")
+          .orderBy($"user_id")
       }))
 }
