@@ -236,6 +236,40 @@ object Multimodal {
           (lit(16) * (expr("1") + h % 64)).cast("long").as("height"),
           (lit(1) + (h.divide(lit(4096L)).cast("long")) % 16).cast("long").as("n_frames"))
           .orderBy($"doc_id")
+      }),
+
+    // Frame sampling as an oracle-checked query: the portable fake
+    // decode supplies n_frames, [[sampleFrames]] explodes ≤ maxFrames
+    // evenly-strided frame indices per media row — the media → frames
+    // generator every video pipeline starts with, row-local (explode
+    // stays inside the scan stage, no shuffle).
+    QueryDef(
+      "mm_frame_sample", {
+        val h = "CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT)"
+        Some(s"""
+          WITH f AS (
+            SELECT doc_id, CAST(1 + ($h // 4096) % 16 AS BIGINT) AS n_frames
+            FROM documents),
+          s AS (
+            SELECT doc_id, n_frames,
+                   GREATEST(1, CAST(ceil(n_frames / 4.0) AS BIGINT)) AS stride
+            FROM f)
+          SELECT doc_id,
+                 CAST(UNNEST(range(0, n_frames, stride)) AS BIGINT) AS frame_no,
+                 n_frames
+          FROM s
+          ORDER BY doc_id, frame_no
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val h = PortableHash.h32($"text")
+        val feats = documents(s, d).select(
+          $"doc_id",
+          (lit(1) + (h.divide(lit(4096L)).cast("long")) % 16).cast("long").as("n_frames"))
+        sampleFrames(feats, maxFrames = 4)
+          .select($"doc_id", $"frame_no".cast("long").as("frame_no"), $"n_frames")
+          .orderBy($"doc_id", $"frame_no")
       })
   )
 }
