@@ -27,16 +27,26 @@ object Graph {
   val damping = 0.85
   val iters = 3
 
-  /** Fixed-iteration PageRank over the bidirectional edge list. */
+  /** Fixed-iteration PageRank over the bidirectional edge list.
+    *
+    * Shuffle discipline: the edge list is hash-partitioned by `dst`
+    * ONCE and checkpointed; each iteration then broadcast-joins the
+    * (|nodes|-sized) rank table into it and pre-aggregates
+    * contributions map-side, so the only per-iteration exchange is the
+    * (at most |nodes|-row) contribution shuffle — never the edges.
+    * Ranks are checkpointed per iteration to cut the lazy lineage:
+    * without it, iteration i's plan embeds iteration i-1 TWICE (both
+    * joins), recomputing the chain exponentially. */
   def pagerank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val e = edges.localCheckpoint()
+    val e = edges.repartition(col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val nodes = deg.select(col("src").as("node"), col("deg")).localCheckpoint()
     val n = nodes.count()
     var pr = nodes.select(col("node"), col("deg"), lit(1.0 / n).as("pr"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(pr.select(col("node").as("src"), col("deg"), col("pr")), "src")
+        .join(broadcast(pr.select(col("node").as("src"), col("deg"), col("pr"))), "src")
         .select(col("dst"), (col("pr") / col("deg")).as("w"))
         .groupBy(col("dst"))
         .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("s"))
@@ -44,6 +54,7 @@ object Graph {
         .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
     }
     pr.select(col("node"), col("pr"))
   }

@@ -270,6 +270,37 @@ object Multimodal {
         sampleFrames(feats, maxFrames = 4)
           .select($"doc_id", $"frame_no".cast("long").as("frame_no"), $"n_frames")
           .orderBy($"doc_id", $"frame_no")
+      }),
+
+    // Custom mergeable UDAF: Misra-Gries heavy hitters over the token
+    // stream. The sketch state is <= k counters per partition (merged
+    // in O(k)); the oracle checks the partition-independent guarantee —
+    // every token with freq*k > N is in the sketch — via the exact
+    // side + a TRUE literal, like the other sk_* rows. Threshold
+    // compares in integer arithmetic (freq*50 > N) on both engines.
+    QueryDef(
+      "sk_heavy_hitters",
+      Some("""
+        WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        exact AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT tok, CAST(freq AS BIGINT) AS freq, TRUE AS captured
+        FROM exact, tot
+        WHERE freq * 50 > n
+        ORDER BY tok
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val toks = documents(s, d)
+          .select(explode(split($"text", " ")).as("tok"))
+        val cand = toks.as[String]
+          .select(new graft.functions.MisraGries(50).toColumn)
+          .head().keySet.toSeq.sorted  // <= 50 keys: bounded sketch state
+        val total = toks.count()
+        toks.groupBy($"tok").agg(count(lit(1)).as("freq"))
+          .filter($"freq" * 50 > total)
+          .select($"tok", $"freq", $"tok".isin(cand: _*).as("captured"))
+          .orderBy($"tok")
       })
   )
 }
