@@ -26,7 +26,8 @@ object SparkEntry {
       operators.CommitLogOps.defs ++
       operators.Analytics.defs ++
       operators.Skew.defs ++
-      operators.Graph.defs
+      operators.Graph.defs ++
+      operators.Sketches.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

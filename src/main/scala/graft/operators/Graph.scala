@@ -72,7 +72,80 @@ object Graph {
          FROM nodes CROSS JOIN nn LEFT JOIN c$i c ON nodes.node = c.dst)"""
   }
 
+  /** Triangle count by degree-ordered edge orientation.
+    *
+    * Orienting every undirected edge from its (degree, id)-smaller
+    * endpoint to the larger bounds each node's out-degree by
+    * O(sqrt(m)), so the wedge join (the quadratic step) is
+    * sum(outdeg²) ≤ m·sqrt(m) instead of sum(deg²) — the standard
+    * skew defense that keeps a power-law hub from exploding one
+    * partition. Every triangle then has exactly one node with
+    * out-edges to the other two, so closing wedges against the
+    * canonical (u<v) edge list counts each triangle exactly once.
+    * Three hash joins + one agg; nothing driver-side.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // canonical undirected edges, u < v
+    // e is consumed three times (wedges, closing join, stats) and
+    // oriented twice — localCheckpoint materializes each once instead
+    // of re-running the scan+distinct per consumer (same discipline as
+    // [[pagerank]])
+    val e = edges
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = smaller endpoint under that total order
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      .localCheckpoint()
+    val w1 = oriented.select(col("src"), col("dst").as("x"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = w1.join(w2, "src").filter(col("x") < col("y"))
+    // the wedge filter guarantees x < y, so the closing-edge lookup is
+    // a plain equi-join against the canonical (u < v) list
+    val closed = wedges.join(
+      e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+    val tri = closed.agg(count(lit(1)).as("triangles"))
+    val stats = e.agg(count(lit(1)).as("edges"))
+    val nodes = deg.agg(count(lit(1)).as("nodes"))
+    tri.crossJoin(stats).crossJoin(nodes)
+      .select(col("triangles"), col("edges"), col("nodes"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "gx_triangles",
+      Some("""
+        WITH raw AS (
+          SELECT l_orderkey % 9973 AS a, l_partkey % 9973 AS b FROM lineitem),
+        e AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e)
+        SELECT
+          CAST((SELECT COUNT(*) FROM e x
+                JOIN e y ON y.u = x.v
+                JOIN e z ON z.u = x.u AND z.v = y.v) AS BIGINT) AS triangles,
+          CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS edges,
+          CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS nodes
+      """.trim),
+      (s, d) => {
+        // hashed co-occurrence graph over (order, part) entities — the
+        // modulus folds both key spaces into one 9973-node id space so
+        // the graph is general (non-bipartite) and triangle-bearing
+        val edges = lineitem(s, d)
+          .select((col("l_orderkey") % 9973).as("a"), (col("l_partkey") % 9973).as("b"))
+        triangleCount(edges)
+      }),
     QueryDef(
       "gx_pagerank",
       Some(s"""

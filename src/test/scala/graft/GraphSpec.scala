@@ -42,4 +42,28 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(base == repart)
   }
+
+  test("triangle count matches brute force on a known graph") {
+    import spark.implicits._
+    // K4 (4 triangles... actually C(4,3)=4) plus a pendant edge and a
+    // disconnected 3-cycle → 4 + 0 + 1 = 5 triangles
+    val k4 = for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (i.toLong, j.toLong)
+    val extra = Seq((4L, 5L), (10L, 11L), (11L, 12L), (12L, 10L))
+    val e = (k4 ++ extra).toDF("a", "b")
+    val r = Graph.triangleCount(e).collect().head
+    assert(r.getAs[Long]("triangles") == 5L)
+    assert(r.getAs[Long]("edges") == 10L)
+    assert(r.getAs[Long]("nodes") == 8L)
+  }
+
+  test("triangle count is orientation/duplicate/self-loop insensitive") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val noisy = e
+      .union(e.select($"b".as("a"), $"a".as("b")))   // reversed dups
+      .union(Seq((2L, 2L)).toDF("a", "b"))           // self-loop
+    val r = Graph.triangleCount(noisy).collect().head
+    assert(r.getAs[Long]("triangles") == 1L)
+    assert(r.getAs[Long]("edges") == 3L)
+  }
 }

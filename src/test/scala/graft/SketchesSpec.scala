@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter table invariants (exact counts are pinned by the
+  * sk_bloom DuckDB oracle; these pin the structural guarantees). */
+class SketchesSpec extends SparkSpec {
+
+  test("bloom probe has zero false negatives and bounded bits") {
+    import spark.implicits._
+    val members = (1 to 200).map(i => s"m$i").toDF("key")
+    val bits = Sketches.bloomBuild(members)
+    val nBits = bits.count()
+    assert(nBits <= Sketches.m, s"$nBits set bits exceed m=${Sketches.m}")
+    assert(nBits >= 200, "k hashes per member must set at least n bits total")
+
+    val probe = ((1 to 200).map(i => s"m$i" -> true) ++
+      (1 to 200).map(i => s"x$i" -> false)).toDF("key", "exact_in")
+    val res = Sketches.bloomProbe(probe, bits)
+    assert(res.filter($"exact_in" && !$"bloom_hit").count() == 0, "false negative")
+    // with n=400 probes into m=2048/k=4 some negatives must still miss
+    assert(res.filter(!$"exact_in" && !$"bloom_hit").count() > 0,
+      "filter rejects nothing — degenerate saturation")
+  }
+
+  test("bit table is partitioning-invariant") {
+    import spark.implicits._
+    val members = (1 to 100).map(i => s"k$i").toDF("key")
+    val a = Sketches.bloomBuild(members).as[Long].collect().sorted.toSeq
+    val b = Sketches.bloomBuild(members.repartition(7)).as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
