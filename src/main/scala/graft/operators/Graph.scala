@@ -126,7 +126,7 @@ object Graph {
       "gx_triangles",
       Some("""
         WITH raw AS (
-          SELECT l_orderkey % 9973 AS a, l_partkey % 9973 AS b FROM lineitem),
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
         e AS (
           SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
           FROM raw WHERE a <> b),
@@ -140,10 +140,10 @@ object Graph {
       """.trim),
       (s, d) => {
         // hashed co-occurrence graph over (order, part) entities — the
-        // modulus folds both key spaces into one 9973-node id space so
+        // modulus folds both key spaces into one 29989-node id space so
         // the graph is general (non-bipartite) and triangle-bearing
         val edges = lineitem(s, d)
-          .select((col("l_orderkey") % 9973).as("a"), (col("l_partkey") % 9973).as("b"))
+          .select((col("l_orderkey") % 29989).as("a"), (col("l_partkey") % 29989).as("b"))
         triangleCount(edges)
       }),
     QueryDef(

@@ -17,6 +17,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational2 {
 
+  /** Shared SQL for q30 — runnable verbatim by Spark and DuckDB. */
+  val subquerySql: String = """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice >
+                       (SELECT MAX(o_totalprice) FROM orders) * CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS n_big
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice >
+                        (SELECT MAX(o_totalprice) FROM orders) * CAST(0.5 AS DOUBLE))
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+    ORDER BY c_custkey
+  """.trim
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- q17
@@ -377,6 +394,25 @@ object Relational2 {
             $"c_custkey".isNull.as("cust_missing"),
             $"o_custkey".isNull.as("orders_missing"))
           .orderBy($"custkey")
+      }),
+
+    // ---------------------------------------------------------------- q30
+    // Subquery surface through the SQL entry point: uncorrelated scalar
+    // (threshold), correlated EXISTS (decorrelates to a semi join),
+    // IN-subquery (semi join), and a correlated scalar COUNT (left
+    // outer + agg after Catalyst decorrelation). One SQL text serves
+    // as BOTH the Spark program and the DuckDB oracle, pinning that
+    // the engine's SQL dialect surface agrees with ANSI on these
+    // shapes. Threshold is max·½ (exact scaling of an exact max) —
+    // cross-engine identical where an AVG of doubles would not be.
+    QueryDef(
+      "q30_subqueries",
+      Some(Relational2.subquerySql),
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        nation(s, d).createOrReplaceTempView("nation")
+        s.sql(Relational2.subquerySql)
       })
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.PortableHash
-import graft.sources.Tables.customer
+import graft.sources.Tables.{customer, events}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -56,7 +56,90 @@ object Sketches {
       .agg((min(coalesce(col("hit"), lit(0))) === 1).as("bloom_hit"))
   }
 
+  /** Count-Min sketch dimensions: depth d (independent hash rows) ×
+    * width w (counters per row). Point-estimate error is bounded by
+    * e·N/w with probability 1 − e^−d; w=1024 over the sf0.01 event
+    * stream (10k rows) bounds overcount by ~27 per probe. Hash rows
+    * use [[PortableHash.minhashParams]] 4–7 (0–3 drive the Bloom
+    * filter above) so the two sketch demos are decorrelated.
+    */
+  val cmDepth = 4
+  val cmWidth = 1024
+
+  private def cmEntries(c: org.apache.spark.sql.Column) = {
+    val h = PortableHash.h32(c)
+    array((0 until cmDepth).map(i =>
+      struct(lit(i).as("depth"),
+        (PortableHash.uhash(h, 4 + i) % cmWidth).as("pos"))): _*)
+  }
+
+  /** The Count-Min counter table (`depth`, `pos`, `cnt`; ≤ d·w rows)
+    * for a stream keyed by `key` — one explode + one groupBy, the
+    * map-side-combining shape that turns an arbitrarily large stream
+    * into a fixed-size table no matter the key cardinality. */
+  def cmBuild(stream: DataFrame): DataFrame =
+    stream
+      .select(explode(cmEntries(col("key").cast("string"))).as("e"))
+      .groupBy(col("e.depth").as("depth"), col("e.pos").as("pos"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `probes` (keyed by `key`): min over the d
+    * counters each key hashes to. The sketch side is ≤ d·w rows →
+    * broadcast; a missing counter means zero occurrences. */
+  def cmEstimate(probes: DataFrame, cm: DataFrame): DataFrame =
+    probes
+      .withColumn("e", explode(cmEntries(col("key").cast("string"))))
+      .join(broadcast(cm),
+        col("e.depth") === cm("depth") && col("e.pos") === cm("pos"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sk_countmin", {
+        val ent = (0 until cmDepth).map { i =>
+          val pos = s"(${PortableHash.sqlUhash(PortableHash.sqlH32("CAST(user_id AS VARCHAR)"), 4 + i)} % $cmWidth)"
+          s"SELECT user_id, $i AS depth, $pos AS pos FROM events"
+        }.mkString(" UNION ALL ")
+        Some(s"""
+          WITH ent AS ($ent),
+          cm AS (
+            SELECT depth, pos, COUNT(*) AS cnt FROM ent GROUP BY depth, pos),
+          exact AS (
+            SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+          top AS (
+            SELECT user_id, exact_cnt FROM exact
+            ORDER BY exact_cnt DESC, user_id LIMIT 20),
+          est AS (
+            SELECT e.user_id, MIN(cm.cnt) AS cm_est
+            FROM (SELECT DISTINCT user_id, depth, pos FROM ent
+                  WHERE user_id IN (SELECT user_id FROM top)) e
+            JOIN cm ON cm.depth = e.depth AND cm.pos = e.pos
+            GROUP BY e.user_id)
+          SELECT CAST(t.user_id AS BIGINT) AS user_id,
+                 CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+                 CAST(est.cm_est AS BIGINT) AS cm_est,
+                 est.cm_est >= t.exact_cnt AS never_undercounts,
+                 est.cm_est - t.exact_cnt <= 40 AS within_bound
+          FROM top t JOIN est ON est.user_id = t.user_id
+          ORDER BY t.user_id
+        """.trim)
+      },
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id").as("key"))
+        val cm = cmBuild(ev)
+        val exact = ev.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+        val top = exact
+          .orderBy(col("exact_cnt").desc, col("key")).limit(20)
+        cmEstimate(top, cm)
+          .select(
+            col("key").cast("bigint").as("user_id"),
+            col("exact_cnt"),
+            col("cm_est"),
+            (col("cm_est") >= col("exact_cnt")).as("never_undercounts"),
+            (col("cm_est") - col("exact_cnt") <= 40).as("within_bound"))
+          .orderBy(col("user_id"))
+      }),
     QueryDef(
       "sk_bloom", {
         val pos = sqlPositions("CAST(k AS VARCHAR)")

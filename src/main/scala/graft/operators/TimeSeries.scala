@@ -18,7 +18,47 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TimeSeries {
 
+  /** 2^-(k+1) as an exact decimal string — every coefficient of the
+    * windowed EWMA is a binary power, so decimal→double parses exactly
+    * and per-term products are exact scalings in BOTH engines; only
+    * the 8-term additions round, and those evaluate in the same
+    * left-associated order on both sides → bit-identical doubles. */
+  private def pow2(k: Int): String =
+    java.math.BigDecimal.ONE.divide(java.math.BigDecimal.valueOf(2).pow(k + 1)).toPlainString
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Windowed exponentially-weighted moving average: decay 1/2 over
+    // the trailing 8 events per user. The true recursive EWMA is not a
+    // window expression; the 8-term truncation underestimates it by
+    // < 2^-8 of the value scale and IS one — a single per-user window
+    // pass (one shuffle on user_id), no iteration, no state.
+    QueryDef(
+      "ts_ewma", {
+        val w = s"PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id"
+        val terms = (0 until 8).map(k =>
+          s"COALESCE(lag(value, $k) OVER ($w), CAST(0 AS DOUBLE)) * CAST(${pow2(k)} AS DOUBLE)")
+          .mkString(" + ")
+        Some(s"""
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(event_id AS BIGINT) AS event_id,
+                 $terms AS ewma8
+          FROM events
+          ORDER BY user_id, event_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_timestamp($"ts"), $"event_id")
+        val ewma = (0 until 8).map(k =>
+          coalesce(lag($"value", k).over(w), lit(0.0)) *
+            lit(pow2(k).toDouble))
+          .reduceLeft(_ + _)
+        events(s, d)
+          .select($"user_id", $"event_id", ewma.as("ewma8"))
+          .orderBy($"user_id", $"event_id")
+      }),
 
     // Hour-of-day activity profiles → top-10 most-similar user pairs by
     // euclidean distance over the 24-dim profile.

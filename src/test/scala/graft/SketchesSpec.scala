@@ -24,6 +24,21 @@ class SketchesSpec extends SparkSpec {
       "filter rejects nothing — degenerate saturation")
   }
 
+  test("count-min never undercounts and is exact for isolated keys") {
+    import spark.implicits._
+    // zipf-ish: key i appears 201-i times, so counts span 1..200
+    val stream = (1 to 200).flatMap(i => Seq.fill(201 - i)(s"k$i")).toDF("key")
+    val cm = Sketches.cmBuild(stream)
+    assert(cm.count() <= Sketches.cmDepth.toLong * Sketches.cmWidth)
+    val exact = stream.groupBy($"key").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmEstimate(exact, cm)
+    assert(est.filter($"cm_est" < $"exact").count() == 0, "undercount")
+    // absent keys estimate 0 unless every hash row collides
+    val absent = Sketches.cmEstimate(Seq("zzz-absent").toDF("key"), cm)
+      .select($"cm_est").as[Long].head()
+    assert(absent <= 5, s"absent-key estimate $absent suspiciously large")
+  }
+
   test("bit table is partitioning-invariant") {
     import spark.implicits._
     val members = (1 to 100).map(i => s"k$i").toDF("key")
