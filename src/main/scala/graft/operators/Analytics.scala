@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{det, QueryDef}
 import graft.sources.Tables.events
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over the events stream table: staged
@@ -175,5 +176,46 @@ object Analytics {
             .as("n_outliers"))
           .select($"user_id", $"n".as("n_events"), $"n_outliers")
           .orderBy($"user_id")
+      }),
+
+    // ------------------------------------------------------------ markov
+    // First-order event-type transition matrix: per-user bigrams from
+    // one lag() window pass (shuffle on user_id only), then a global
+    // count — the sequence-model sufficient statistic. Probabilities
+    // are cnt/row_total as one exact IEEE division (long operands →
+    // identical doubles in both engines, no decimal routing needed).
+    QueryDef(
+      "ev_markov",
+      Some("""
+        WITH seq AS (
+          SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_type
+          FROM events),
+        t AS (
+          SELECT prev_type, event_type, COUNT(*) AS cnt
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type)
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt AS DOUBLE) /
+                 CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS prob
+        FROM t
+        ORDER BY from_type, to_type
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val uw = Window.partitionBy($"user_id")
+          .orderBy(unix_timestamp($"ts"), $"event_id")
+        val t = events(s, d)
+          .select($"event_type", lag($"event_type", 1).over(uw).as("prev_type"))
+          .filter($"prev_type".isNotNull)
+          .groupBy($"prev_type", $"event_type")
+          .agg(count(lit(1)).as("cnt"))
+        t.select(
+            $"prev_type".as("from_type"), $"event_type".as("to_type"), $"cnt",
+            ($"cnt".cast("double") /
+              sum($"cnt").over(Window.partitionBy($"prev_type"))).as("prob"))
+          .orderBy($"from_type", $"to_type")
       }))
 }

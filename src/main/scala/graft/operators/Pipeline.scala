@@ -145,6 +145,48 @@ object Pipeline {
           .agg(count(lit(1)).as("n_docs"),
             count(when($"bucket" < $"rate", 1)).as("n_kept"))
           .orderBy($"source")
+      }),
+
+    // ------------------------------------------------------------ packing
+    // Sequence packing for training batches: docs striped into 32 bins
+    // in (token-count desc, doc_id) order — the round-robin relaxation
+    // of first-fit-decreasing. One sort-window pass (no per-bin state,
+    // no driver loop), and the stripe assignment is embarrassingly
+    // parallel after the global rank; bin token sums land within one
+    // max-doc of each other, which is what batch-shape balance needs.
+    // At 100 TB the global row_number is the scale constraint — swap
+    // in a range-partitioned rank (approx quantiles on tok_cnt) to
+    // shard the sort; the stripe math is unchanged.
+    QueryDef(
+      "pl_packing",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, tok_cnt,
+                 row_number() OVER (ORDER BY tok_cnt DESC, doc_id) - 1 AS rn
+          FROM toks)
+        SELECT CAST(rn % 32 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok_cnt) AS BIGINT) AS tok_sum,
+               CAST(MAX(tok_cnt) AS BIGINT) AS tok_max
+        FROM ranked
+        GROUP BY rn % 32
+        ORDER BY bin
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val toks = documents(s, d)
+          .select($"doc_id", size(split($"text", " ")).cast("long").as("tok_cnt"))
+        val w = Window.orderBy($"tok_cnt".desc, $"doc_id")
+        toks
+          .select($"tok_cnt", ((row_number().over(w) - 1) % 32).cast("long").as("bin"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"tok_cnt").as("tok_sum"),
+            max($"tok_cnt").as("tok_max"))
+          .orderBy($"bin")
       })
   )
 }
