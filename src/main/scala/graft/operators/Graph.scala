@@ -123,6 +123,38 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      // Degree distribution of the hashed co-occurrence graph — the
+      // first thing to look at before running anything iterative on a
+      // graph (it decides broadcast vs shuffle, salting, and whether
+      // degree-ordered orientation is worth it). Exact histogram:
+      // one distinct + one groupBy chain, no floats.
+      "gx_degree_hist",
+      Some("""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        deg AS (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+          GROUP BY n)
+        SELECT CAST(deg AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY deg ORDER BY degree
+      """.trim),
+      (s, d) => {
+        val e = lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"), (col("l_partkey") % 29989).as("b"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+          .distinct()
+        e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("degree"))
+      }),
+    QueryDef(
       "gx_triangles",
       Some("""
         WITH raw AS (

@@ -345,6 +345,43 @@ object TextAnalysis {
           md5(concat_ws(" ", array_sort(toks))).as("bow_fp"),
           graft.functions.PortableHash.h32($"text").as("fp32"))
           .orderBy($"doc_id")
+      }),
+
+    // ------------------------------------------------------- readability
+    // Flesch reading-ease from regex-countable proxies (vowel-group
+    // syllables, [.!?]+ sentence breaks). All-integer counts feed
+    // exact IEEE divisions and a fixed-order linear form, so the
+    // score is bit-identical cross-engine; the coefficients are the
+    // published Flesch constants. Row-local → fuses into the scan.
+    QueryDef(
+      "ta_readability",
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sentences,
+                 CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS syllables
+          FROM documents)
+        SELECT doc_id, words, sentences, syllables,
+               CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / sentences)
+                 - CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / words) AS flesch
+        FROM c
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select($"doc_id",
+            size(split($"text", " ")).cast("long").as("words"),
+            greatest(size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))), lit(1))
+              .cast("long").as("sentences"),
+            greatest(size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))), lit(1))
+              .cast("long").as("syllables"))
+          .select($"doc_id", $"words", $"sentences", $"syllables",
+            (lit(206.835) - lit(1.015) * ($"words".cast("double") / $"sentences")
+              - lit(84.6) * ($"syllables".cast("double") / $"words")).as("flesch"))
+          .orderBy($"doc_id")
       })
   )
 }
