@@ -39,6 +39,26 @@ class SketchesSpec extends SparkSpec {
     assert(absent <= 5, s"absent-key estimate $absent suspiciously large")
   }
 
+  test("count-min maintained as a streaming aggregation converges to the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the CM build IS a streaming-maintainable aggregation: same
+    // explode + groupBy count in update mode, fed incrementally
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val keys = (1 to 300).map(i => s"k${i % 37}")
+    stream.addData(keys.take(150))
+    stream.addData(keys.drop(150))
+    val q = Sketches.cmBuild(stream.toDF.toDF("key")).writeStream
+      .format("memory").queryName("cm_stream").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("cm_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketches.cmBuild(keys.toDF("key"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("bit table is partitioning-invariant") {
     import spark.implicits._
     val members = (1 to 100).map(i => s"k$i").toDF("key")
