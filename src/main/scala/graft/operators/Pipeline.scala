@@ -150,13 +150,11 @@ object Pipeline {
     // ------------------------------------------------------------ packing
     // Sequence packing for training batches: docs striped into 32 bins
     // in (token-count desc, doc_id) order — the round-robin relaxation
-    // of first-fit-decreasing. One sort-window pass (no per-bin state,
-    // no driver loop), and the stripe assignment is embarrassingly
-    // parallel after the global rank; bin token sums land within one
-    // max-doc of each other, which is what batch-shape balance needs.
-    // At 100 TB the global row_number is the scale constraint — swap
-    // in a range-partitioned rank (approx quantiles on tok_cnt) to
-    // shard the sort; the stripe math is unchanged.
+    // of first-fit-decreasing. The stripe assignment is embarrassingly
+    // parallel after the global rank, and the rank itself is computed
+    // scale-safely by [[globalRank]] (range shards + offsets), never a
+    // single-partition window; bin token sums land within one max-doc
+    // of each other, which is what batch-shape balance needs.
     QueryDef(
       "pl_packing",
       Some("""
@@ -179,9 +177,8 @@ object Pipeline {
         import s.implicits._
         val toks = documents(s, d)
           .select($"doc_id", size(split($"text", " ")).cast("long").as("tok_cnt"))
-        val w = Window.orderBy($"tok_cnt".desc, $"doc_id")
-        toks
-          .select($"tok_cnt", ((row_number().over(w) - 1) % 32).cast("long").as("bin"))
+        globalRank(toks, Seq(col("tok_cnt").desc, col("doc_id")))
+          .select($"tok_cnt", ($"rank" % 32).as("bin"))
           .groupBy($"bin")
           .agg(count(lit(1)).as("n_docs"),
             sum($"tok_cnt").as("tok_sum"),
@@ -189,4 +186,30 @@ object Pipeline {
           .orderBy($"bin")
       })
   )
+
+  /** Scale-safe global 0-based rank by a total-order key: range-
+    * repartition on the key so shard i holds ranks strictly before
+    * shard i+1, rank within each shard with an ordinary window, and
+    * add per-shard offsets. The only driver traffic is one row count
+    * per shard — a global `row_number() OVER (ORDER BY ...)` funnels
+    * every row through one task instead. The checkpoint pins the
+    * sampled range boundaries so the offset job and the rank job see
+    * the same shard assignment (separate actions re-sample otherwise).
+    */
+  def globalRank(df: org.apache.spark.sql.DataFrame,
+                 order: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + counts.getOrElse(i, 0L))
+    val offsetMap = typedLit((0 until p).map(i => i -> offsets(i)).toMap)
+    val w = Window.partitionBy(col("pid")).orderBy(order: _*)
+    ranged
+      .withColumn("rank",
+        element_at(offsetMap, col("pid")) + row_number().over(w).cast("long") - 1L)
+      .drop("pid")
+  }
 }

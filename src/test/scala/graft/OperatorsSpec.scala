@@ -242,6 +242,22 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("globalRank equals the single-partition row_number on every row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // duplicate sort-key values force the doc_id tiebreak across
+    // range-shard boundaries
+    val df = (1 to 500).map(i => (i.toLong, (i % 17).toLong)).toDF("doc_id", "tok_cnt")
+      .repartition(7)
+    val got = Pipeline.globalRank(df, Seq($"tok_cnt".desc, $"doc_id"))
+      .select($"doc_id", $"rank").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.select($"doc_id",
+        (row_number().over(Window.orderBy($"tok_cnt".desc, $"doc_id")) - 1).cast("long").as("rank"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.toSeq.sorted == (0L until 500L))
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q09_top_events_by_value")(spark, sf)
       .queryExecution.executedPlan.toString
