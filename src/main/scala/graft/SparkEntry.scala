@@ -17,6 +17,7 @@ object SparkEntry {
       operators.SimpleRag.defs ++
       operators.Dedup.defs ++
       operators.Similarity.defs ++
+      operators.Similarity.recallDefs ++
       operators.TextAnalysis.defs ++
       operators.EventWindows.defs ++
       operators.Multimodal.defs ++

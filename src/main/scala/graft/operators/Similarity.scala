@@ -275,6 +275,46 @@ object Similarity {
         .reduce(_ + _).cast("long").as("bucket"))
   }
 
+  /** Multi-table LSH: `tables` independent `bits`-bit signatures per
+    * vector (planes t·bits..t·bits+bits−1 of the same [[coefExpr]]
+    * family), so a probe unions candidates across tables — recall
+    * 1−(1−p^bits)^tables for per-plane agreement p, at tables× the
+    * bucket-build cost and unchanged join shape ((tbl, bucket)
+    * equi-join instead of (bucket)). Still ONE explode + ONE groupBy:
+    * all bits·tables plane sums aggregate in the same pass, the
+    * per-table bucket ids are projected after. Fewer bits ⇒ bigger
+    * buckets ⇒ higher recall per table — the (tables, bits) pair IS
+    * the speed/quality dial, and `sim_ann_recall` measures it. */
+  def lshBucketsMulti(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val nPlanes = bits * tables
+    val exploded = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+    val planeSums = exploded.groupBy(col("vec_id"))
+      .agg(
+        sum(col("v").cast(DecimalType(18, 9)) * coefExpr(lit(0), col("d"))).as("s0"),
+        (1 until nPlanes).map(p =>
+          sum(col("v").cast(DecimalType(18, 9)) * coefExpr(lit(p), col("d"))).as(s"s$p")): _*)
+    val tableBuckets = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        (0 until bits).map(b => when(col(s"s${t * bits + b}") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("bucket"))
+    }
+    planeSums
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** SQL mirror of [[lshBucketsMulti]]. */
+  def sqlBucketsMulti(tables: Int, bits: Int): String = s"""
+    SELECT vec_id, CAST(p // $bits AS INTEGER) AS tbl,
+           CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << (p % $bits)) ELSE 0 END) AS BIGINT) AS bucket
+    FROM (
+      SELECT vec_id, p,
+             SUM(CAST(embedding[d + 1] AS DECIMAL(18,9))
+                 * (((1103515245 * (p * 64 + d) + 12345) // 65536) % 7 - 3)) AS s
+      FROM embeddings, range(0, 64) t(d), range(0, ${bits * tables}) r(p)
+      GROUP BY vec_id, p)
+    GROUP BY vec_id, p // $bits"""
+
   private val sqlBuckets = """
     SELECT vec_id, CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
     FROM (
@@ -454,5 +494,91 @@ object Similarity {
       """.trim),
       (s, d) => allPairsCosineDistributed(embeddings(s, d), 0.45)
         .orderBy(col("i"), col("j")))
+  )
+
+  /** Recall@5 of the LSH-bucketed ANN against brute-force ground
+    * truth, per query — the quality harness every approximate index
+    * needs next to it. Both sides rank the SAME corpus (vec_id ≥ 10)
+    * so the hit count is a pure index-quality number; n_cands shows
+    * how hard the bucket pruned (the speed side of the tradeoff).
+    * Deterministic throughout → the driver hash-checks recall itself,
+    * not just an invariant. Appended to [[defs]] via [[recallDefs]]
+    * to keep this file's regions readable.
+    */
+  val recallDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sim_ann_recall",
+      Some(s"""
+        WITH b AS (${sqlBucketsMulti(8, 5)}),
+        truth AS (
+          SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+            WHERE q.vec_id < 10)
+          WHERE rank <= 5),
+        pairs AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+          WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        cands AS (
+          SELECT p.qid, p.nid,
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos
+          FROM pairs p
+          JOIN embeddings q ON q.vec_id = p.qid
+          JOIN embeddings c ON c.vec_id = p.nid),
+        ann AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM cands)
+          WHERE rank <= 5),
+        stats AS (SELECT qid, COUNT(*) AS n_cands FROM cands GROUP BY qid),
+        hits AS (
+          SELECT t.qid, COUNT(a.nid) AS n_hit
+          FROM truth t LEFT JOIN ann a ON a.qid = t.qid AND a.nid = t.nid
+          GROUP BY t.qid)
+        SELECT CAST(h.qid AS BIGINT) AS qid,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(h.n_hit AS DOUBLE) / 5 AS recall,
+               CAST(COALESCE(s.n_cands, 0) AS BIGINT) AS n_cands
+        FROM hits h LEFT JOIN stats s ON s.qid = h.qid
+        ORDER BY qid
+      """.trim),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = embeddings(s, d)
+        val truth = cosineTopK(emb, col("vec_id") < 10, 5).select(col("qid"), col("nid"))
+        val buckets = lshBucketsMulti(emb, 8, 5)
+        val pairs = buckets.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+          .join(buckets.filter(col("vec_id") >= 10)
+            .select(col("vec_id").as("nid"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+          .select(col("qid"), col("nid")).distinct()
+        val cands = pairs
+          .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qid")
+          .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nemb")), "nid")
+          .select(col("qid"), col("nid"), cosineNative(col("qemb"), col("nemb")).as("cos"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
+        val ann = cands.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5).select(col("qid"), col("nid"))
+        val stats = cands.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
+        val hits = truth.join(ann, Seq("qid", "nid"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        // every query has 5 truth rows; left-join hits/stats so zero-
+        // recall or empty-bucket queries still emit a row
+        truth.select(col("qid")).distinct()
+          .join(hits, Seq("qid"), "left")
+          .join(stats, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+            (coalesce(col("n_hit"), lit(0L)).cast("double") / 5).as("recall"),
+            coalesce(col("n_cands"), lit(0L)).as("n_cands"))
+          .orderBy(col("qid"))
+      })
   )
 }
