@@ -563,22 +563,103 @@ object Similarity {
           .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qid")
           .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nemb")), "nid")
           .select(col("qid"), col("nid"), cosineNative(col("qemb"), col("nemb")).as("cos"))
-        val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
-        val ann = cands.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5).select(col("qid"), col("nid"))
-        val stats = cands.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
-        val hits = truth.join(ann, Seq("qid", "nid"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-        // every query has 5 truth rows; left-join hits/stats so zero-
-        // recall or empty-bucket queries still emit a row
-        truth.select(col("qid")).distinct()
-          .join(hits, Seq("qid"), "left")
-          .join(stats, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-            (coalesce(col("n_hit"), lit(0L)).cast("double") / 5).as("recall"),
-            coalesce(col("n_cands"), lit(0L)).as("n_cands"))
-          .orderBy(col("qid"))
+        recallTail(truth, cands)
+      }),
+    QueryDef(
+      "sim_ivf_recall",
+      Some(s"""
+        WITH ${kmeansSqlCte(16, 3, 64)},
+        truth AS (
+          SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+            WHERE q.vec_id < 10)
+          WHERE rank <= 5),
+        assigned AS (
+          SELECT vec_id, embedding, centroid FROM (
+            SELECT e.vec_id, e.embedding, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM embeddings e, cents c)
+          WHERE rn = 1),
+        probes AS (
+          SELECT qid, qemb, centroid FROM (
+            SELECT q.vec_id AS qid, q.embedding AS qemb, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM embeddings q, cents c WHERE q.vec_id < 10)
+          WHERE rn <= 4),
+        cands AS (
+          SELECT p.qid, a.vec_id AS nid,
+                 list_cosine_similarity(p.qemb::DOUBLE[], a.embedding::DOUBLE[]) AS cos
+          FROM probes p JOIN assigned a ON p.centroid = a.centroid
+          WHERE a.vec_id >= 10),
+        ann AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM cands)
+          WHERE rank <= 5),
+        stats AS (SELECT qid, COUNT(*) AS n_cands FROM cands GROUP BY qid),
+        hits AS (
+          SELECT t.qid, COUNT(a.nid) AS n_hit
+          FROM truth t LEFT JOIN ann a ON a.qid = t.qid AND a.nid = t.nid
+          GROUP BY t.qid)
+        SELECT CAST(h.qid AS BIGINT) AS qid,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(h.n_hit AS DOUBLE) / 5 AS recall,
+               CAST(COALESCE(s.n_cands, 0) AS BIGINT) AS n_cands
+        FROM hits h LEFT JOIN stats s ON s.qid = h.qid
+        ORDER BY qid
+      """.trim),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = embeddings(s, d)
+        val truth = cosineTopK(emb, col("vec_id") < 10, 5).select(col("qid"), col("nid"))
+        val trained = kmeansCentroids(emb, k = 16, iters = 3, dim = 64)
+        val assigned = ivfAssignments(emb, 16, Some(trained))
+          .filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nemb"), col("centroid"))
+        val pw = Window.partitionBy(col("qid")).orderBy(desc("pcos"), asc("centroid"))
+        val probes = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+          .crossJoin(trained)
+          .select(col("qid"), col("qemb"), col("centroid"),
+            cosineNative(col("qemb"), col("cemb")).as("pcos"))
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= 4)
+          .select(col("qid"), col("qemb"), col("centroid"))
+        val cands = probes.join(assigned, Seq("centroid"))
+          .select(col("qid"), col("nid"), cosineNative(col("qemb"), col("nemb")).as("cos"))
+        recallTail(truth, cands)
       })
   )
+
+  /** Shared recall@5 assembly: rank `cands` per query, count hits
+    * against `truth`, attach candidate volume; left joins keep a row
+    * per query even at zero recall or zero candidates. */
+  private def recallTail(truth: DataFrame, cands: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
+    val ann = cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select(col("qid"), col("nid"))
+    val stats = cands.groupBy(col("qid")).agg(count(lit(1)).as("n_cands"))
+    val hits = truth.join(ann, Seq("qid", "nid"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    truth.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .join(stats, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / 5).as("recall"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"))
+      .orderBy(col("qid"))
+  }
 }
