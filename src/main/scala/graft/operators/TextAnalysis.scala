@@ -382,6 +382,63 @@ object TextAnalysis {
             (lit(206.835) - lit(1.015) * ($"words".cast("double") / $"sentences")
               - lit(84.6) * ($"syllables".cast("double") / $"words")).as("flesch"))
           .orderBy($"doc_id")
+      }),
+
+    // ------------------------------------------------------ collocations
+    // Top-20 bigram collocations by lift p(xy)/(p(x)p(y)) — PMI's
+    // argument without the log, because ln() is not cross-engine-stable
+    // and lift orders identically. Numerator and denominator are exact
+    // int64 products of counts, so the single division yields the same
+    // double in both engines. Bigrams are row-local (transform over
+    // token indices — no shuffle before the count); the oracle builds
+    // them with a list_transform lambda over token indices.
+    QueryDef(
+      "ta_collocations",
+      Some("""
+        WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        toks AS (SELECT unnest(tk) AS tok FROM tk),
+        big0 AS (
+          SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                        i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+          FROM tk),
+        big AS (
+          SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cnt_xy FROM big0
+          GROUP BY b.w1, b.w2),
+        uni AS (SELECT tok AS w, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (
+          SELECT (SELECT COUNT(*) FROM toks) AS n,
+                 (SELECT COUNT(*) FROM big0) AS m)
+        SELECT w1, w2, CAST(cnt_xy AS BIGINT) AS cnt,
+               CAST(cnt_xy * n * n AS DOUBLE) / CAST(m * u1.cnt * u2.cnt AS DOUBLE) AS lift
+        FROM big
+        JOIN uni u1 ON u1.w = big.w1
+        JOIN uni u2 ON u2.w = big.w2
+        CROSS JOIN tot
+        WHERE cnt_xy >= 5
+        ORDER BY lift DESC, w1, w2
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d).select($"doc_id", split($"text", " ").as("tk"))
+        val tokens = docs.select(explode($"tk").as("w"))
+        val big = docs.filter(size($"tk") >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(tk)-2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
+          .select($"b.w1".as("w1"), $"b.w2".as("w2"))
+          .groupBy($"w1", $"w2").agg(count(lit(1)).as("cnt_xy"))
+        val uni = tokens.groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val tot = tokens.agg(count(lit(1)).as("n"))
+          .crossJoin(big.agg(sum($"cnt_xy").as("m")))
+        big.filter($"cnt_xy" >= 5)
+          .join(uni.select($"w".as("w1"), $"cnt".as("c1")), "w1")
+          .join(uni.select($"w".as("w2"), $"cnt".as("c2")), "w2")
+          .crossJoin(broadcast(tot))
+          .select($"w1", $"w2", $"cnt_xy".as("cnt"),
+            (($"cnt_xy" * $"n" * $"n").cast("double") /
+              ($"m" * $"c1" * $"c2").cast("double")).as("lift"))
+          .orderBy($"lift".desc, $"w1", $"w2")
+          .limit(20)
       })
   )
 }
