@@ -144,6 +144,62 @@ object EventWindows {
             unix_timestamp($"session_window.start").as("session_start"),
             $"n_events", $"value_sum")
           .orderBy($"user_id", $"session_start")
+      }),
+
+    // Session-shape histogram: how long are sessions, in events and in
+    // wall seconds? Built on the same gaps-and-islands chain as
+    // ev_session_window, then ONE more aggregation from session rows
+    // (|sessions| ≪ |events|) to histogram rows — all-integer, the
+    // engagement-distribution readout an events pipeline reports.
+    QueryDef(
+      "ev_session_stats",
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, t,
+                 CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM ordered),
+        sessions AS (
+          SELECT user_id, t,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_no,
+                 COUNT(*) AS n_events, MAX(t) - MIN(t) AS dur_s
+          FROM sessions GROUP BY user_id, session_no)
+        SELECT CAST(n_events AS BIGINT) AS session_len,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+               CAST(MAX(dur_s) AS BIGINT) AS max_dur_s
+        FROM per_session
+        GROUP BY n_events
+        ORDER BY session_len
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        val flagged = events(s, d)
+          .withColumn("t", unix_timestamp($"ts"))
+          .withColumn("prev_t", lag($"t", 1).over(w))
+          .withColumn("is_new",
+            when($"prev_t".isNull || $"t" - $"prev_t" > 1800, 1).otherwise(0))
+        flagged
+          .withColumn("session_no",
+            sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_no")
+          .agg(count(lit(1)).as("n_events"),
+            (max($"t") - min($"t")).as("dur_s"))
+          .groupBy($"n_events")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"dur_s").as("total_dur_s"),
+            max($"dur_s").as("max_dur_s"))
+          .select($"n_events".as("session_len"), $"n_sessions", $"total_dur_s", $"max_dur_s")
+          .orderBy($"session_len")
       })
   )
 }

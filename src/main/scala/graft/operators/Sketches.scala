@@ -94,7 +94,62 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
 
+  /** Bottom-k sketch size. */
+  val bk = 16
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      // Bottom-k distinct sketch: the k smallest h32(key) values are
+      // simultaneously (a) a uniform, MERGEABLE sample of the distinct
+      // keys (union two sketches, keep the k smallest — the streaming/
+      // shard-parallel shape), and (b) a cardinality estimator via the
+      // k-th minimum: est = (k-1)·2^32/h_k. One distinct + one top-k —
+      // no state bigger than k rows anywhere. The oracle mirrors the
+      // hash family, so the driver checks the estimate, the sample
+      // membership, AND the relative-error flag.
+      "sk_bottomk", {
+        val h = PortableHash.sqlH32("CAST(user_id AS VARCHAR)")
+        Some(s"""
+          WITH hashed AS (
+            SELECT DISTINCT user_id, $h AS h FROM events),
+          bottom AS (
+            SELECT user_id, h FROM hashed ORDER BY h, user_id LIMIT $bk),
+          agg AS (
+            SELECT MAX(h) AS hk,
+                   string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY h, user_id) AS sample_keys
+            FROM bottom),
+          exact AS (SELECT COUNT(*) AS n FROM hashed)
+          SELECT CAST($bk AS BIGINT) AS k,
+                 CAST(agg.hk AS BIGINT) AS kth_min_hash,
+                 CAST(${bk - 1} * 4294967296.0 AS DOUBLE) / agg.hk AS est_distinct,
+                 CAST(exact.n AS BIGINT) AS exact_distinct,
+                 abs(CAST(${bk - 1} * 4294967296.0 AS DOUBLE) / agg.hk - exact.n)
+                   / exact.n < 0.6 AS within_bound,
+                 agg.sample_keys
+          FROM agg CROSS JOIN exact
+        """.trim)
+      },
+      (s, d) => {
+        val hashed = events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id"), PortableHash.h32(col("user_id").cast("string")).as("h"))
+        val bottom = hashed.orderBy(col("h"), col("user_id")).limit(bk)
+        // collect_list order: feed it pre-sorted rows from the limit's
+        // single ordered partition (coalesce(1) pins it)
+        val aggOrdered = bottom.coalesce(1)
+          .sortWithinPartitions(col("h"), col("user_id"))
+          .agg(max(col("h")).as("hk"),
+            concat_ws(",", collect_list(col("user_id").cast("string"))).as("sample_keys"))
+        val exact = hashed.agg(count(lit(1)).as("n"))
+        aggOrdered.crossJoin(exact)
+          .select(
+            lit(bk.toLong).as("k"),
+            col("hk").cast("bigint").as("kth_min_hash"),
+            (lit((bk - 1) * 4294967296.0) / col("hk")).as("est_distinct"),
+            col("n").as("exact_distinct"),
+            (abs(lit((bk - 1) * 4294967296.0) / col("hk") - col("n")) / col("n") < 0.6)
+              .as("within_bound"),
+            col("sample_keys"))
+      }),
     QueryDef(
       "sk_countmin", {
         val ent = (0 until cmDepth).map { i =>

@@ -60,6 +60,56 @@ object TimeSeries {
           .orderBy($"user_id", $"event_id")
       }),
 
+    // Lag-1 autocorrelation of each user's value series — the
+    // is-this-signal-or-noise diagnostic before fitting anything
+    // sequential. Pairs come from one lead() window pass; the five
+    // moment sums route through DECIMAL (exact, order-independent) and
+    // the Pearson formula then runs on identical doubles in both
+    // engines. Degenerate series (constant, or < 2 points) emit NULL.
+    QueryDef(
+      "ts_autocorr", {
+        val w = "PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id"
+        Some(s"""
+          WITH pairs AS (
+            SELECT user_id, value AS x,
+                   lead(value) OVER ($w) AS y
+            FROM events),
+          m AS (
+            SELECT user_id, COUNT(*) AS n,
+                   ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+                   ${sqlSum("x * x", 6)} AS sxx, ${sqlSum("y * y", 6)} AS syy,
+                   ${sqlSum("x * y", 6)} AS sxy
+            FROM pairs WHERE y IS NOT NULL GROUP BY user_id)
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(n AS BIGINT) AS n_pairs,
+                 CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                      THEN (n * sxy - sx * sy)
+                             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END AS r1
+          FROM m
+          ORDER BY user_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy(unix_timestamp($"ts"), $"event_id")
+        val pairs = events(s, d)
+          .select($"user_id", $"value".as("x"), lead($"value", 1).over(w).as("y"))
+          .filter($"y".isNotNull)
+        val m = pairs.groupBy($"user_id")
+          .agg(count(lit(1)).as("n"),
+            dsum($"x").as("sx"), dsum($"y").as("sy"),
+            dsum($"x" * $"x", 6).as("sxx"), dsum($"y" * $"y", 6).as("syy"),
+            dsum($"x" * $"y", 6).as("sxy"))
+        m.select($"user_id", $"n".as("n_pairs"),
+            when(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy") > 0,
+              ($"n" * $"sxy" - $"sx" * $"sy") /
+                sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+              .as("r1"))
+          .orderBy($"user_id")
+      }),
+
     // Hour-of-day activity profiles → top-10 most-similar user pairs by
     // euclidean distance over the 24-dim profile.
     QueryDef(
