@@ -84,19 +84,26 @@ object Graph {
     * canonical (u<v) edge list counts each triangle exactly once.
     * Three hash joins + one agg; nothing driver-side.
     */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    // canonical undirected edges, u < v
-    // e is consumed three times (wedges, closing join, stats) and
-    // oriented twice — localCheckpoint materializes each once instead
-    // of re-running the scan+distinct per consumer (same discipline as
-    // [[pagerank]])
-    val e = edges
+  /** Canonical undirected edge list (u < v, no loops, deduped) from a
+    * raw (a, b) pair table — materialized once (the consumers below
+    * all read it multiple times; same discipline as [[pagerank]]). */
+  def canonicalEdges(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    val deg = e.select(col("u").as("n")).union(e.select(col("v").as("n")))
+
+  /** Per-node degree of a canonical edge list. */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // e is consumed three times (wedges, closing join, stats) and
+    // oriented twice — canonicalEdges checkpoints it once
+    val e = canonicalEdges(edges)
+    val deg = degrees(e)
     // orient by (deg, id): src = smaller endpoint under that total order
     val oriented = e
       .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
@@ -144,14 +151,10 @@ object Graph {
         FROM deg GROUP BY deg ORDER BY degree
       """.trim),
       (s, d) => {
-        val e = lineitem(s, d)
-          .select((col("l_orderkey") % 29989).as("a"), (col("l_partkey") % 29989).as("b"))
-          .filter(col("a") =!= col("b"))
-          .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-          .distinct()
-        e.select(col("u").as("n")).union(e.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("degree"))
-          .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        val e = canonicalEdges(lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"), (col("l_partkey") % 29989).as("b")))
+        degrees(e)
+          .groupBy(col("deg").as("degree")).agg(count(lit(1)).as("n_nodes"))
           .orderBy(col("degree"))
       }),
     QueryDef(

@@ -552,7 +552,9 @@ object Similarity {
         graft.functions.GraftFunctions.register(s)
         val emb = embeddings(s, d)
         val truth = cosineTopK(emb, col("vec_id") < 10, 5).select(col("qid"), col("nid"))
-        val buckets = lshBucketsMulti(emb, 8, 5)
+        // consumed by both sides of the pairs self-join — materialize
+        // the 40-sum aggregation once rather than once per consumer
+        val buckets = lshBucketsMulti(emb, 8, 5).localCheckpoint()
         val pairs = buckets.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
           .join(buckets.filter(col("vec_id") >= 10)
@@ -646,7 +648,12 @@ object Similarity {
   /** Shared recall@5 assembly: rank `cands` per query, count hits
     * against `truth`, attach candidate volume; left joins keep a row
     * per query even at zero recall or zero candidates. */
-  private def recallTail(truth: DataFrame, cands: DataFrame): DataFrame = {
+  private def recallTail(truth0: DataFrame, cands0: DataFrame): DataFrame = {
+    // both inputs feed two consumers each (rank+stats, semi+base) —
+    // materialize the expensive upstream (candidate scoring / brute
+    // truth) once instead of re-running it per consumer
+    val truth = truth0.localCheckpoint()
+    val cands = cands0.localCheckpoint()
     val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("nid"))
     val ann = cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5).select(col("qid"), col("nid"))

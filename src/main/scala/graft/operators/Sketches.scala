@@ -46,7 +46,13 @@ object Sketches {
       .distinct()
 
   /** Probe: adds boolean `bloom_hit` (all k positions set) per row of
-    * `probe` (keyed by `key`). Bits side is ≤ m rows → broadcast. */
+    * `probe` (keyed by `key`). Bits side is ≤ m rows → broadcast.
+    *
+    * Contract: probe rows must be distinct and `key` non-null — the
+    * per-row regroup collapses duplicate tuples, and a null key
+    * explodes to zero rows. Pre-aggregate (or `coalesce`) the probe
+    * side first when feeding raw streams; [[cmEstimate]] has the same
+    * contract. */
   def bloomProbe(probe: DataFrame, bits: DataFrame): DataFrame = {
     val exploded = probe
       .withColumn("pos", explode(positions(col("key").cast("string"))))

@@ -387,9 +387,9 @@ object TextAnalysis {
     // ------------------------------------------------------ collocations
     // Top-20 bigram collocations by lift p(xy)/(p(x)p(y)) — PMI's
     // argument without the log, because ln() is not cross-engine-stable
-    // and lift orders identically. Numerator and denominator are exact
-    // int64 products of counts, so the single division yields the same
-    // double in both engines. Bigrams are row-local (transform over
+    // and lift orders identically. Counts convert to DOUBLE exactly
+    // (< 2^53) and both engines evaluate the identical product/division
+    // tree, so the score hash-matches. Bigrams are row-local (transform over
     // token indices — no shuffle before the count); the oracle builds
     // them with a list_transform lambda over token indices.
     QueryDef(
@@ -409,7 +409,8 @@ object TextAnalysis {
           SELECT (SELECT COUNT(*) FROM toks) AS n,
                  (SELECT COUNT(*) FROM big0) AS m)
         SELECT w1, w2, CAST(cnt_xy AS BIGINT) AS cnt,
-               CAST(cnt_xy * n * n AS DOUBLE) / CAST(m * u1.cnt * u2.cnt AS DOUBLE) AS lift
+               CAST(cnt_xy AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(m AS DOUBLE) * CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)) AS lift
         FROM big
         JOIN uni u1 ON u1.w = big.w1
         JOIN uni u2 ON u2.w = big.w2
@@ -434,9 +435,12 @@ object TextAnalysis {
           .join(uni.select($"w".as("w1"), $"cnt".as("c1")), "w1")
           .join(uni.select($"w".as("w2"), $"cnt".as("c2")), "w2")
           .crossJoin(broadcast(tot))
+          // products in DOUBLE, not int64: cnt_xy·n² overflows Long on
+          // a few-million-token corpus; each count converts exactly
+          // (< 2^53) and both engines evaluate the same product tree
           .select($"w1", $"w2", $"cnt_xy".as("cnt"),
-            (($"cnt_xy" * $"n" * $"n").cast("double") /
-              ($"m" * $"c1" * $"c2").cast("double")).as("lift"))
+            ($"cnt_xy".cast("double") * $"n".cast("double") * $"n".cast("double") /
+              ($"m".cast("double") * $"c1".cast("double") * $"c2".cast("double"))).as("lift"))
           .orderBy($"lift".desc, $"w1", $"w2")
           .limit(20)
       })
