@@ -59,6 +59,21 @@ class SketchesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("multi-table LSH table 0 equals the single-table buckets") {
+    import spark.implicits._
+    // lshBucketsMulti's planes t*bits..t*bits+bits-1 must reduce to
+    // lshBuckets for (tables=1, bits=8) — the recall harness's bucket
+    // family stays anchored to the oracle-pinned single-table one
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val single = operators.Similarity.lshBuckets(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = operators.Similarity.lshBucketsMulti(emb, 1, 8)
+      .select($"vec_id", $"bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == multi)
+    assert(single.nonEmpty)
+  }
+
   test("bit table is partitioning-invariant") {
     import spark.implicits._
     val members = (1 to 100).map(i => s"k$i").toDF("key")
