@@ -642,6 +642,59 @@ object Similarity {
         val cands = probes.join(assigned, Seq("centroid"))
           .select(col("qid"), col("nid"), cosineNative(col("qemb"), col("nemb")).as("cos"))
         recallTail(truth, cands)
+      }),
+    QueryDef(
+      // k-NN label prediction over the embedding space: majority vote
+      // of the 5 nearest corpus neighbors' labels vs the query's own
+      // label — the eval loop that tells you whether an embedding
+      // column carries its labels at all. Votes tie-break on the
+      // smaller label, so the prediction is deterministic and the
+      // driver hash-checks per-query correctness, not an aggregate.
+      "sim_label_knn",
+      Some("""
+        WITH nn AS (
+          SELECT qid, nlabel FROM (
+            SELECT q.vec_id AS qid, c.label AS nlabel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+            WHERE q.vec_id < 10)
+          WHERE rank <= 5),
+        votes AS (
+          SELECT qid, nlabel, COUNT(*) AS c FROM nn GROUP BY qid, nlabel),
+        pred AS (
+          SELECT qid, nlabel AS pred_label FROM (
+            SELECT qid, nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS rn
+            FROM votes)
+          WHERE rn = 1)
+        SELECT CAST(q.vec_id AS BIGINT) AS qid,
+               CAST(q.label AS BIGINT) AS true_label,
+               CAST(p.pred_label AS BIGINT) AS pred_label,
+               q.label = p.pred_label AS correct
+        FROM embeddings q JOIN pred p ON p.qid = q.vec_id
+        WHERE q.vec_id < 10
+        ORDER BY qid
+      """.trim),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val nn = cosineTopK(emb, col("vec_id") < 10, 5)
+          .join(emb.select(col("vec_id").as("nid"), col("label").as("nlabel")), "nid")
+        val votes = nn.groupBy(col("qid"), col("nlabel")).agg(count(lit(1)).as("c"))
+        val vw = Window.partitionBy(col("qid")).orderBy(desc("c"), asc("nlabel"))
+        val pred = votes.withColumn("rn", row_number().over(vw))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("nlabel").as("pred_label"))
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").as("true_label"))
+          .join(pred, "qid")
+          .select(col("qid"),
+            col("true_label").cast("bigint").as("true_label"),
+            col("pred_label").cast("bigint").as("pred_label"),
+            (col("true_label") === col("pred_label")).as("correct"))
+          .orderBy(col("qid"))
       })
   )
 

@@ -136,4 +136,33 @@ object Streams {
           Iterator.single(LogCount(sessionId, merged.size))
       }
   }
+
+  /** Streaming per-key top-k: state is ONLY the current k best
+    * (score, id) pairs per key — a micro-batch incremental
+    * `TakeOrderedAndProject` whose state size is k rows per key no
+    * matter how much has streamed past. Emits each key's full
+    * current top-k on every batch that touches it (Update mode);
+    * ties break on the smaller id, so the stream converges to
+    * exactly the batch `orderBy(score desc, id).limit(k)` per key. */
+  final case class TopKState(best: Seq[(Double, Long)])
+  final case class TopKEntry(key: String, rank: Int, id: Long, score: Double)
+
+  def topKPerKey(
+      entries: Dataset[(String, Long, Double)], k: Int = 3): Dataset[TopKEntry] = {
+    import entries.sparkSession.implicits._
+    entries
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, TopKEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)], state: GroupState[TopKState]) =>
+          val prev = state.getOption.map(_.best).getOrElse(Seq.empty)
+          val merged = (prev ++ rows.map(r => (r._3, r._2)))
+            .sortBy { case (score, id) => (-score, id) }
+            .take(k)
+          state.update(TopKState(merged))
+          merged.iterator.zipWithIndex.map { case ((score, id), i) =>
+            TopKEntry(key, i + 1, id, score)
+          }
+      }
+  }
 }

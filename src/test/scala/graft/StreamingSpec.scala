@@ -279,4 +279,35 @@ class StreamingSpec extends SparkSpec {
     val counts = spark.table("log_test").as[Streams.LogCount].collect()
     assert(counts.last.kept == 3)
   }
+
+  test("streaming per-key top-k converges to the batch order-by-limit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // interleave so every key's final top-3 spans both micro-batches,
+    // including a tie (score 5.0) that must break on the smaller id
+    val chunk1 = Seq(("u1", 1L, 3.0), ("u1", 2L, 5.0), ("u2", 3L, 1.0), ("u1", 4L, 0.5))
+    val chunk2 = Seq(("u1", 5L, 5.0), ("u1", 6L, 4.0), ("u2", 7L, 2.0), ("u3", 8L, 9.0))
+    val collected = scala.collection.mutable.Map[String, Seq[(Int, Long, Double)]]()
+    val stream = MemoryStream[(String, Long, Double)]
+    stream.addData(chunk1)
+    val q = Streams.topKPerKey(stream.toDS(), 3).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Streams.TopKEntry], _: Long) =>
+        df.collect().groupBy(_.key).foreach { case (k, rows) =>
+          collected(k) = rows.sortBy(_.rank).map(r => (r.rank, r.id, r.score)).toSeq
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      stream.addData(chunk2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = (chunk1 ++ chunk2).groupBy(_._1).map { case (k, rows) =>
+      k -> rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case ((_, id, s), i) => (i + 1, id, s) }
+    }
+    assert(collected.toMap == batch)
+    assert(collected("u1") == Seq((1, 2L, 5.0), (2, 5L, 5.0), (3, 6L, 4.0)))
+  }
 }
