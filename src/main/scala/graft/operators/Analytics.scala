@@ -217,5 +217,51 @@ object Analytics {
             ($"cnt".cast("double") /
               sum($"cnt").over(Window.partitionBy($"prev_type"))).as("prob"))
           .orderBy($"from_type", $"to_type")
+      }),
+
+    // ------------------------------------------------------------ abtest
+    // Welch's t-statistic between two user cohorts (user_id parity as
+    // the deterministic variant split): ONE conditional aggregation
+    // pass collects both cohorts' decimal moment sums, then the
+    // statistic is pure double arithmetic over identical operands in
+    // both engines — experimentation analytics with a hash-checkable
+    // answer, no RNG anywhere.
+    QueryDef(
+      "ev_ab_ttest",
+      Some(s"""
+        WITH m AS (
+          SELECT
+            CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+            CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n1,
+            ${det.sqlSum("CASE WHEN user_id % 2 = 0 THEN value END")} AS sv0,
+            ${det.sqlSum("CASE WHEN user_id % 2 = 1 THEN value END")} AS sv1,
+            ${det.sqlSum("CASE WHEN user_id % 2 = 0 THEN value * value END", 6)} AS sq0,
+            ${det.sqlSum("CASE WHEN user_id % 2 = 1 THEN value * value END", 6)} AS sq1
+          FROM events)
+        SELECT n0, n1,
+               sv0 / n0 AS mean0, sv1 / n1 AS mean1,
+               (sq0 - sv0 * sv0 / n0) / (n0 - 1) AS var0,
+               (sq1 - sv1 * sv1 / n1) / (n1 - 1) AS var1,
+               (sv0 / n0 - sv1 / n1)
+                 / sqrt((sq0 - sv0 * sv0 / n0) / (n0 - 1) / n0
+                        + (sq1 - sv1 * sv1 / n1) / (n1 - 1) / n1) AS t_stat
+        FROM m
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val m = events(s, d).agg(
+          count(when($"user_id" % 2 === 0, 1)).as("n0"),
+          count(when($"user_id" % 2 === 1, 1)).as("n1"),
+          det.dsum(when($"user_id" % 2 === 0, $"value")).as("sv0"),
+          det.dsum(when($"user_id" % 2 === 1, $"value")).as("sv1"),
+          det.dsum(when($"user_id" % 2 === 0, $"value" * $"value"), 6).as("sq0"),
+          det.dsum(when($"user_id" % 2 === 1, $"value" * $"value"), 6).as("sq1"))
+        m.select($"n0", $"n1",
+          ($"sv0" / $"n0").as("mean0"), ($"sv1" / $"n1").as("mean1"),
+          (($"sq0" - $"sv0" * $"sv0" / $"n0") / ($"n0" - 1)).as("var0"),
+          (($"sq1" - $"sv1" * $"sv1" / $"n1") / ($"n1" - 1)).as("var1"),
+          (($"sv0" / $"n0" - $"sv1" / $"n1")
+            / sqrt(($"sq0" - $"sv0" * $"sv0" / $"n0") / ($"n0" - 1) / $"n0"
+              + ($"sq1" - $"sv1" * $"sv1" / $"n1") / ($"n1" - 1) / $"n1")).as("t_stat"))
       }))
 }

@@ -34,6 +34,25 @@ object Relational2 {
     ORDER BY c_custkey
   """.trim
 
+  /** Shared SQL for q31 — LATERAL correlated top-1-per-row, runnable
+    * verbatim by Spark and DuckDB. The classic "each customer's best
+    * order" idiom: the lateral subquery sees the outer row, orders its
+    * matches, and keeps one — Catalyst decorrelates it to a ranked
+    * window join rather than executing per-row. */
+  val lateralSql: String = """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(t.o_orderkey AS BIGINT) AS best_order,
+           t.o_totalprice AS best_price
+    FROM customer c,
+    LATERAL (SELECT o.o_orderkey, o.o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o.o_totalprice DESC, o.o_orderkey
+             LIMIT 1) t
+    WHERE c.c_nationkey < 5
+    ORDER BY c_custkey
+  """.trim
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- q17
@@ -413,6 +432,16 @@ object Relational2 {
         orders(s, d).createOrReplaceTempView("orders")
         nation(s, d).createOrReplaceTempView("nation")
         s.sql(Relational2.subquerySql)
+      }),
+
+    // ---------------------------------------------------------------- q31
+    QueryDef(
+      "q31_lateral",
+      Some(Relational2.lateralSql),
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        s.sql(Relational2.lateralSql)
       })
   )
 }
