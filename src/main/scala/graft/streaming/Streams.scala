@@ -165,4 +165,49 @@ object Streams {
           }
       }
   }
+
+  /** Streaming MinHash dedup state: per distinct signature, the
+    * canonical (smallest) doc id seen and how many docs mapped to it. */
+  final case class SigState(canonicalId: Long, nDocs: Long)
+  final case class SigGroup(sig: String, canonicalId: Long, nDocs: Long)
+
+  /** The 8-hash MinHash signature as ONE row-local column: min of each
+    * portable universal hash over the doc's distinct shingle array —
+    * the same family as the batch [[graft.operators.Dedup.minhashSignatures]]
+    * (which explodes + groupBy-mins because its consumers band the
+    * signature), evaluated here as `array_min(transform(...))` so a
+    * stream computes it with NO shuffle and no state. */
+  def minhashSignatureCol(shs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.PortableHash._
+    concat_ws("_", (0 until 8).map(i =>
+      array_min(transform(shs, sh => uhash(h32(sh), i)))): _*)
+  }
+
+  /** Streaming MinHash dedup over a document stream (`doc_id`, `text`):
+    * signatures are row-local, so the only shuffle is the keyed state
+    * exchange on the signature itself. State is O(1) per DISTINCT
+    * signature (canonical id + count) — not per document — which is
+    * what bounds a 100 TB dedup's state store. Each micro-batch emits
+    * the updated group (Update mode); because min and + are commutative
+    * monoids, the final emission per signature equals the batch twin
+    * `groupBy(sig).agg(min(doc_id), count(*))` for ANY arrival order,
+    * batch slicing, or restart — StreamingDedupSpec pins this over the
+    * commit-log transport. */
+  def minhashDedup(docs: DataFrame): Dataset[SigGroup] = {
+    import docs.sparkSession.implicits._
+    val sigs = graft.operators.Dedup.shingleArrays(docs)
+      .select(col("doc_id"), minhashSignatureCol(col("shs")).as("sig"))
+      .as[(Long, String)]
+    sigs.groupByKey(_._2)
+      .flatMapGroupsWithState[SigState, SigGroup](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (sig: String, rows: Iterator[(Long, String)], state: GroupState[SigState]) =>
+          val ids = rows.map(_._1).toSeq
+          val prev = state.getOption
+          val canonical = (ids ++ prev.map(_.canonicalId)).min
+          val n = prev.map(_.nDocs).getOrElse(0L) + ids.size
+          state.update(SigState(canonical, n))
+          Iterator.single(SigGroup(sig, canonical, n))
+      }
+  }
 }

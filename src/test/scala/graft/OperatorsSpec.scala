@@ -258,6 +258,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.toSeq.sorted == (0L until 500L))
   }
 
+  test("ts_user_similarity_lsh emits true profile distances, sorted, from same-bucket pairs") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD}
+    val rows = SparkEntry.queries("ts_user_similarity_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // sorted by (dist, i, j) like the exact query's output contract
+    assert(rows.sliding(2).forall {
+      case Array((i1, j1, d1), (i2, j2, d2)) =>
+        d1 < d2 || (d1 == d2 && (i1 < i2 || (i1 == i2 && j1 < j2)))
+      case _ => true
+    })
+    // recompute exact 24-dim profile distances driver-side (15 users at
+    // sf0.001): per-(user,hour) sums in DECIMAL(18,2) like the query
+    val profs = sources.Tables.events(spark, sf)
+      .select($"user_id", hour($"ts").as("h"), $"value")
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getInt(1)))
+      .map { case ((u, h), rs) =>
+        (u, h) -> rs.map(r => new JBD(r.getDouble(2)).setScale(2, java.math.RoundingMode.HALF_UP))
+          .reduce(_.add(_)).doubleValue
+      }
+    val users = profs.keys.map(_._1).toSeq.distinct
+    def prof(u: Long): Array[Double] =
+      (0 until 24).map(h => profs.getOrElse((u, h), 0.0)).toArray
+    rows.foreach { case (i, j, d) =>
+      assert(users.contains(i) && users.contains(j) && i < j)
+      val (a, b) = (prof(i), prof(j))
+      val exact = math.sqrt((0 until 24).map(h => (a(h) - b(h)) * (a(h) - b(h))).sum)
+      assert(math.abs(exact - d) < 1e-9, s"pair ($i,$j): lsh dist $d vs exact $exact")
+    }
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q09_top_events_by_value")(spark, sf)
       .queryExecution.executedPlan.toString
