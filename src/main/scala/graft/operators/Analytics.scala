@@ -263,5 +263,46 @@ object Analytics {
           (($"sv0" / $"n0" - $"sv1" / $"n1")
             / sqrt(($"sq0" - $"sv0" * $"sv0" / $"n0") / ($"n0" - 1) / $"n0"
               + ($"sq1" - $"sv1" * $"sv1" / $"n1") / ($"n1" - 1) / $"n1")).as("t_stat"))
+      }),
+
+    // Winsorization — the robust-scaling feature-prep staple: clamp
+    // each value to its group's [p05, p95] band and report how much
+    // mass the tails carried. Exact per-group percentiles (the
+    // quantile_cont ↔ percentile parity is pinned by q20), the bounds
+    // table is |event_type| rows and broadcasts, the clamp is row-local
+    // IEEE arithmetic, and both sums route through DECIMAL — two
+    // scans + one broadcast join at any scale.
+    QueryDef(
+      "ev_winsorize",
+      Some(s"""
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY event_type)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 END) AS BIGINT) AS n_clamped,
+               ${det.sqlSum("CASE WHEN e.value < b.lo THEN b.lo WHEN e.value > b.hi THEN b.hi ELSE e.value END")} AS winsorized_sum,
+               ${det.sqlSum("e.value")} AS raw_sum
+        FROM events e JOIN b ON e.event_type = b.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val b = events(s, d).groupBy($"event_type")
+          .agg(percentile($"value", lit(0.05)).as("lo"),
+            percentile($"value", lit(0.95)).as("hi"))
+        events(s, d).join(broadcast(b), "event_type")
+          .groupBy($"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            count(when($"value" < $"lo" || $"value" > $"hi", 1)).as("n_clamped"),
+            det.dsum(when($"value" < $"lo", $"lo")
+              .when($"value" > $"hi", $"hi")
+              .otherwise($"value")).as("winsorized_sum"),
+            det.dsum($"value").as("raw_sum"))
+          .orderBy($"event_type")
       }))
 }

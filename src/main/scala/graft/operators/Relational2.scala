@@ -53,6 +53,38 @@ object Relational2 {
     ORDER BY c_custkey
   """.trim
 
+  /** Shared SQL for q32 — WITH RECURSIVE, runnable verbatim by Spark
+    * (4.x `UnionLoopExec`) and DuckDB. Multi-hop reachability over the
+    * event-type transition graph: edges = the 6 most frequent observed
+    * transitions (deterministic count/src/dst ranking), walk = bounded-
+    * depth recursion (the depth guard terminates even though the graph
+    * has cycles), result = min hop count per reachable (origin, node).
+    * Each iteration is one distributed join of the frontier against the
+    * edge table — the recursion's state is the frontier, never the
+    * driver. */
+  val recursiveSql: String = """
+    WITH RECURSIVE edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (ORDER BY cnt DESC, src, dst) AS rn
+        FROM (
+          SELECT event_type AS src, next_type AS dst, COUNT(*) AS cnt FROM (
+            SELECT event_type,
+                   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events) t
+          WHERE next_type IS NOT NULL
+          GROUP BY src, dst) c) r
+      WHERE rn <= 6),
+    walk AS (
+      SELECT src AS origin, dst AS node, 1 AS depth FROM edges
+      UNION ALL
+      SELECT w.origin, e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON w.node = e.src
+      WHERE w.depth < 4
+    )
+    SELECT origin, node, CAST(MIN(depth) AS BIGINT) AS min_hops
+    FROM walk GROUP BY origin, node ORDER BY origin, node
+  """.trim
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------- q17
@@ -442,6 +474,15 @@ object Relational2 {
         customer(s, d).createOrReplaceTempView("customer")
         orders(s, d).createOrReplaceTempView("orders")
         s.sql(Relational2.lateralSql)
+      }),
+
+    // ---------------------------------------------------------------- q32
+    QueryDef(
+      "q32_recursive_cte",
+      Some(Relational2.recursiveSql),
+      (s, d) => {
+        events(s, d).createOrReplaceTempView("events")
+        s.sql(Relational2.recursiveSql)
       })
   )
 }
