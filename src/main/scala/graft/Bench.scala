@@ -32,7 +32,13 @@ object Bench {
     // per-query numbers feed round-over-round regression tracking.
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(v => v.trim.toIntOption).getOrElse(3).max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset for local iteration (same contract as Verify's):
+    // full-surface runs remain the default for round artifacts.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       runOnce(fn)
       val times = Seq.fill(nRuns) {
         val t0 = System.nanoTime()
@@ -49,7 +55,7 @@ object Bench {
     val fullJson = results.map { case (k, v) => s"\"$k\":" + v }
       .mkString(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":{""", ",", s"""},"sf":"$sfDir"}""")
     val fullPath = java.nio.file.Paths.get("docs/bench_full.json")
-    try {
+    if (only.isEmpty) try {
       java.nio.file.Files.createDirectories(fullPath.getParent)
       java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
