@@ -443,6 +443,91 @@ object TextAnalysis {
               ($"m".cast("double") * $"c1".cast("double") * $"c2".cast("double"))).as("lift"))
           .orderBy($"lift".desc, $"w1", $"w2")
           .limit(20)
+      }),
+
+    // ------------------------------------------------------- BPE trainer
+    // Three iterations of byte-pair-encoding merge training, in-engine:
+    // the corpus reduces ONCE to the (word, freq) vocabulary table (the
+    // standard BPE input — bounded by vocabulary size, not corpus
+    // size), then each iteration counts adjacent symbol pairs weighted
+    // by word frequency, picks the most frequent (ties on the pair
+    // strings), and merges it corpus-wide. Symbol sequences live in a
+    // delimiter-wrapped string ("_a__b__c_"); the merge is ONE
+    // `replace('_a__b_' → '_ab_')`, whose left-to-right
+    // scan-after-replacement semantics were verified identical in Spark
+    // and DuckDB (so "_a__a__a_" greedily merges to "_aa__a_" in both).
+    // Each iteration is a full hash aggregation over the vocab table +
+    // a 1-row broadcast — the distributed-training shape of
+    // sim_ivf_kmeans_ann applied to tokenizer induction, and like it
+    // the oracle mirrors every iteration (unrolled CTEs), so the
+    // trained merges themselves are hash-checked.
+    QueryDef(
+      "ta_bpe_merges", {
+        def iterCte(k: Int): String = {
+          val prev = s"s${k - 1}"
+          s"""pairs$k AS (
+          SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt FROM (
+            SELECT freq, syms, unnest(range(1, len(syms))) AS i
+            FROM (SELECT freq, string_split(trim(seq, '_'), '__') AS syms FROM $prev))
+          GROUP BY 1, 2),
+        best$k AS (
+          SELECT a, b, cnt FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
+        s$k AS (
+          SELECT word, freq,
+                 replace(seq, '_' || x.a || '__' || x.b || '_', '_' || x.a || x.b || '_') AS seq
+          FROM $prev, best$k x)"""
+        }
+        Some(s"""
+        WITH words AS (
+          SELECT word, COUNT(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE length(word) >= 1 GROUP BY word),
+        s0 AS (
+          SELECT word, freq,
+                 '_' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '__') || '_' AS seq
+          FROM words),
+        ${(1 to 3).map(iterCte).mkString(",\n        ")}
+        SELECT * FROM (
+          SELECT 1 AS iter, a, b, CAST(cnt AS BIGINT) AS pair_count FROM best1
+          UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM best2
+          UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM best3)
+        ORDER BY iter
+      """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val words = documents(s, d)
+          .select(explode(split($"text", " ")).as("word"))
+          .filter(length($"word") >= 1)
+          .groupBy($"word").agg(count(lit(1)).as("freq"))
+        var seqs = words.select($"word", $"freq",
+          concat(lit("_"),
+            array_join(transform(sequence(lit(1), length($"word")),
+              i => $"word".substr(i, lit(1))), "__"),
+            lit("_")).as("seq"))
+        val bests = (1 to 3).map { k =>
+          val pairs = seqs
+            .select($"freq", split(expr("trim(BOTH '_' FROM seq)"), "__").as("syms"))
+            .filter(size($"syms") >= 2)
+            .select($"freq", $"syms",
+              explode(sequence(lit(1), size($"syms") - 1)).as("i"))
+            .select(element_at($"syms", $"i").as("a"),
+              element_at($"syms", $"i" + 1).as("b"), $"freq")
+            .groupBy($"a", $"b").agg(sum($"freq").as("cnt"))
+          // 1-row model state, consumed by the merge AND the output —
+          // checkpoint so the pair aggregation runs once per iteration
+          val best = pairs.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+            .localCheckpoint()
+          seqs = seqs.crossJoin(
+              broadcast(best.select($"a".as("ba"), $"b".as("bb"))))
+            .select($"word", $"freq",
+              call_function("replace", $"seq",
+                concat(lit("_"), $"ba", lit("__"), $"bb", lit("_")),
+                concat(lit("_"), $"ba", $"bb", lit("_"))).as("seq"))
+          best.select(lit(k).as("iter"), $"a", $"b",
+            $"cnt".cast("long").as("pair_count"))
+        }
+        bests.reduce(_ union _).orderBy($"iter")
       })
   )
 }
