@@ -65,12 +65,14 @@ object Dedup {
       .select(col("doc_id"), shingleUdf(col("text")).as("shs"))
       .filter(col("shs").isNotNull)
 
-  private val sqlShingles = """
+  private def sqlShinglesFrom(src: String) = s"""
     SELECT doc_id, unnest(list_distinct(list_transform(
              range(1, len(string_split(text, ' '))),
              i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]))) AS sh
-    FROM documents
+    FROM $src
     WHERE len(string_split(text, ' ')) >= 2"""
+
+  private val sqlShingles = sqlShinglesFrom("documents")
 
   /** MinHash signatures: one row per doc with mh0..mh7. The base md5 is
     * projected once per shingle row; the 8 universal hashes are cheap
@@ -216,15 +218,16 @@ object Dedup {
       .filter(col("jac") >= 0.7)
 
   /** SQL mirror of [[minhashLshPairs]]: CTE chain ending in
-    * `pairs(i, j, jac)`. Splice with `WITH $sqlLshPairsCtes, ...`. */
-  private def sqlLshPairsCtes: String = {
+    * `pairs(i, j, jac)`. Splice with `WITH $sqlLshPairsCtes, ...`;
+    * `src` names the (doc_id, text) relation to deduplicate. */
+  private[operators] def sqlLshPairsCtes(src: String = "documents"): String = {
     val h = sqlH32("sh")
     val minAggs = minhashParams.indices
       .map(i => s"MIN(${sqlUhash(h, i)}) AS mh$i").mkString(", ")
     val bandSelects = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band_no, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sigs")
       .mkString(" UNION ALL ")
-    s"""sh AS ($sqlShingles),
+    s"""sh AS (${sqlShinglesFrom(src)}),
           sigs AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
           bands AS ($bandSelects),
           cand AS (
@@ -417,7 +420,7 @@ object Dedup {
     QueryDef(
       "dd_minhash_lsh",
       Some(s"""
-        WITH $sqlLshPairsCtes
+        WITH ${sqlLshPairsCtes()}
         SELECT i, j, jac FROM pairs
         ORDER BY i, j
       """.trim),
@@ -430,7 +433,7 @@ object Dedup {
     QueryDef(
       "dd_dup_clusters",
       Some(s"""
-        WITH RECURSIVE $sqlLshPairsCtes,
+        WITH RECURSIVE ${sqlLshPairsCtes()},
         edges AS (SELECT i AS a, j AS b FROM pairs
                   UNION ALL SELECT j, i FROM pairs),
         walk(a, b) AS (

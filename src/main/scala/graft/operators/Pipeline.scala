@@ -23,14 +23,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Pipeline {
 
-  val defs: Seq[QueryDef] = Seq(
-    QueryDef(
-      "pl_corpus_curation", {
-        val sw = TextFunctions.englishStopwords.toSeq.sorted
-          .map(w => s"'$w'").mkString(", ")
-        val h = PortableHash.sqlH32("text")
-        Some(s"""
-          WITH scored AS (
+  /** The quality-scoring CTE shared by both curation pipelines. */
+  private def scoredSql: String = {
+    val sw = TextFunctions.englishStopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""scored AS (
             SELECT doc_id, text,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(CASE WHEN len(string_split(text, ' ')) >= 20 THEN 0.5 ELSE 0.0 END
@@ -39,7 +36,32 @@ object Pipeline {
                     + CASE WHEN ((length(text) - len(string_split(text, ' ')) + 1) * 1.0
                                    / len(string_split(text, ' '))) BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END
                       AS DOUBLE) AS quality
-            FROM documents),
+            FROM documents)"""
+  }
+
+  /** Spark twin of [[scoredSql]] — (doc_id, text, n_tokens, quality). */
+  private def qualityScored(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sw = TextFunctions.englishStopwords.toSeq.sorted
+    docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("text"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(filter(col("tk"), t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
+          / size(col("tk"))).as("stop_ratio"),
+        ((length(col("text")) - size(col("tk")) + 1) * lit(1.0) / size(col("tk"))).as("mean_token_len"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 20, 0.5).otherwise(0.0)
+          + when(col("stop_ratio").between(0.01, 0.6), 0.3).otherwise(0.0)
+          + when(col("mean_token_len").between(3.0, 10.0), 0.2).otherwise(0.0))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "pl_corpus_curation", {
+        val h = PortableHash.sqlH32("text")
+        Some(s"""
+          WITH $scoredSql,
           kept AS (SELECT * FROM scored WHERE quality >= 0.7),
           canonical AS (
             SELECT doc_id, n_tokens, quality,
@@ -54,19 +76,7 @@ object Pipeline {
       },
       (s, d) => {
         import s.implicits._
-        val sw = TextFunctions.englishStopwords.toSeq.sorted
-        val scored = documents(s, d)
-          .select($"doc_id", $"text", split($"text", " ").as("tk"))
-          .select($"doc_id", $"text",
-            size($"tk").cast("long").as("n_tokens"),
-            (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
-              / size($"tk")).as("stop_ratio"),
-            ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_token_len"))
-          .withColumn("quality",
-            when($"n_tokens" >= 20, 0.5).otherwise(0.0)
-              + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
-              + when($"mean_token_len".between(3.0, 10.0), 0.2).otherwise(0.0))
-        scored
+        qualityScored(documents(s, d))
           .filter($"quality" >= 0.7)
           .withColumn("canon", min($"doc_id").over(Window.partitionBy(md5($"text"))))
           .withColumn("bucket", PortableHash.h32($"text") % 100)
@@ -266,6 +276,59 @@ object Pipeline {
             count(lit(1)).over(wc).as("n"))
           .filter($"rn" <= ceil(lit(0.1) * $"n").cast("long"))
           .select($"doc_id", $"lang")
+          .orderBy($"doc_id")
+      }),
+
+    // ------------------------------------------- near-dup-aware curation
+    // The curation pipeline upgraded from exact to NEAR-duplicate
+    // canonicalization: quality filter → banded-MinHash candidate pairs
+    // + distributed exact Jaccard verify (≥ 0.7) over the KEPT subset →
+    // connected-component cluster representatives → content-hash
+    // sample. Every stage is the oracle-checked stand-alone operator
+    // (ta_quality_score / dd_minhash_lsh / dd_dup_clusters /
+    // ta_det_sample) composed into one dataflow; the oracle replays the
+    // same chain with the recursive-CTE closure. This is the pipeline a
+    // pretraining corpus actually runs — exact dedup misses the planted
+    // near-dups that this keeps exactly one representative of.
+    QueryDef(
+      "pl_curation_v2", {
+        val h = PortableHash.sqlH32("text")
+        Some(s"""
+          WITH RECURSIVE $scoredSql,
+          kept AS (SELECT doc_id, text, n_tokens, quality FROM scored WHERE quality >= 0.7),
+          ${Dedup.sqlLshPairsCtes("kept")},
+          edges AS (SELECT i AS a, j AS b FROM pairs
+                    UNION ALL SELECT j, i FROM pairs),
+          walk(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          mins AS (SELECT a AS doc_id, MIN(b) AS mn FROM walk GROUP BY a),
+          reps AS (
+            SELECT k.doc_id, k.n_tokens, k.quality, k.text,
+                   COALESCE(LEAST(k.doc_id, m.mn), k.doc_id) AS rep
+            FROM kept k LEFT JOIN mins m ON k.doc_id = m.doc_id)
+          SELECT doc_id, n_tokens, quality, CAST($h % 100 AS BIGINT) AS bucket
+          FROM reps
+          WHERE doc_id = rep AND $h % 100 < 50
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val kept = qualityScored(documents(s, d))
+          .filter($"quality" >= 0.7)
+          .select($"doc_id", $"text", $"n_tokens", $"quality")
+          // feeds shingling (twice: signatures + verify) AND the final
+          // join — materialize the scored subset once
+          .localCheckpoint()
+        val pairs = Dedup.minhashLshPairs(kept.select($"doc_id", $"text"))
+        val clusters = Dedup.duplicateClusters(kept.select($"doc_id", $"text"), pairs)
+        kept.join(clusters, "doc_id")
+          .filter($"doc_id" === $"cluster_rep")
+          .withColumn("bucket", PortableHash.h32($"text") % 100)
+          .filter($"bucket" < 50)
+          .select($"doc_id", $"n_tokens", $"quality", $"bucket")
           .orderBy($"doc_id")
       })
   )
