@@ -105,6 +105,101 @@ object SimpleRag {
             col("tf").cast("double") * col("n_docs") / col("df"), scale = 6).as("score"))
           .orderBy(desc("score"), asc("doc_id"))
           .limit(10)
-      })
+      }),
+
+    // Inverted index construction — the retrieval artifact itself as a
+    // table: per token, document frequency, total term frequency, and
+    // the head of the (doc_id-ordered) posting list. One explode + one
+    // distinct + windowed head-capping; at scale the index IS this
+    // table partitioned by token, and writing it bucketed-by-token
+    // makes query-time lookups shuffle-free. Postings are capped at 20
+    // ids per token because this corpus's 30-word vocabulary puts
+    // nearly every doc in every posting list (natural corpora are the
+    // opposite: long-tail tokens, short lists).
+    QueryDef(
+      "rag_inverted_index",
+      Some("""
+        WITH p AS (
+          SELECT DISTINCT tok, doc_id
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+        tf AS (
+          SELECT tok, COUNT(*) AS tf_total
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        ranked AS (
+          SELECT tok, doc_id,
+                 row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY tok) AS df
+          FROM p)
+        SELECT r.tok, CAST(r.df AS BIGINT) AS df,
+               CAST(t.tf_total AS BIGINT) AS tf_total,
+               string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS head_postings
+        FROM ranked r JOIN tf t ON r.tok = t.tok
+        WHERE r.rn <= 20
+        GROUP BY r.tok, r.df, t.tf_total
+        ORDER BY r.tok
+      """.trim),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf_total"))
+        val p = toks.distinct()
+        val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+        val wc = Window.partitionBy(col("tok"))
+        p.withColumn("rn", row_number().over(w))
+          .withColumn("df", count(lit(1)).over(wc))
+          .filter(col("rn") <= 20)
+          .groupBy(col("tok"), col("df"))
+          .agg(array_join(
+            transform(array_sort(collect_list(col("doc_id"))), x => x.cast("string")),
+            ",").as("head_postings"))
+          .join(tf, "tok")
+          .select(col("tok"), col("df"), col("tf_total"), col("head_postings"))
+          .orderBy(col("tok"))
+      }),
+
+    // Positional phrase search: exact occurrence counts of the 2-token
+    // phrase "table hash" per document. When documents are rows, the
+    // positional-index intersection reduces to a row-local adjacent
+    // scan — zero shuffles, the filter rides the scan projection (the
+    // join form only pays off once the inverted index above is the
+    // stored artifact). Single-pass UDF for the same CollapseProject
+    // reason as the shingle builder: the expression form re-splits the
+    // text per position.
+    QueryDef(
+      "rag_phrase_search",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        c AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(range(1, len(tk)),
+                      i -> tk[i] = 'table' AND tk[i+1] = 'hash')) AS BIGINT) AS n_occ
+          FROM toks)
+        SELECT doc_id, n_occ FROM c WHERE n_occ > 0
+        ORDER BY doc_id
+      """.trim),
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"),
+            phraseCountUdf(col("text"), lit("table"), lit("hash")).as("n_occ"))
+          .filter(col("n_occ") > 0)
+          .orderBy(col("doc_id")))
   )
+
+  /** Adjacent-bigram occurrence counter, single-pass (mirrors the
+    * oracle's `list_filter(range(...), i -> tk[i]=a AND tk[i+1]=b)`). */
+  private val phraseCountUdf = udf { (text: String, a: String, b: String) =>
+    if (text == null) 0L
+    else {
+      val tk = text.split(" ", -1)
+      var n = 0L
+      var i = 0
+      while (i < tk.length - 1) {
+        if (tk(i) == a && tk(i + 1) == b) n += 1
+        i += 1
+      }
+      n
+    }
+  }
 }
