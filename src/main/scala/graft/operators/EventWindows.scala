@@ -146,6 +146,60 @@ object EventWindows {
           .orderBy($"user_id", $"session_start")
       }),
 
+    // DYNAMIC-gap session windows: each event extends its session by a
+    // gap that depends on the event itself (purchases hold a session
+    // open for an hour, everything else 15 minutes) — the native
+    // `session_window(ts, gapExpr)` form. The oracle is an independent
+    // formulation of Spark's EXACT merge semantics: an event joins the
+    // current session iff its time is AT OR before the running MAX of
+    // (member time + member gap) — a windowed running max instead of
+    // the static twin's lag-diff. The boundary is INCLUSIVE (t ==
+    // session end merges): verified empirically at sf0.1, where two
+    // exact-boundary events split under a strict formulation and
+    // merged under Spark — matching the static twin's `diff > gap`
+    // convention.
+    QueryDef(
+      "ev_session_dynamic",
+      Some(s"""
+        WITH ordered AS (
+          SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 CASE WHEN event_type = 'purchase' THEN 3600 ELSE 900 END AS gap
+          FROM events),
+        ends AS (
+          SELECT user_id, event_id, value, t,
+                 MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM ordered),
+        flagged AS (
+          SELECT user_id, event_id, value, t,
+                 CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END AS is_new
+          FROM ends),
+        sessions AS (
+          SELECT user_id, value, t,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM flagged)
+        SELECT user_id, MIN(t) AS session_start, COUNT(*) AS n_events,
+               ${sqlSum("value")} AS value_sum
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_start
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .withColumn("tsec", timestamp_seconds(unix_timestamp($"ts")))
+          .groupBy($"user_id", session_window($"tsec",
+            when($"event_type" === "purchase", "3600 seconds")
+              .otherwise("900 seconds")))
+          .agg(count(lit(1)).as("n_events"), dsum($"value").as("value_sum"))
+          .select($"user_id",
+            unix_timestamp($"session_window.start").as("session_start"),
+            $"n_events", $"value_sum")
+          .orderBy($"user_id", $"session_start")
+      }),
+
     // Session-shape histogram: how long are sessions, in events and in
     // wall seconds? Built on the same gaps-and-islands chain as
     // ev_session_window, then ONE more aggregation from session rows
