@@ -47,6 +47,20 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"), col("value_sum"))
 
+  /** DYNAMIC-gap session windows (batch twin: ev_session_dynamic): each
+    * event holds its session open by a per-event gap expression — the
+    * state store merges exactly as the batch operator does, so the
+    * stream converges to the batch result (pinned in StreamingSpec). */
+  def sessionCountsDynamic(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", "60 minutes")
+          .otherwise("15 minutes")))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("value_sum"))
+
   /** One analysis event flowing into the memory state operator: the
     * parsed outcome of a provider call for one session batch (ST2). */
   final case class AnalysisEvent(

@@ -199,6 +199,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == 3) // two sessions for user 1, one for user 2
   }
 
+  test("dynamic-gap streaming session windows converge to the batch formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: a purchase holds the session open 60 min (event at +40
+    // still merges); user 2: a view's 15-min gap closes before +40
+    val data = Seq(
+      (at(10, 0), 1L, "purchase", 1.0), (at(10, 40), 1L, "view", 2.0),
+      (at(10, 0), 2L, "view", 3.0), (at(10, 40), 2L, "view", 4.0))
+    val sentinel = (at(20, 0), 99L, "view", 0.0)
+    val stream = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = Streams.sessionCountsDynamic(
+        stream.toDF.toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("session_dyn_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      stream.addData(Seq(sentinel))
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"user_id" =!= 99L)
+      .select($"user_id", $"session_start", $"n_events", $"value_sum")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = key(spark.table("session_dyn_test"))
+    val batch = key(Streams.sessionCountsDynamic(
+      (data :+ sentinel).toDF("ts", "user_id", "event_type", "value")))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed.size == 3) // user 1 merged by the purchase gap; user 2 split
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
