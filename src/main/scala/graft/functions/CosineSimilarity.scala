@@ -98,6 +98,9 @@ object GraftFunctions {
   private val jaccardInfo = new ExpressionInfo(
     classOf[JaccardSimilarity].getName, "jaccard_sim")
 
+  private val containmentInfo = new ExpressionInfo(
+    classOf[ContainmentSimilarity].getName, "containment_sim")
+
   /** Idempotent in-session registration (for sessions built without
     * extensions — tests, the driver harness). */
   def register(spark: SparkSession): Unit = {
@@ -107,6 +110,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("jaccard_sim"), jaccardInfo,
       (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("containment_sim"), containmentInfo,
+      (args: Seq[Expression]) => ContainmentSimilarity(args(0), args(1)))
   }
 }
 
@@ -125,6 +131,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sim"),
       new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
       (args: Seq[Expression]) => JaccardSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("containment_sim"),
+      new ExpressionInfo(classOf[ContainmentSimilarity].getName, "containment_sim"),
+      (args: Seq[Expression]) => ContainmentSimilarity(args(0), args(1))))
     // declarative HOF cosine → fused codegen loop (bit-exact rewrite)
     ext.injectOptimizerRule(_ => graft.plans.RewriteCosine)
     // composed size(array_intersect)/union-size Jaccard → fused pass

@@ -456,6 +456,45 @@ object Dedup {
           .orderBy(col("doc_id"))
       }),
 
+    // Asymmetric overlap report over the near-dup pairs: containment
+    // |A∩B|/|A| in BOTH directions (native codegen'd `containment_sim`,
+    // same single-pass hash-set design as jaccard_sim). Jaccard is
+    // symmetric and misses WHICH side is the quote/template/subset;
+    // containment ≥ 0.9 on one side flags it. Candidates here are the
+    // Jaccard-banded near-dup pairs — for extreme-asymmetry pairs
+    // (tiny A inside huge B, LOW Jaccard) the guaranteed-recall
+    // generator is a prefix filter on the contained side's rarest
+    // (1−t)·|A|+1 shingles, the [[prefixFilterJaccard]] construction
+    // with the containment overlap bound; on this corpus (931-shingle
+    // vocabulary) that join degenerates, as documented there.
+    QueryDef(
+      "dd_containment",
+      Some(s"""
+        WITH ${sqlLshPairsCtes()}
+        SELECT m.i, m.j,
+               m.common * 1.0 / sa.n AS cont_i,
+               m.common * 1.0 / sb.n AS cont_j,
+               (m.common * 1.0 / sa.n >= 0.9 OR m.common * 1.0 / sb.n >= 0.9) AS subset_like
+        FROM common m
+        JOIN sizes sa ON m.i = sa.doc_id
+        JOIN sizes sb ON m.j = sb.doc_id
+        JOIN pairs p ON p.i = m.i AND p.j = m.j
+        ORDER BY m.i, m.j
+      """.trim),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = documents(s, d)
+        val arrs = shingleArrays(docs)
+        minhashLshPairs(docs).select(col("i"), col("j"))
+          .join(arrs.select(col("doc_id").as("i"), col("shs").as("sha")), "i")
+          .join(arrs.select(col("doc_id").as("j"), col("shs").as("shb")), "j")
+          .select(col("i"), col("j"),
+            call_function("containment_sim", col("sha"), col("shb")).as("cont_i"),
+            call_function("containment_sim", col("shb"), col("sha")).as("cont_j"))
+          .withColumn("subset_like", col("cont_i") >= 0.9 || col("cont_j") >= 0.9)
+          .orderBy(col("i"), col("j"))
+      }),
+
     // SimHash signatures (32-bit): per-token hash bit votes → sign bits.
     QueryDef(
       "dd_simhash", {

@@ -65,6 +65,30 @@ class OperatorsSpec extends SparkSpec {
     assert(edge.isNaN)
   }
 
+  test("dedup: native containment_sim is bit-identical to the composed form, and asymmetric") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val arrs = Dedup.shingleArrays(sources.Tables.documents(spark, sf))
+    val pairs = arrs.as("x").join(arrs.as("y"),
+        col("x.doc_id") < col("y.doc_id") && col("y.doc_id") < col("x.doc_id") + 7)
+      .select(col("x.shs").as("sha"), col("y.shs").as("shb"))
+    val both = pairs.select(
+        call_function("containment_sim", $"sha", $"shb").as("native"),
+        (size(array_intersect($"sha", $"shb")) * lit(1.0) / size($"sha")).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // subset: contained side scores 1.0, container side |A|/|B|
+    val sub = Seq((Array("a_b", "b_c"), Array("a_b", "b_c", "c_d", "d_e"))).toDF("a", "b")
+      .select(call_function("containment_sim", $"a", $"b").as("ab"),
+        call_function("containment_sim", $"b", $"a").as("ba"))
+      .head()
+    assert(sub.getDouble(0) == 1.0 && sub.getDouble(1) == 0.5)
+  }
+
   test("dedup: duplicate clusters are consistent with their pair set") {
     val docs = sources.Tables.documents(spark, sf)
     val pairs = Dedup.minhashLshPairs(docs)
