@@ -330,6 +330,45 @@ object Pipeline {
           .filter($"bucket" < 50)
           .select($"doc_id", $"n_tokens", $"quality", $"bucket")
           .orderBy($"doc_id")
+      }),
+
+    // --------------------------------------------------- token budgeting
+    // Greedy selection under a token budget: rank documents by value
+    // density (quality per token, ties on doc_id), admit while the
+    // running token total stays within budget — the knapsack relaxation
+    // every "fit the best data into N tokens" run uses. The running
+    // total is [[globalRunningSum]] (range shards + per-shard prefix
+    // sums + shard offsets), NEVER a single-partition global window —
+    // the same two-phase shape as [[globalRank]], with one long per
+    // shard of driver traffic.
+    QueryDef(
+      "pl_token_budget",
+      Some(s"""
+        WITH $scoredSql,
+        dens AS (
+          SELECT doc_id, n_tokens, quality,
+                 quality / n_tokens AS density
+          FROM scored WHERE n_tokens > 0),
+        run AS (
+          SELECT doc_id, n_tokens, quality,
+                 SUM(n_tokens) OVER (ORDER BY density DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM dens)
+        SELECT doc_id, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM run
+        WHERE cum_tokens <= 10000
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val dens = qualityScored(documents(s, d))
+          .filter($"n_tokens" > 0)
+          .select($"doc_id", $"n_tokens", $"quality",
+            ($"quality" / $"n_tokens").as("density"))
+        globalRunningSum(dens, Seq($"density".desc, $"doc_id"), col("n_tokens"))
+          .filter($"run_sum" <= 10000)
+          .select($"doc_id", $"n_tokens", $"quality", $"run_sum".as("cum_tokens"))
+          .orderBy($"doc_id")
       })
   )
 
@@ -378,5 +417,29 @@ object Pipeline {
       .withColumn("rank",
         element_at(offsetMap, col("pid")) + row_number().over(w).cast("long") - 1L)
       .drop("pid")
+  }
+
+  /** Scale-safe global running sum of a LONG column in a total order:
+    * the [[globalRank]] construction with per-shard prefix sums and
+    * per-shard value-total offsets. `run_sum` on each row equals the
+    * single-partition `SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
+    * PRECEDING)`; driver traffic is one long per shard. */
+  def globalRunningSum(df: org.apache.spark.sql.DataFrame,
+                       order: Seq[org.apache.spark.sql.Column],
+                       value: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rsv", value.cast("long"))
+      .localCheckpoint()
+    val totals = ranged.groupBy(col("pid")).agg(sum(col("rsv")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L)((acc, i) => acc + totals.getOrElse(i, 0L))
+    val offsetMap = typedLit((0 until p).map(i => i -> offsets(i)).toMap)
+    val w = Window.partitionBy(col("pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("run_sum", element_at(offsetMap, col("pid")) + sum(col("rsv")).over(w))
+      .drop("pid", "rsv")
   }
 }

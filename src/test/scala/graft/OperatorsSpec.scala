@@ -315,6 +315,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum equals the single-partition running sum on every row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong, ((i * 7) % 23).toLong)).toDF("id", "v")
+      .repartition(7)
+    val got = Pipeline.globalRunningSum(df, Seq($"v".desc, $"id"), $"v")
+      .select($"id", $"run_sum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.select($"id",
+        sum($"v").over(Window.orderBy($"v".desc, $"id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q09_top_events_by_value")(spark, sf)
       .queryExecution.executedPlan.toString
