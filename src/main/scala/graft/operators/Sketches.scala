@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.functions.PortableHash
-import graft.sources.Tables.{customer, events}
+import graft.sources.Tables.{customer, events, orders}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -252,6 +252,67 @@ object Sketches {
             col("probes"), col("exact_members"), col("bloom_positives"),
             col("false_positives"), col("false_negatives"))
           .orderBy(col("nation"))
+      }),
+
+    // Bloom-filter JOIN pre-filtering — the runtime-filter pattern that
+    // matters at 100 TB: the small side's key set compresses to a
+    // broadcastable bit table; the fact side drops non-members BEFORE
+    // its shuffle, so the join exchanges only (true matches + false
+    // positives) instead of the whole fact table. The row hash-checks
+    // the guarantee that makes the pattern safe (no false drops: the
+    // pre-filtered join count equals the plain join count) and the
+    // payoff (the filtered fraction), both as exact values.
+    QueryDef(
+      "sk_bloom_join", {
+        val pos = sqlPositions("CAST(k AS VARCHAR)")
+        Some(s"""
+          WITH members AS (
+            SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000),
+          bits AS (
+            SELECT DISTINCT UNNEST($pos) AS pos FROM members),
+          probe AS (
+            SELECT o_orderkey AS okey, o_custkey AS k FROM orders),
+          ppos AS (
+            SELECT okey, k, UNNEST($pos) AS pos FROM probe),
+          hits AS (
+            SELECT okey, k,
+                   MIN(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) = 1 AS bloom_hit
+            FROM ppos LEFT JOIN bits USING (pos)
+            GROUP BY okey, k),
+          passed AS (SELECT okey, k FROM hits WHERE bloom_hit),
+          joined AS (SELECT COUNT(*) AS n FROM passed p JOIN members m ON p.k = m.k),
+          plain AS (SELECT COUNT(*) AS n FROM probe p JOIN members m ON p.k = m.k),
+          stats AS (SELECT COUNT(*) AS n_orders,
+                           (SELECT COUNT(*) FROM passed) AS n_passed
+                    FROM probe)
+          SELECT CAST(stats.n_orders AS BIGINT) AS n_orders,
+                 CAST(stats.n_passed AS BIGINT) AS n_passed,
+                 CAST(joined.n AS BIGINT) AS n_joined,
+                 joined.n = plain.n AS no_false_drops,
+                 (stats.n_orders - stats.n_passed) * 1.0 / stats.n_orders AS filtered_frac
+          FROM stats, joined, plain
+        """.trim)
+      },
+      (s, d) => {
+        val members = customer(s, d).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey").as("key"))
+        val bits = bloomBuild(members)
+        val probe = orders(s, d)
+          .select(col("o_orderkey").as("okey"), col("o_custkey").as("key"))
+        val flagged = bloomProbe(probe, bits).localCheckpoint()
+        val passed = flagged.filter(col("bloom_hit"))
+        val nJoined = passed.join(members, "key")
+          .agg(count(lit(1)).as("n_joined"))
+        val nPlain = probe.join(members, "key")
+          .agg(count(lit(1)).as("n_plain"))
+        val stats = flagged.agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_passed"))
+        stats.crossJoin(nJoined).crossJoin(nPlain)
+          .select(col("n_orders"), col("n_passed"), col("n_joined"),
+            (col("n_joined") === col("n_plain")).as("no_false_drops"),
+            ((col("n_orders") - col("n_passed")) * lit(1.0) / col("n_orders"))
+              .as("filtered_frac"))
       })
   )
 }
