@@ -71,7 +71,8 @@ object Bench {
       "ta_token_stats", "ta_ngram_lang_id", "ta_quality_score",
       "rag_tfidf_topk", "ts_resample_ffill", "ts_user_similarity",
       "ev_session_window", "pl_corpus_curation", "gx_pagerank",
-      "gx_triangles", "sk_countmin", "cl_commit_log")
+      "gx_triangles", "sk_countmin", "cl_commit_log",
+      "ta_bpe_merges", "pl_curation_v2", "q32_recursive_cte")
     val resMap = results.toMap
     val qs = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + r3(v)))
       .mkString("{", ",", "}")
