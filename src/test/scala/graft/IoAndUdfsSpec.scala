@@ -58,6 +58,18 @@ class IoAndUdfsSpec extends SparkSpec {
     assert(out.forall(r => r.completion == IdentityProvider.generateResponse(r.prompt)))
   }
 
+  test("documents round-trip through JSONL bit-exactly (S1/S2 on the corpus)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    docs.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() == docs.count())
+    // exceptAll both ways = multiset equality, column-by-column
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("registered UDFs work from spark.sql (§2.10)") {
     graft.functions.Udfs.registerAll(spark)
     val r = spark.sql(
