@@ -528,6 +528,46 @@ object TextAnalysis {
             $"cnt".cast("long").as("pair_count"))
         }
         bests.reduce(_ union _).orderBy($"iter")
+      }),
+
+    // Vocabulary coverage curve: the tokens that carry the first 90% of
+    // corpus mass, with each one's cumulative share — the readout that
+    // sizes a tokenizer's vocabulary. The cumulative sum is
+    // [[Pipeline.globalRunningSum]] in (count desc, token) order —
+    // range-sharded prefix sums, no single-partition window — so the
+    // same query shapes a 10-billion-type vocabulary; the share
+    // divisions are exact integers in IEEE doubles.
+    QueryDef(
+      "ta_vocab_coverage",
+      Some("""
+        WITH wc AS (
+          SELECT tok, COUNT(*) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM wc),
+        run AS (
+          SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+                 CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM wc)
+        SELECT tok, cnt, cum_tokens,
+               cum_tokens * 1.0 / tot.m AS cum_share
+        FROM run, tot
+        WHERE (cum_tokens - cnt) * 1.0 / tot.m < 0.9
+        ORDER BY cum_tokens
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val wc = documents(s, d)
+          .select(explode(split($"text", " ")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        val tot = wc.agg(sum($"cnt").as("m"))
+        Pipeline.globalRunningSum(wc, Seq($"cnt".desc, $"tok"), $"cnt")
+          .crossJoin(broadcast(tot))
+          .filter(($"run_sum" - $"cnt") * lit(1.0) / $"m" < 0.9)
+          .select($"tok", $"cnt", $"run_sum".as("cum_tokens"),
+            ($"run_sum" * lit(1.0) / $"m").as("cum_share"))
+          .orderBy($"cum_tokens")
       })
   )
 }
