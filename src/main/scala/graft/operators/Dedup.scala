@@ -247,46 +247,69 @@ object Dedup {
             WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7)"""
   }
 
+  /** Large-star step (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): for every node u, connect each strictly
+    * LARGER neighbor to m = min(N(u) ∪ {u}). One hash-partitioned
+    * groupBy (the per-node min) + one equi-join — no single-partition
+    * state anywhere. Output edges are oriented big→small (u > v). */
+  private def ccLargeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star step: edges arrive oriented u > v; connect u and every
+    * neighbor except the minimum to m = min(N(u)). Same shuffle shape
+    * as [[ccLargeStar]]; output stays big→small. */
+  private def ccSmallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    e.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components via
-    * iterative min-label propagation (the standard distributed CC —
-    * every step is a key-shuffled join/aggregate; labels are
-    * `localCheckpoint`ed per iteration to truncate lineage and the loop
-    * runs to the fixpoint, which for min-label propagation is unique —
-    * deterministic regardless of execution order). A 100 TB dedup needs
-    * cluster representatives, not just pairs: "keep min doc_id per
-    * component" is the canonical keep-one policy. Singletons are their
-    * own representative. */
+    * alternating large-star/small-star (Kiveris et al., SoCC'14).
+    * Every step is a hash-partitioned groupBy + equi-join over the edge
+    * list — no driver-side graph, no single-partition label state — so
+    * the loop survives web-scale dup rates (20–50% duplicates ⇒
+    * billions of edges) where a coalesced min-label loop funnels the
+    * whole edge set through one task. Converges in O(log² n) rounds;
+    * each round is `localCheckpoint`ed to truncate lineage. At the
+    * fixpoint every edge points directly at its component's minimum
+    * node, i.e. the edge set IS the (node → representative) labeling —
+    * and that fixpoint is unique, so the result is deterministic.
+    * Convergence is detected by exact set equality (same count and
+    * same distinct-union count), not a hash checksum. A 100 TB dedup
+    * needs cluster representatives, not just pairs: "keep min doc_id
+    * per component" is the canonical keep-one policy. The (vastly
+    * larger) singleton set never enters the loop — it joins back after
+    * the fixpoint with rep = doc_id. */
   def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    // Only edge endpoints participate in propagation — the (vastly
-    // larger) singleton set joins back in after the fixpoint with
-    // rep = doc_id. The iteration state is a few hundred rows even on
-    // a corpus of billions, so it is coalesced to one partition: each
-    // step's joins then run as single-task broadcast joins instead of
-    // full-width shuffles (iteration cost ∝ |dup nodes|, not |corpus|).
-    // repartition(1), NOT coalesce(1): coalesce would collapse the whole
-    // upstream candidate-generation pipeline into a single task; the
-    // exchange keeps it parallel and only the (tiny) edge list moves.
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
-      .union(pairs.select(col("j").as("a"), col("i").as("b")))
-      .repartition(1).localCheckpoint()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("rep"))
-      .coalesce(1).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val neigh = edges
-        .join(labels.select(col("doc_id").as("b"), col("rep").as("nrep")), "b")
-        .groupBy(col("a")).agg(min(col("nrep")).as("mn"))
-      val next = labels
-        .join(neigh.select(col("a").as("doc_id"), col("mn")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("mn"), col("rep"))).as("rep"))
-        .coalesce(1).localCheckpoint()
-      changed = next
-        .join(labels.select(col("doc_id"), col("rep").as("orep")), "doc_id")
-        .filter(col("rep") =!= col("orep")).count()
-      labels = next
+    val edges0 = pairs
+      .select(col("i").as("u"), col("j").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var cur = ccSmallStar(ccLargeStar(edges0)).localCheckpoint()
+    var curCnt = cur.count()
+    var converged = curCnt == 0L
+    while (!converged) {
+      val next = ccSmallStar(ccLargeStar(cur)).localCheckpoint()
+      val nextCnt = next.count()
+      converged = nextCnt == curCnt &&
+        next.union(cur).distinct().count() == curCnt
+      cur = next
+      curCnt = nextCnt
     }
+    val labels = cur.select(col("u").as("doc_id"), col("v").as("rep"))
     val full = docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
