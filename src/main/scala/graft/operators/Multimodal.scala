@@ -291,14 +291,20 @@ object Multimodal {
       """.trim),
       (s, d) => {
         import s.implicits._
+        // ONE source scan: the exploded token stream is cached and
+        // materialized by the sketch pass; the exact (tok, freq)
+        // aggregate is computed from that cache and itself cached; and
+        // total is sum(freq) over the (vocab-sized) aggregate — not a
+        // third full scan of the stream.
         val toks = documents(s, d)
-          .select(explode(split($"text", " ")).as("tok"))
+          .select(explode(split($"text", " ")).as("tok")).cache()
         val cand = toks.as[String]
           .select(new graft.functions.MisraGries(50).toColumn)
           .head().keySet.toSeq.sorted  // <= 50 keys: bounded sketch state
-        val total = toks.count()
-        toks.groupBy($"tok").agg(count(lit(1)).as("freq"))
-          .filter($"freq" * 50 > total)
+        val exact = toks.groupBy($"tok").agg(count(lit(1)).as("freq")).cache()
+        val total = exact.agg(sum($"freq")).head().getLong(0)
+        toks.unpersist(false)
+        exact.filter($"freq" * 50 > total)
           .select($"tok", $"freq", $"tok".isin(cand: _*).as("captured"))
           .orderBy($"tok")
       })
