@@ -29,24 +29,36 @@ object Graph {
 
   /** Fixed-iteration PageRank over the bidirectional edge list.
     *
-    * Shuffle discipline: the edge list is hash-partitioned by `dst`
-    * ONCE and checkpointed; each iteration then broadcast-joins the
-    * (|nodes|-sized) rank table into it and pre-aggregates
-    * contributions map-side, so the only per-iteration exchange is the
-    * (at most |nodes|-row) contribution shuffle — never the edges.
-    * Ranks are checkpointed per iteration to cut the lazy lineage:
-    * without it, iteration i's plan embeds iteration i-1 TWICE (both
-    * joins), recomputing the chain exponentially. */
+    * Shuffle discipline: the edge list is hash-partitioned ONCE by
+    * `src` — the per-iteration join key — and cached; the rank
+    * table stays hash-partitioned by node (each iteration's aggregate
+    * emits it that way), so the rank join is a co-partitioned shuffled
+    * hash join with NO edge-side exchange, and the only per-iteration
+    * shuffle is the contribution aggregate, map-side combined to at
+    * most one row per (partition, dst). No |nodes|-sized broadcast
+    * anywhere: a billion-node rank table would kill a driver-built
+    * broadcast, while here AQE is still free to turn the rank join
+    * into a broadcast at runtime when ranks measure small — the
+    * size gate is dynamic, not asserted. Ranks are checkpointed per
+    * iteration to cut the lazy lineage: without it, iteration i's plan
+    * embeds iteration i-1 TWICE (both joins), recomputing the chain
+    * exponentially. */
   def pagerank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val e = edges.repartition(col("dst")).localCheckpoint()
+    // persist(), not localCheckpoint(), for the loop-invariant sides:
+    // under AQE a checkpoint captures the unfinalized adaptive plan's
+    // UnknownPartitioning, reintroducing an |edges| exchange per
+    // iteration, while a cached plan keeps its child's hash
+    // partitioning (and is partitioning-stable under AQE by default).
+    val e = edges.repartition(col("src")).persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = deg.select(col("src").as("node"), col("deg")).localCheckpoint()
+    val nodes = deg.select(col("src").as("node"), col("deg")).persist()
     val n = nodes.count()
     var pr = nodes.select(col("node"), col("deg"), lit(1.0 / n).as("pr"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(broadcast(pr.select(col("node").as("src"), col("deg"), col("pr"))), "src")
+        .join(pr.select(col("node").as("src"), col("deg"), col("pr"))
+          .hint("shuffle_hash"), "src")
         .select(col("dst"), (col("pr") / col("deg")).as("w"))
         .groupBy(col("dst"))
         .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("s"))
@@ -85,14 +97,16 @@ object Graph {
     * Three hash joins + one agg; nothing driver-side.
     */
   /** Canonical undirected edge list (u < v, no loops, deduped) from a
-    * raw (a, b) pair table — materialized once (the consumers below
-    * all read it multiple times; same discipline as [[pagerank]]). */
+    * raw (a, b) pair table — cached (the consumers below all read it
+    * multiple times). persist(), not an eager localCheckpoint: the
+    * cache fills lazily inside the consuming job instead of running a
+    * separate sequential materialization job per intermediate. */
   def canonicalEdges(edges: DataFrame): DataFrame =
     edges
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .persist()
 
   /** Per-node degree of a canonical edge list. */
   def degrees(e: DataFrame): DataFrame =
@@ -101,7 +115,7 @@ object Graph {
 
   def triangleCount(edges: DataFrame): DataFrame = {
     // e is consumed three times (wedges, closing join, stats) and
-    // oriented twice — canonicalEdges checkpoints it once
+    // oriented twice — canonicalEdges caches it once
     val e = canonicalEdges(edges)
     val deg = degrees(e)
     // orient by (deg, id): src = smaller endpoint under that total order
@@ -113,7 +127,7 @@ object Graph {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
-      .localCheckpoint()
+      .persist()
     val w1 = oriented.select(col("src"), col("dst").as("x"))
     val w2 = oriented.select(col("src"), col("dst").as("y"))
     val wedges = w1.join(w2, "src").filter(col("x") < col("y"))
