@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Similarity.defs ++
       operators.Similarity.recallDefs ++
+      operators.Similarity.nearDupDefs ++
       operators.TextAnalysis.defs ++
       operators.EventWindows.defs ++
       operators.Multimodal.defs ++

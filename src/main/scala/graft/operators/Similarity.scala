@@ -698,6 +698,153 @@ object Similarity {
       })
   )
 
+  /** Top-nAssign coarse-centroid assignments per vector (multi-assign
+    * IVF): the linear n·k scoring pass of [[ivfAssignments]], keeping
+    * the nAssign best centroids instead of the argmax so a near-dup
+    * pair straddling a Voronoi boundary still shares a bucket. The
+    * per-vector top-n is collected map-side — the broadcast cross join
+    * emits each vector's k candidate rows consecutively, so the
+    * collect_list partial-aggregates in place and the shuffle carries
+    * one k-entry array per vector, not an n·k ranking window. Ordering
+    * (cos desc, centroid asc) matches the oracles' ROW_NUMBER. */
+  def ivfAssignTop(emb: DataFrame, nCentroids: Int, nAssign: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val centroids = broadcast(emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid"), col("embedding").as("cemb")))
+    emb.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"),
+        struct((-cosineNative(col("embedding"), col("cemb"))).as("nc"),
+          col("centroid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        slice(array_sort(collect_list(col("sc"))), 1, nAssign).as("top"))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("top.centroid")).as("centroid"))
+  }
+
+  /** IVF-bucketed near-duplicate pairs — the production-shaped variant
+    * of [[allPairsCosineDistributed]]: candidates come from a
+    * same-centroid equi-join over [[ivfAssignTop]] buckets, then exact
+    * cosine verifies candidates only. NO O(n²) operator in the plan —
+    * the scoring pass is n·k, the candidate join is bucketed, and at
+    * scale nCentroids grows with n to hold expected bucket size fixed,
+    * making candidate volume O(n·bucket·nAssign²/ k) instead of n²/2.
+    * On THIS synthetic corpus the planted near-dup cosines (0.45–0.6)
+    * sit barely above background, so pruning is weak (~48% of pairs at
+    * k=16, nAssign=3, measured recall 0.82–0.86) — the documented
+    * property of the corpus, not the plan; the recall query makes that
+    * tradeoff a checked number rather than an assertion. */
+  def ivfNearDupPairs(emb: DataFrame, nCentroids: Int, nAssign: Int,
+      minCos: Double): DataFrame = {
+    // self-joined, so cache the assignment instead of re-running the
+    // n·k scoring pass per join side
+    val assigned = ivfAssignTop(emb, nCentroids, nAssign).persist()
+    assigned.select(col("centroid"), col("vec_id").as("i"), col("embedding").as("ea"))
+      .join(assigned.select(col("centroid"), col("vec_id").as("j"), col("embedding").as("eb")),
+        Seq("centroid"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), cosineNative(col("ea"), col("eb")).as("cos"))
+      .filter(col("cos") >= minCos)
+      .dropDuplicates("i", "j")
+  }
+
+  private def sqlIvfAssignedCte(nCentroids: Int, nAssign: Int): String = s"""
+    cents AS (
+      SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < $nCentroids),
+    assigned AS (
+      SELECT vec_id, embedding, centroid FROM (
+        SELECT e.vec_id, e.embedding, c.centroid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                          c.centroid) AS rn
+        FROM embeddings e, cents c)
+      WHERE rn <= $nAssign)"""
+
+  /** The scale-path near-dup pair: IVF-bucketed candidates + verify,
+    * and the recall harness that prices the approximation against a
+    * bounded exact-truth sample. [[defs]]' `dd_embedding_neardup`
+    * stays the exact formulation (and the oracle of record). */
+  val nearDupDefs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dd_embedding_neardup_ivf",
+      Some(s"""
+        WITH ${sqlIvfAssignedCte(16, 3)},
+        scored AS (
+          SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
+                 list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+          FROM assigned a JOIN assigned b
+            ON a.centroid = b.centroid AND a.vec_id < b.vec_id)
+        SELECT i, j, cos FROM scored WHERE cos >= 0.45
+        ORDER BY i, j
+      """.trim),
+      (s, d) => ivfNearDupPairs(embeddings(s, d), nCentroids = 16, nAssign = 3, minCos = 0.45)
+        .orderBy(col("i"), col("j"))),
+    QueryDef(
+      // Recall accounting for the IVF near-dup: exact truth bounded to
+      // the i < 200 sample (a 200-row broadcast against the corpus —
+      // linear, never n²), candidate volume alongside so the
+      // speed/quality tradeoff is one checked row.
+      "dd_embedding_neardup_recall",
+      Some(s"""
+        WITH ${sqlIvfAssignedCte(16, 3)},
+        cand AS (
+          SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+          FROM assigned a JOIN assigned b
+            ON a.centroid = b.centroid AND a.vec_id < b.vec_id),
+        found AS (
+          SELECT c.i, c.j
+          FROM cand c
+          JOIN embeddings x ON x.vec_id = c.i
+          JOIN embeddings y ON y.vec_id = c.j
+          WHERE list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.45),
+        truth AS (
+          SELECT a.vec_id AS i, b.vec_id AS j
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 200
+            AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45),
+        hit AS (
+          SELECT COUNT(*) AS n_hit FROM truth t
+          WHERE EXISTS (SELECT 1 FROM found f WHERE f.i = t.i AND f.j = t.j))
+        SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cands,
+               CAST((SELECT COUNT(*) FROM found) AS BIGINT) AS n_found,
+               CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+               CAST((SELECT n_hit FROM hit) AS BIGINT) AS n_hit,
+               CAST((SELECT n_hit FROM hit) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth) AS recall
+      """.trim),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = embeddings(s, d)
+        val assigned = ivfAssignTop(emb, 16, 3).persist()
+        // each intermediate feeds two consumers (a count + a join) —
+        // checkpoint so the candidate join and verify run once
+        val cand = assigned.select(col("centroid"), col("vec_id").as("i"))
+          .join(assigned.select(col("centroid"), col("vec_id").as("j")), Seq("centroid"))
+          .filter(col("i") < col("j"))
+          .select(col("i"), col("j")).distinct().localCheckpoint()
+        val found = cand
+          .join(emb.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+          .join(emb.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+          .filter(cosineNative(col("ea"), col("eb")) >= 0.45)
+          .select(col("i"), col("j")).localCheckpoint()
+        val truth = broadcast(emb.filter(col("vec_id") < 200)
+            .select(col("vec_id").as("i"), col("embedding").as("ea")))
+          .join(emb.select(col("vec_id").as("j"), col("embedding").as("eb")),
+            col("i") < col("j"))
+          .filter(cosineNative(col("ea"), col("eb")) >= 0.45)
+          .select(col("i"), col("j")).localCheckpoint()
+        val nHit = truth.join(found, Seq("i", "j"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        cand.agg(count(lit(1)).as("n_cands"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(nHit)
+          .select(col("n_cands"), col("n_found"), col("n_truth"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+      })
+  )
+
   /** Shared recall@5 assembly: rank `cands` per query, count hits
     * against `truth`, attach candidate volume; left joins keep a row
     * per query even at zero recall or zero candidates. */
