@@ -446,21 +446,26 @@ object TextAnalysis {
       }),
 
     // ------------------------------------------------------- BPE trainer
-    // Three iterations of byte-pair-encoding merge training, in-engine:
-    // the corpus reduces ONCE to the (word, freq) vocabulary table (the
-    // standard BPE input — bounded by vocabulary size, not corpus
-    // size), then each iteration counts adjacent symbol pairs weighted
-    // by word frequency, picks the most frequent (ties on the pair
-    // strings), and merges it corpus-wide. Symbol sequences live in a
-    // delimiter-wrapped string ("_a__b__c_"); the merge is ONE
-    // `replace('_a__b_' → '_ab_')`, whose left-to-right
-    // scan-after-replacement semantics were verified identical in Spark
-    // and DuckDB (so "_a__a__a_" greedily merges to "_aa__a_" in both).
-    // Each iteration is a full hash aggregation over the vocab table +
-    // a 1-row broadcast — the distributed-training shape of
-    // sim_ivf_kmeans_ann applied to tokenizer induction, and like it
-    // the oracle mirrors every iteration (unrolled CTEs), so the
-    // trained merges themselves are hash-checked.
+    // Fifty iterations of byte-pair-encoding merge training. The
+    // corpus-sized work is ONE distributed reduction to the (word,
+    // freq) vocabulary, capped deterministically to the top-100k words
+    // by (freq desc, word) — the standard BPE-trainer contract (count
+    // distributed, train over the capped vocab), and the same
+    // bounded-model-state discipline as [[Similarity.kmeansCentroids]]
+    // (k·dim centroids) or the Misra-Gries UDAF (≤ k counters): what
+    // reaches the driver is the model, never the corpus. Training then
+    // runs INCREMENTALLY ([[bpeTrainIncremental]]): a pair→words
+    // inverted index locates the words containing each winning pair,
+    // only those words are rewritten, and pair counts are updated by
+    // per-word deltas — per merge cost ∝ |affected words|, not a full
+    // vocabulary rewrite, which is what makes a real 32k-merge train
+    // feasible. The oracle mirrors every iteration with unrolled CTEs
+    // (full re-count + corpus-wide replace per merge — quadratic is
+    // fine oracle-side), so all 50 trained merges are hash-checked.
+    // Oracle sequences are chr(1)-delimited: a control char cannot
+    // occur in whitespace-split tokens, so the encoding is unambiguous
+    // even for corpora whose tokens contain '_' (the Spark side works
+    // on symbol arrays and needs no delimiter at all).
     QueryDef(
       "ta_bpe_merges", {
         def iterCte(k: Int): String = {
@@ -468,66 +473,46 @@ object TextAnalysis {
           s"""pairs$k AS (
           SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt FROM (
             SELECT freq, syms, unnest(range(1, len(syms))) AS i
-            FROM (SELECT freq, string_split(trim(seq, '_'), '__') AS syms FROM $prev))
+            FROM (SELECT freq, string_split(trim(seq, chr(1)), chr(1) || chr(1)) AS syms FROM $prev))
           GROUP BY 1, 2),
-        best$k AS (
+        best$k AS MATERIALIZED (
           SELECT a, b, cnt FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
-        s$k AS (
+        s$k AS MATERIALIZED (
           SELECT word, freq,
-                 replace(seq, '_' || x.a || '__' || x.b || '_', '_' || x.a || x.b || '_') AS seq
+                 replace(seq, chr(1) || x.a || chr(1) || chr(1) || x.b || chr(1),
+                         chr(1) || x.a || x.b || chr(1)) AS seq
           FROM $prev, best$k x)"""
         }
         Some(s"""
         WITH words AS (
-          SELECT word, COUNT(*) AS freq
-          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-          WHERE length(word) >= 1 GROUP BY word),
+          SELECT word, freq FROM (
+            SELECT word, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE length(word) >= 1 GROUP BY word)
+          ORDER BY freq DESC, word LIMIT 100000),
         s0 AS (
           SELECT word, freq,
-                 '_' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]), '__') || '_' AS seq
+                 chr(1) || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]),
+                                           chr(1) || chr(1)) || chr(1) AS seq
           FROM words),
-        ${(1 to 3).map(iterCte).mkString(",\n        ")}
+        ${(1 to 50).map(iterCte).mkString(",\n        ")}
         SELECT * FROM (
-          SELECT 1 AS iter, a, b, CAST(cnt AS BIGINT) AS pair_count FROM best1
-          UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM best2
-          UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM best3)
+          ${(1 to 50).map(k =>
+            s"SELECT $k AS iter, a, b, CAST(cnt AS BIGINT) AS pair_count FROM best$k")
+            .mkString("\n          UNION ALL ")})
         ORDER BY iter
       """.trim)
       },
       (s, d) => {
         import s.implicits._
-        val words = documents(s, d)
+        val vocab = documents(s, d)
           .select(explode(split($"text", " ")).as("word"))
           .filter(length($"word") >= 1)
           .groupBy($"word").agg(count(lit(1)).as("freq"))
-        var seqs = words.select($"word", $"freq",
-          concat(lit("_"),
-            array_join(transform(sequence(lit(1), length($"word")),
-              i => $"word".substr(i, lit(1))), "__"),
-            lit("_")).as("seq"))
-        val bests = (1 to 3).map { k =>
-          val pairs = seqs
-            .select($"freq", split(expr("trim(BOTH '_' FROM seq)"), "__").as("syms"))
-            .filter(size($"syms") >= 2)
-            .select($"freq", $"syms",
-              explode(sequence(lit(1), size($"syms") - 1)).as("i"))
-            .select(element_at($"syms", $"i").as("a"),
-              element_at($"syms", $"i" + 1).as("b"), $"freq")
-            .groupBy($"a", $"b").agg(sum($"freq").as("cnt"))
-          // 1-row model state, consumed by the merge AND the output —
-          // checkpoint so the pair aggregation runs once per iteration
-          val best = pairs.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-            .localCheckpoint()
-          seqs = seqs.crossJoin(
-              broadcast(best.select($"a".as("ba"), $"b".as("bb"))))
-            .select($"word", $"freq",
-              call_function("replace", $"seq",
-                concat(lit("_"), $"ba", lit("__"), $"bb", lit("_")),
-                concat(lit("_"), $"ba", $"bb", lit("_"))).as("seq"))
-          best.select(lit(k).as("iter"), $"a", $"b",
-            $"cnt".cast("long").as("pair_count"))
-        }
-        bests.reduce(_ union _).orderBy($"iter")
+          .orderBy($"freq".desc, $"word").limit(100000)
+          .as[(String, Long)].collect()
+        val merges = bpeTrainIncremental(vocab, 50)
+        merges.toDF("iter", "a", "b", "pair_count").orderBy($"iter")
       }),
 
     // Vocabulary coverage curve: the tokens that carry the first 90% of
@@ -570,4 +555,75 @@ object TextAnalysis {
           .orderBy($"cum_tokens")
       })
   )
+
+  /** Incremental BPE merge training over a (word, freq) vocabulary —
+    * the in-memory half of `ta_bpe_merges`, fed by the distributed
+    * corpus reduction. Classic trainer dataflow:
+    *  - global pair counts and a pair → word-indices inverted index
+    *    are built in one pass over the vocabulary;
+    *  - each merge picks the best pair (count desc, then pair strings
+    *    asc — the oracle's ORDER BY cnt DESC, a, b), rewrites ONLY the
+    *    words that contain it (greedy left-to-right, matching SQL
+    *    `replace`'s scan-after-replacement semantics: aaa + (a,a) →
+    *    [aa, a]), and applies per-word count/index deltas — cost per
+    *    merge ∝ |affected words|, never a vocabulary-wide rewrite.
+    * Deterministic throughout: ties, iteration order, and arithmetic
+    * are all total-ordered, so the result is hash-checkable against
+    * the oracle's full re-count per iteration. */
+  private[graft] def bpeTrainIncremental(
+      vocab: Array[(String, Long)], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val freqs = vocab.map(_._2)
+    val words: Array[mutable.ArrayBuffer[String]] =
+      vocab.map { case (w, _) => mutable.ArrayBuffer(w.map(_.toString): _*) }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addPair(p: (String, String), wi: Int, f: Long): Unit = {
+      counts.updateWith(p) { c => Some(c.getOrElse(0L) + f) }
+      index.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+    }
+    def subPair(p: (String, String), wi: Int, f: Long, stillHas: Boolean): Unit = {
+      counts.updateWith(p) { c =>
+        val n = c.getOrElse(0L) - f; if (n <= 0L) None else Some(n)
+      }
+      if (!stillHas) index.get(p).foreach { s => s -= wi; if (s.isEmpty) index -= p }
+    }
+    words.indices.foreach { wi =>
+      val syms = words(wi)
+      var i = 0
+      while (i < syms.length - 1) { addPair((syms(i), syms(i + 1)), wi, freqs(wi)); i += 1 }
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (k <- 1 to nMerges if counts.nonEmpty) {
+      val best = counts.keysIterator.reduceLeft { (x, y) =>
+        val cx = counts(x); val cy = counts(y)
+        if (cy > cx || (cy == cx &&
+            (y._1 < x._1 || (y._1 == x._1 && y._2 < x._2)))) y else x
+      }
+      out += ((k, best._1, best._2, counts(best)))
+      val merged = best._1 + best._2
+      // snapshot: the loop below mutates the index it reads from
+      val affected = index.getOrElse(best, mutable.HashSet.empty).toArray.sorted
+      affected.foreach { wi =>
+        val f = freqs(wi)
+        val old = words(wi)
+        val next = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < old.length) {
+          if (i < old.length - 1 && old(i) == best._1 && old(i + 1) == best._2) {
+            next += merged; i += 2
+          } else { next += old(i); i += 1 }
+        }
+        def pairsOf(s: mutable.ArrayBuffer[String]): Seq[(String, String)] =
+          (0 until s.length - 1).map(i => (s(i), s(i + 1)))
+        val oldPairs = pairsOf(old)
+        val newPairs = pairsOf(next)
+        val newSet = newPairs.toSet
+        oldPairs.foreach(p => subPair(p, wi, f, stillHas = newSet.contains(p)))
+        newPairs.foreach(p => addPair(p, wi, f))
+        words(wi) = next
+      }
+    }
+    out.toSeq
+  }
 }

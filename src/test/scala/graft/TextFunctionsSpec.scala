@@ -10,6 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TextFunctionsSpec extends AnyFunSuite {
 
+  test("bpeTrainIncremental: greedy overlap, freq weighting, tie-break") {
+    // "aaa" x2: pairs (a,a) count 4 -> merge 1 = (a,a); greedy left-to-right
+    // leaves [aa, a], so merge 2 sees (aa, a) count 2, plus "ab" x3 -> (a,b) 3.
+    val vocab = Array(("aaa", 2L), ("ab", 3L))
+    val m = graft.operators.TextAnalysis.bpeTrainIncremental(vocab, 3)
+    assert(m(0) == ((1, "a", "a", 4L)))
+    assert(m(1) == ((2, "a", "b", 3L)))
+    assert(m(2) == ((3, "aa", "a", 2L)))
+    // ties break on (a, b) string order: (x,y) and (y,x) both count 1
+    val m2 = graft.operators.TextAnalysis.bpeTrainIncremental(Array(("xyx", 1L)), 1)
+    assert(m2(0) == ((1, "x", "y", 1L)))
+    // merge supply exhausts cleanly below nMerges
+    val m3 = graft.operators.TextAnalysis.bpeTrainIncremental(Array(("ab", 1L)), 5)
+    assert(m3.map(t => (t._1, t._2, t._3)) == Seq((1, "a", "b")))
+  }
+
   test("cleanString strips punctuation and lowercases (utils.py:249-252)") {
     assert(cleanString("Hello, World! 42_x") == "hello world 42_x")
     assert(cleanString("a.b,c;d") == "abcd")
