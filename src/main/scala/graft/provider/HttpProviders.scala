@@ -131,6 +131,49 @@ final class OllamaStyleProvider(
   }
 }
 
+/** Messages-API adapter with a SEPARATE top-level system prompt and a
+  * content-BLOCK response (the reference's fourth transport shape,
+  * provider.py:80-141): POST `{model, max_tokens, system?, messages:
+  * [{role: user, content: prompt}]}` to `<base>/v1/messages`, auth via
+  * a bare `x-api-key` header plus a version header (not a Bearer
+  * token); the reply is the concatenation of `content[i].text` over
+  * blocks with `type == "text"`. A distinct request/response geometry
+  * from the chat-completions family: system rides a top-level field,
+  * and the answer is a typed block LIST, not a single message
+  * object. */
+final class MessagesBlockProvider(
+    baseUrl: String, model: String, apiKey: String,
+    system: String = "", maxTokens: Int = 1024,
+    version: String = "2023-06-01",
+    timeoutSeconds: Long = 180L) extends HttpProviderBase(timeoutSeconds) {
+  import HttpProviders._
+  import graft.functions.AgentText.JNum
+
+  def generateResponse(prompt: String): String = {
+    val base = ListMap(
+      "model" -> JStr(model),
+      "max_tokens" -> (JNum(maxTokens): JVal),
+      "messages" -> JArr(Vector(JObj(ListMap(
+        "role" -> JStr("user"), "content" -> JStr(prompt))))))
+    val payload = AgentText.renderJson(JObj(
+      if (system.nonEmpty) base + ("system" -> (JStr(system): JVal)) else base))
+    val (status, body) = post(
+      AgentText.robustUrlJoin(baseUrl, "v1/messages"), payload,
+      Seq("x-api-key" -> apiKey, "anthropic-version" -> version,
+        "Content-Type" -> "application/json"))
+    if (status != 200) ""
+    else AgentText.parseJson5ish(body).flatMap(field(_, "content")) match {
+      case Some(JArr(blocks)) =>
+        blocks.flatMap { b =>
+          if (field(b, "type").flatMap(str).contains("text"))
+            field(b, "text").flatMap(str)
+          else None
+        }.mkString
+      case _ => ""
+    }
+  }
+}
+
 /** Plain-text GET adapter (provider.py PollinationsProvider, lines
   * 33-46): GET `<base>/<urlencoded prompt>`, the body IS the reply. */
 final class TextGetProvider(

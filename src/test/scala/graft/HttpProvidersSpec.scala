@@ -4,7 +4,7 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.provider.{LlmMap, OpenCompatProvider, OllamaStyleProvider, TextGetProvider}
+import graft.provider.{LlmMap, MessagesBlockProvider, OpenCompatProvider, OllamaStyleProvider, TextGetProvider}
 
 /** The concrete HTTP provider adapters against an in-process JDK
   * HttpServer: request shapes, response-field extraction (content /
@@ -71,6 +71,34 @@ class HttpProvidersSpec extends SparkSpec {
       (200, """{"model": "m", "response": "generated text", "done": true}""")
     })) { base =>
       assert(new OllamaStyleProvider(base, "m").generateResponse("question") == "generated text")
+    }
+  }
+
+  test("MessagesBlockProvider: top-level system, x-api-key auth, text-block reply") {
+    var seenKey: String = null
+    var seenVersion: String = null
+    var seenBody: String = null
+    withServer(Map("/v1/messages" -> { ex =>
+      seenKey = ex.getRequestHeaders.getFirst("x-api-key")
+      seenVersion = ex.getRequestHeaders.getFirst("anthropic-version")
+      seenBody = readBody(ex)
+      (200, """{"content": [{"type": "text", "text": "part one; "},
+                            {"type": "tool_use", "id": "t1"},
+                            {"type": "text", "text": "part two"}]}""")
+    })) { base =>
+      val p = new MessagesBlockProvider(base, "test-model", "key-9", system = "be terse")
+      assert(p.generateResponse("question?") == "part one; part two")
+      assert(seenKey == "key-9" && seenVersion == "2023-06-01")
+      // system is a TOP-LEVEL field, not a message role
+      assert(seenBody.contains(""""system": "be terse""""))
+      assert(!seenBody.contains(""""role": "system""""))
+      assert(seenBody.contains(""""max_tokens": 1024"""))
+      assert(seenBody.contains(""""content": "question?""""))
+    }
+    withServer(Map("/v1/messages" -> { ex =>
+      readBody(ex); (429, """{"error": "rate"}""")
+    })) { base =>
+      assert(new MessagesBlockProvider(base, "m", "k").generateResponse("p") == "")
     }
   }
 
