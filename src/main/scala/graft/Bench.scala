@@ -36,27 +36,76 @@ object Bench {
     // full-surface runs remain the default for round artifacts.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Canonicalized-physical-plan fingerprint: 12 hex chars of md5 over
+    // the canonicalized executed plan (expression ids normalized).
+    // Round-over-round this mechanically separates "the plan changed"
+    // from "the host was slow" — identical fingerprint + different time
+    // = noise, different fingerprint = a real plan change to audit.
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String =
+      try {
+        // plan_id is a session-global counter (varies run to run on an
+        // identical plan) — strip it, like any other volatile id token
+        val canon = df.queryExecution.executedPlan.canonicalized.treeString
+          .replaceAll("plan_id=\\d+", "plan_id=*")
+          .replaceAll("cachedrdd_\\d+", "cachedrdd_*")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canon.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString
+      } catch { case _: Throwable => "err" }
+    // debug aid: dump the canonical text per query for fingerprint triage
+    val fpDump = sys.env.get("SPARK_GRAFT_FP_DUMP")
+    def dumpCanon(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      fpDump.foreach { dir =>
+        try {
+          val canon = df.queryExecution.executedPlan.canonicalized.treeString
+            .replaceAll("plan_id=\\d+", "plan_id=*")
+          val pdir = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.createDirectories(pdir)
+          java.nio.file.Files.writeString(pdir.resolve(s"$name.txt"), canon)
+        } catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      runOnce(fn)
+      // the fingerprint's DataFrame doubles as the unmeasured warm run
+      val df0 = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+      val fp = df0.map(fingerprint).getOrElse("err")
+      df0.foreach(dumpCanon(name, _))
+      df0.foreach(df => try df.write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () })
       val times = Seq.fill(nRuns) {
         val t0 = System.nanoTime()
         runOnce(fn)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      (name, times(times.length / 2), fp)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // One aggregate fingerprint for the (size-capped) stdout line; the
+    // per-query map lives in docs/bench_full.json.
+    val plansFp = {
+      val all = results.map { case (k, _, fp) => s"$k=$fp" }.mkString(";")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(all.getBytes("UTF-8")).take(6).map(b => f"${b & 0xff}%02x").mkString
+    }
     // Full per-query medians → a file (the driver keeps only the last
     // ~2000 chars of stdout, so a 100+-entry JSON line gets truncated
     // and never parses — BENCH_r01/r02 both recorded parsed:null).
-    val fullJson = results.map { case (k, v) => s"\"$k\":" + v }
-      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"queries":{""", ",", s"""},"sf":"$sfDir"}""")
-    val fullPath = java.nio.file.Paths.get("docs/bench_full.json")
-    if (only.isEmpty) try {
-      java.nio.file.Files.createDirectories(fullPath.getParent)
+    val fullJson = {
+      val qs = results.map { case (k, v, _) => s"\"$k\":" + v }.mkString(",")
+      val fps = results.map { case (k, _, fp) => s"\"$k\":\"$fp\"" }.mkString(",")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
+        s""""queries":{$qs},"plans":{$fps},"plans_fp":"$plansFp","sf":"$sfDir"}"""
+    }
+    // SPARK_GRAFT_BENCH_OUT overrides the artifact path (useful for
+    // subset iteration); without it, subset runs never clobber the
+    // full-surface artifact.
+    val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val fullPath = java.nio.file.Paths.get(
+      outOverride.getOrElse("docs/bench_full.json"))
+    if (only.isEmpty || outOverride.isDefined) try {
+      Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // Stdout gets ONE compact line: total + a fixed headline subset at
@@ -73,10 +122,10 @@ object Bench {
       "ev_session_window", "pl_corpus_curation", "gx_pagerank",
       "gx_triangles", "sk_countmin", "cl_commit_log",
       "ta_bpe_merges", "pl_curation_v2", "q32_recursive_cte")
-    val resMap = results.toMap
+    val resMap = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"full":"docs/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"plans_fp":"$plansFp","full":"docs/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
