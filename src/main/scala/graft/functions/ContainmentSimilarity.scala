@@ -17,7 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * the smaller side, one probe pass, static helper call inside
   * whole-stage codegen); arithmetic `common * 1.0 / na` is the SQL
   * oracle's formulation exactly (NaN on an empty left side, like SQL's
-  * 0/0). Distinct-element domain, as for Jaccard. */
+  * 0/0). Registered globally, so inputs are NOT assumed distinct:
+  * common elements count once regardless of multiplicity (probe set
+  * removes on hit), making the result equal to
+  * `size(array_intersect(a, b)) / size(a)` for ANY arrays — ad-hoc SQL
+  * with duplicate elements agrees with the composed-functions
+  * formulation. Internal callers pass distinct shingle arrays, where
+  * this reduces to plain containment |a∩b|/|a|. */
 case class ContainmentSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -41,7 +47,12 @@ case class ContainmentSimilarity(left: Expression, right: Expression)
 }
 
 object ContainmentSimilarity {
-  /** `|a ∩ b| / |a|`; static for direct calls from generated code. */
+  /** `|distinct(a) ∩ distinct(b)| / len(a)` — equal to
+    * `size(array_intersect(a, b)) / size(a)` for any inputs; static for
+    * direct calls from generated code. `remove` (not `contains`) on the
+    * probe makes each common element count once even when either side
+    * holds duplicates — distinct-common is symmetric, so building the
+    * set from the smaller side stays valid. */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -53,7 +64,7 @@ object ContainmentSimilarity {
     var common = 0
     i = 0
     while (i < nBig) {
-      if (set.contains(big.getUTF8String(i))) common += 1
+      if (set.remove(big.getUTF8String(i))) common += 1
       i += 1
     }
     common * 1.0 / na

@@ -443,6 +443,13 @@ object Pipeline {
     }
   }
 
+  // Separator caveat: a '_'-joined k-gram is ambiguous when corpus
+  // tokens themselves contain '_' ("a_b c" vs "a b_c" collide). The
+  // benchmark corpora are underscore-free (asserted nowhere cheaper
+  // than here: the oracle uses the same join, so correctness is
+  // unaffected either way — only gram identity granularity). For an
+  // arbitrary corpus, swap in a token-impossible separator (U+0001,
+  // as ta_bpe_merges' oracle does) on BOTH engine and oracle sides.
   private val gram5Udf = gramKUdf(5, "_")
   private val gram10Udf = gramKUdf(10, " ")
 
@@ -476,7 +483,17 @@ object Pipeline {
     * the [[globalRank]] construction with per-shard prefix sums and
     * per-shard value-total offsets. `run_sum` on each row equals the
     * single-partition `SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED
-    * PRECEDING)`; driver traffic is one long per shard. */
+    * PRECEDING)`; driver traffic is one long per shard.
+    *
+    * CONTRACT: `order` must be a TOTAL order (a unique key). With
+    * duplicate keys a ROWS-frame running sum is inherently
+    * nondeterministic — per-partition tie order and range-boundary
+    * placement both move rows between prefixes — in the
+    * single-partition window just as here. Callers append a unique
+    * tiebreaker column (existing ones end in doc_id / tok). Not
+    * assertable cheaply (a distinct-count over the key set per call),
+    * so enforced by contract + the equality spec against the
+    * single-partition formulation. */
   def globalRunningSum(df: org.apache.spark.sql.DataFrame,
                        order: Seq[org.apache.spark.sql.Column],
                        value: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
