@@ -267,19 +267,56 @@ object Analytics {
 
     // Winsorization — the robust-scaling feature-prep staple: clamp
     // each value to its group's [p05, p95] band and report how much
-    // mass the tails carried. Exact per-group percentiles (the
-    // quantile_cont ↔ percentile parity is pinned by q20), the bounds
-    // table is |event_type| rows and broadcasts, the clamp is row-local
-    // IEEE arithmetic, and both sums route through DECIMAL — two
-    // scans + one broadcast join at any scale.
+    // mass the tails carried. The percentile bounds are interpolated
+    // MANUALLY on both engines with the identical expression tree
+    // (rank the group, i = floor((n-1)p), bound = v[i] +
+    // frac·(v[i+1]−v[i])) rather than via percentile/quantile_cont:
+    // the built-ins agree to the last ulp only usually, and one ulp on
+    // a bound flips a clamp for any value sitting exactly on it (seen
+    // at sf0.001). Same shape at scale: one ranking window per group,
+    // a |groups|-row broadcast, row-local clamps, DECIMAL-routed sums.
     QueryDef(
       "ev_winsorize",
       Some(s"""
-        WITH b AS (
+        WITH ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        nb AS (
+          -- CAST(... AS DOUBLE) on the literals: DuckDB parses 0.95 as
+          -- DECIMAL and would interpolate exactly where Spark works in
+          -- IEEE double; the cast makes both engines run the identical
+          -- double expression tree
+          SELECT event_type, n,
+                 CAST(floor((n - 1) * CAST(0.05 AS DOUBLE)) AS BIGINT) AS f05,
+                 (n - 1) * CAST(0.05 AS DOUBLE) - floor((n - 1) * CAST(0.05 AS DOUBLE)) AS r05,
+                 CAST(floor((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) AS f95,
+                 (n - 1) * CAST(0.95 AS DOUBLE) - floor((n - 1) * CAST(0.95 AS DOUBLE)) AS r95
+          FROM (SELECT DISTINCT event_type, n FROM ranked)),
+        b0 AS (
+          SELECT r.event_type,
+                 MAX(CASE WHEN rn = f05 + 1 THEN value END)
+                   + MAX(r05) * (COALESCE(MAX(CASE WHEN rn = f05 + 2 THEN value END),
+                                          MAX(CASE WHEN rn = f05 + 1 THEN value END))
+                                 - MAX(CASE WHEN rn = f05 + 1 THEN value END)) AS lo0,
+                 MAX(CASE WHEN rn = f95 + 1 THEN value END)
+                   + MAX(r95) * (COALESCE(MAX(CASE WHEN rn = f95 + 2 THEN value END),
+                                          MAX(CASE WHEN rn = f95 + 1 THEN value END))
+                                 - MAX(CASE WHEN rn = f95 + 1 THEN value END)) AS hi0
+          FROM ranked r JOIN nb ON r.event_type = nb.event_type
+          WHERE rn IN (f05 + 1, f05 + 2, f95 + 1, f95 + 2)
+          GROUP BY r.event_type),
+        -- bounds snapped to exact cents in pure IEEE double ops
+        -- (floor(x*100+0.5)/100): an interpolated bound can land within
+        -- an ulp of a 2-decimal midpoint, where Spark's and DuckDB's
+        -- double->DECIMAL casts round opposite ways; a snapped bound is
+        -- never near a midpoint, so the later cast is exact on both
+        b AS (
           SELECT event_type,
-                 quantile_cont(value, 0.05) AS lo,
-                 quantile_cont(value, 0.95) AS hi
-          FROM events GROUP BY event_type)
+                 floor(lo0 * 100 + 0.5) / 100 AS lo,
+                 floor(hi0 * 100 + 0.5) / 100 AS hi
+          FROM b0)
         SELECT e.event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
                CAST(COUNT(CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 END) AS BIGINT) AS n_clamped,
@@ -291,9 +328,29 @@ object Analytics {
       """.trim),
       (s, d) => {
         import s.implicits._
-        val b = events(s, d).groupBy($"event_type")
-          .agg(percentile($"value", lit(0.05)).as("lo"),
-            percentile($"value", lit(0.95)).as("hi"))
+        val w = Window.partitionBy($"event_type").orderBy($"value")
+        val cw = Window.partitionBy($"event_type")
+        val ranked = events(s, d)
+          .select($"event_type", $"value")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(cw))
+        val nb = ranked.select($"event_type", $"n").distinct()
+          .select($"event_type",
+            floor(($"n" - 1) * lit(0.05)).as("f05"),
+            (($"n" - 1) * lit(0.05) - floor(($"n" - 1) * lit(0.05))).as("r05"),
+            floor(($"n" - 1) * lit(0.95)).as("f95"),
+            (($"n" - 1) * lit(0.95) - floor(($"n" - 1) * lit(0.95))).as("r95"))
+        def interp(f: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) = {
+          val va = max(when($"rn" === f + 1, $"value"))
+          val vb = coalesce(max(when($"rn" === f + 2, $"value")), va)
+          va + max(r) * (vb - va)
+        }
+        def snap(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5) / 100
+        val b = ranked.join(broadcast(nb), "event_type")
+          .filter($"rn" === $"f05" + 1 || $"rn" === $"f05" + 2 ||
+            $"rn" === $"f95" + 1 || $"rn" === $"f95" + 2)
+          .groupBy($"event_type")
+          .agg(snap(interp($"f05", $"r05")).as("lo"), snap(interp($"f95", $"r95")).as("hi"))
         events(s, d).join(broadcast(b), "event_type")
           .groupBy($"event_type")
           .agg(
