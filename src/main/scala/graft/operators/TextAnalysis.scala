@@ -467,52 +467,63 @@ object TextAnalysis {
     // even for corpora whose tokens contain '_' (the Spark side works
     // on symbol arrays and needs no delimiter at all).
     QueryDef(
-      "ta_bpe_merges", {
-        def iterCte(k: Int): String = {
-          val prev = s"s${k - 1}"
-          s"""pairs$k AS (
-          SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt FROM (
-            SELECT freq, syms, unnest(range(1, len(syms))) AS i
-            FROM (SELECT freq, string_split(trim(seq, chr(1)), chr(1) || chr(1)) AS syms FROM $prev))
-          GROUP BY 1, 2),
-        best$k AS MATERIALIZED (
-          SELECT a, b, cnt FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
-        s$k AS MATERIALIZED (
-          SELECT word, freq,
-                 replace(seq, chr(1) || x.a || chr(1) || chr(1) || x.b || chr(1),
-                         chr(1) || x.a || x.b || chr(1)) AS seq
-          FROM $prev, best$k x)"""
-        }
-        Some(s"""
-        WITH words AS (
-          SELECT word, freq FROM (
-            SELECT word, COUNT(*) AS freq
-            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-            WHERE length(word) >= 1 GROUP BY word)
-          ORDER BY freq DESC, word LIMIT 100000),
-        s0 AS (
-          SELECT word, freq,
-                 chr(1) || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]),
-                                           chr(1) || chr(1)) || chr(1) AS seq
-          FROM words),
-        ${(1 to 50).map(iterCte).mkString(",\n        ")}
+      "ta_bpe_merges",
+      Some(s"""
+        WITH ${sqlBpeCtes(50)}
         SELECT * FROM (
           ${(1 to 50).map(k =>
             s"SELECT $k AS iter, a, b, CAST(cnt AS BIGINT) AS pair_count FROM best$k")
             .mkString("\n          UNION ALL ")})
         ORDER BY iter
-      """.trim)
-      },
+      """.trim),
       (s, d) => {
         import s.implicits._
-        val vocab = documents(s, d)
-          .select(explode(split($"text", " ")).as("word"))
-          .filter(length($"word") >= 1)
-          .groupBy($"word").agg(count(lit(1)).as("freq"))
-          .orderBy($"freq".desc, $"word").limit(100000)
-          .as[(String, Long)].collect()
-        val merges = bpeTrainIncremental(vocab, 50)
+        val merges = bpeTrainFull(bpeVocab(s, d), 50).merges
         merges.toDF("iter", "a", "b", "pair_count").orderBy($"iter")
+      }),
+
+    // BPE APPLICATION — the other half of tokenizer induction: segment
+    // the corpus with the 50 trained merges and report per-doc token
+    // counts and the compression the subword vocabulary buys. The
+    // trained segmentation is vocab-bounded model state (word → symbol
+    // count, ≤ the 100k cap) broadcast against one corpus explode —
+    // at 100 TB this is a map-side join on a scan, the exact shape of
+    // applying any trained tokenizer. The oracle re-derives the same
+    // segmentation through the 50 unrolled merge CTEs and joins it the
+    // same way, so the applied tokenization is hash-checked end to
+    // end. Empty tokens (consecutive spaces) carry no symbols and drop
+    // out of the inner join on both engines.
+    QueryDef(
+      "ta_bpe_apply",
+      Some(s"""
+        WITH ${sqlBpeCtes(50)},
+        seg AS (
+          SELECT word,
+                 CAST(len(string_split(trim(seq, chr(1)), chr(1) || chr(1))) AS BIGINT) AS n_sym
+          FROM s50),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(g.n_sym) AS BIGINT) AS n_bpe_tokens,
+               (SUM(g.n_sym) * 1.0 / COUNT(*)) AS tokens_per_word
+        FROM tok t JOIN seg g ON t.word = g.word
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val seg = bpeTrainFull(bpeVocab(s, d), 50).segments
+        val segDf = broadcast(seg.toDF("word", "n_sym")
+          .select($"word", $"n_sym".cast("long").as("n_sym")))
+        documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("word"))
+          .join(segDf, "word")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_sym").as("n_bpe_tokens"),
+            (sum($"n_sym") * lit(1.0) / count(lit(1))).as("tokens_per_word"))
+          .orderBy($"doc_id")
       }),
 
     // Vocabulary coverage curve: the tokens that carry the first 90% of
@@ -556,6 +567,60 @@ object TextAnalysis {
       })
   )
 
+  /** The shared unrolled-oracle CTE chain for BPE training: `words`
+    * (distributed count, deterministic top-100k cap), `s0` (chr(1)-
+    * delimited character sequences), then per iteration k: `pairsK`
+    * (full re-count), `bestK` (cnt desc, a, b), `sK` (corpus-wide
+    * replace). MATERIALIZED is load-bearing: DuckDB inlines CTEs
+    * referenced more than once, and sK feeds both pairsK+1 and sK+1 —
+    * inlining is exponential in the iteration count. */
+  private def sqlBpeCtes(nMerges: Int): String = {
+    def iterCte(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""pairs$k AS (
+          SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt FROM (
+            SELECT freq, syms, unnest(range(1, len(syms))) AS i
+            FROM (SELECT freq, string_split(trim(seq, chr(1)), chr(1) || chr(1)) AS syms FROM $prev))
+          GROUP BY 1, 2),
+        best$k AS MATERIALIZED (
+          SELECT a, b, cnt FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
+        s$k AS MATERIALIZED (
+          SELECT word, freq,
+                 replace(seq, chr(1) || x.a || chr(1) || chr(1) || x.b || chr(1),
+                         chr(1) || x.a || x.b || chr(1)) AS seq
+          FROM $prev, best$k x)"""
+    }
+    s"""words AS (
+          SELECT word, freq FROM (
+            SELECT word, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE length(word) >= 1 GROUP BY word)
+          ORDER BY freq DESC, word LIMIT 100000),
+        s0 AS (
+          SELECT word, freq,
+                 chr(1) || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i]),
+                                           chr(1) || chr(1)) || chr(1) AS seq
+          FROM words),
+        ${(1 to nMerges).map(iterCte).mkString(",\n        ")}"""
+  }
+
+  /** The distributed half of BPE training: corpus → (word, freq),
+    * capped deterministically at the top-100k by (freq desc, word). */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String): Array[(String, Long)] = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") >= 1)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"word").limit(100000)
+      .as[(String, Long)].collect()
+  }
+
+  /** Trained merges plus the final per-word segmentation size. */
+  private[graft] final case class BpeResult(
+      merges: Seq[(Int, String, String, Long)],
+      segments: Seq[(String, Int)])
+
   /** Incremental BPE merge training over a (word, freq) vocabulary —
     * the in-memory half of `ta_bpe_merges`, fed by the distributed
     * corpus reduction. Classic trainer dataflow:
@@ -571,7 +636,11 @@ object TextAnalysis {
     * are all total-ordered, so the result is hash-checkable against
     * the oracle's full re-count per iteration. */
   private[graft] def bpeTrainIncremental(
-      vocab: Array[(String, Long)], nMerges: Int): Seq[(Int, String, String, Long)] = {
+      vocab: Array[(String, Long)], nMerges: Int): Seq[(Int, String, String, Long)] =
+    bpeTrainFull(vocab, nMerges).merges
+
+  private[graft] def bpeTrainFull(
+      vocab: Array[(String, Long)], nMerges: Int): BpeResult = {
     import scala.collection.mutable
     val freqs = vocab.map(_._2)
     val words: Array[mutable.ArrayBuffer[String]] =
@@ -624,6 +693,7 @@ object TextAnalysis {
         words(wi) = next
       }
     }
-    out.toSeq
+    BpeResult(out.toSeq,
+      vocab.indices.map(i => vocab(i)._1 -> words(i).length))
   }
 }
