@@ -42,25 +42,18 @@ final class ChatService(
   /** Latest committed store state (for wiring GET views). */
   def state: ChatService.State = current
 
+  /** External state edit (e.g. a REPL's `/task new`), serialized with
+    * turn processing. */
+  def updateState(f: ChatService.State => ChatService.State): Unit =
+    synchronized { current = f(current) }
+
   private val loop = new ReactLoop(provider, toolExecutor = toolExecutor)
 
-  /** One POST body → one turn → response JSON. Malformed bodies throw
-    * (the server maps that to a 500). */
-  def handle(body: String): String = synchronized {
-    val fields = AgentText.parseJson5ish(body) match {
-      case Some(JObj(f)) => f
-      case _ => throw new IllegalArgumentException("body is not a JSON object")
-    }
-    def str(k: String): Option[String] =
-      fields.get(k).collect { case JStr(s) => s }
-    val sessionId = str("session_id").getOrElse("default")
-    val query = str("query").getOrElse(
-      throw new IllegalArgumentException("missing 'query'"))
-    val taskId = fields.get("task_id").collect { case JNum(d) => d.toLong }
-    val now = fields.get("ts") match {
-      case Some(JNum(d)) => new Timestamp(d.toLong * 1000L)
-      case _ => new Timestamp(System.currentTimeMillis())
-    }
+  /** One chat turn: run the ReAct loop against the live stores, commit
+    * the new state, push the assistant response onto the commit log.
+    * Returns (responseText, iterations). */
+  def processTurn(sessionId: String, query: String, taskId: Option[Long],
+      now: Timestamp): (String, Int) = synchronized {
     val st = current
     val out = loop.processQuery(sessionId, query, st.memory, st.tasks,
       tools, st.messages, taskId, now)
@@ -76,9 +69,30 @@ final class ChatService(
     CommitLog.append(pushLogDir,
       math.floorMod(sessionId.hashCode, nPartitions),
       Seq((now.getTime * 1000L, sessionId, responseText)))
+    (responseText, out.iterations)
+  }
+
+  /** One POST body → one turn → response JSON. Malformed bodies throw
+    * (the server maps that to a 500). */
+  def handle(body: String): String = {
+    val fields = AgentText.parseJson5ish(body) match {
+      case Some(JObj(f)) => f
+      case _ => throw new IllegalArgumentException("body is not a JSON object")
+    }
+    def str(k: String): Option[String] =
+      fields.get(k).collect { case JStr(s) => s }
+    val sessionId = str("session_id").getOrElse("default")
+    val query = str("query").getOrElse(
+      throw new IllegalArgumentException("missing 'query'"))
+    val taskId = fields.get("task_id").collect { case JNum(d) => d.toLong }
+    val now = fields.get("ts") match {
+      case Some(JNum(d)) => new Timestamp(d.toLong * 1000L)
+      case _ => new Timestamp(System.currentTimeMillis())
+    }
+    val (responseText, iterations) = processTurn(sessionId, query, taskId, now)
     s"""{"session_id": "${AgentText.escapeJson(sessionId)}", """ +
       s""""response": "${AgentText.escapeJson(responseText)}", """ +
-      s""""iterations": ${out.iterations}}"""
+      s""""iterations": $iterations}"""
   }
 }
 
