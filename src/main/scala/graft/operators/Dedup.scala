@@ -518,6 +518,105 @@ object Dedup {
           .orderBy(col("i"), col("j"))
       }),
 
+    // Incremental batch dedup — the production ingestion flow: an
+    // incoming batch (doc_id % 5 = 0 here) dedups against the EXISTING
+    // index (the rest), never batch×batch-squared. Two layers, exactly
+    // as a crawl pipeline runs them: (1) exact — md5 semi-join against
+    // the index fingerprints; (2) near — 8-band MinHash candidates
+    // restricted to batch×index band collisions, distributed exact
+    // Jaccard verify ≥ 0.7, best match per batch doc by (jac desc,
+    // index id). Cost ∝ |batch|·bands + |candidates|, independent of
+    // index² — the property that lets the same query run against a
+    // 100 TB index every ingest cycle. Output is the batch admission
+    // verdict: keep ⇔ neither layer fired.
+    QueryDef(
+      "dd_incremental", {
+        val h = sqlH32("sh")
+        val minAggs = minhashParams.indices
+          .map(i => s"MIN(${sqlUhash(h, i)}) AS mh$i").mkString(", ")
+        val bandSelects = (0 until 8)
+          .map(b => s"SELECT doc_id, $b AS band_no, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sigs")
+          .mkString(" UNION ALL ")
+        Some(s"""
+        WITH sh AS (${sqlShinglesFrom("documents")}),
+        sigs AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS i, x.doc_id AS j
+          FROM bands b JOIN bands x
+            ON b.band_no = x.band_no AND b.ba = x.ba AND b.bb = x.bb
+          WHERE b.doc_id % 5 = 0 AND x.doc_id % 5 <> 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh
+          WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = a.doc_id AND c.j = b.doc_id)
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT i, j, (common * 1.0 / (sa.n + sb.n - common)) AS jac
+          FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+          WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7),
+        best AS (
+          SELECT i, j, jac FROM (
+            SELECT i, j, jac,
+                   ROW_NUMBER() OVER (PARTITION BY i ORDER BY jac DESC, j) AS rn
+            FROM pairs)
+          WHERE rn = 1),
+        exact AS (
+          SELECT DISTINCT d.doc_id
+          FROM documents d JOIN documents x
+            ON md5(d.text) = md5(x.text) AND x.doc_id % 5 <> 0
+          WHERE d.doc_id % 5 = 0)
+        SELECT d.doc_id,
+               (e.doc_id IS NOT NULL) AS exact_dup,
+               CAST(b.j AS BIGINT) AS near_dup_of,
+               b.jac AS jac,
+               (e.doc_id IS NULL AND b.j IS NULL) AS keep
+        FROM documents d
+        LEFT JOIN exact e ON d.doc_id = e.doc_id
+        LEFT JOIN best b ON d.doc_id = b.i
+        WHERE d.doc_id % 5 = 0
+        ORDER BY d.doc_id
+      """.trim)
+      },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val isBatch = col("doc_id") % 5 === 0
+        val sigs = minhashSignatures(shingles(docs))
+        val bands = sigs.select(col("doc_id"),
+          explode(array((0 until 8).map { b =>
+            struct(lit(b).as("band_no"),
+              col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
+          }: _*)).as("band"))
+          .select(col("doc_id"), col("band.band_no").as("band_no"),
+            col("band.ba").as("ba"), col("band.bb").as("bb"))
+        val cand = bands.filter(isBatch)
+          .select(col("doc_id").as("i"), col("band_no"), col("ba"), col("bb"))
+          .join(bands.filter(!isBatch)
+            .select(col("doc_id").as("j"), col("band_no"), col("ba"), col("bb")),
+            Seq("band_no", "ba", "bb"))
+          .select(col("i"), col("j")).distinct()
+        val verified = jaccardForPairs(docs, cand).filter(col("jac") >= 0.7)
+        val w = Window.partitionBy(col("i")).orderBy(col("jac").desc, col("j"))
+        val best = verified.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("i").as("doc_id"), col("j").as("near_dup_of"), col("jac"))
+        val exactIds = docs.filter(isBatch)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .join(docs.filter(!isBatch).select(md5(col("text")).as("fp")).distinct(),
+            Seq("fp"), "left_semi")
+          .select(col("doc_id"), lit(true).as("exact_hit"))
+        docs.filter(isBatch).select(col("doc_id"))
+          .join(exactIds, Seq("doc_id"), "left")
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
+            col("near_dup_of"), col("jac"),
+            (!coalesce(col("exact_hit"), lit(false)) && col("near_dup_of").isNull).as("keep"))
+          .orderBy(col("doc_id"))
+      }),
+
     // SimHash signatures (32-bit): per-token hash bit votes → sign bits.
     QueryDef(
       "dd_simhash", {
