@@ -483,6 +483,58 @@ object Relational2 {
       (s, d) => {
         events(s, d).createOrReplaceTempView("events")
         s.sql(Relational2.recursiveSql)
+      }),
+
+    // ---------------------------------------------------------------- q33
+    // Column profiling — the stats sweep every ingestion pipeline runs
+    // before anything else: per column, row/null/distinct counts and
+    // min/max (as strings, so one schema serves every type). The Spark
+    // plan is ONE scan: all per-column aggregates (including the seven
+    // exact count-distincts, which Catalyst plans as a single Expand)
+    // run in one aggregation, then the wide row explodes into the
+    // per-column long format — at 100 TB that is one pass over the
+    // table, not a pass per column (the oracle's 7-way UNION ALL is
+    // the quadratic-is-fine-oracle-side formulation).
+    QueryDef(
+      "q33_column_profile", {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        val blocks = cols.map { c =>
+          s"""SELECT '$c' AS column_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+                 CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+                 CAST(MIN($c) AS VARCHAR) AS min_val,
+                 CAST(MAX($c) AS VARCHAR) AS max_val
+          FROM lineitem"""
+        }
+        Some(s"""
+        SELECT * FROM (${blocks.mkString("\n          UNION ALL ")})
+        ORDER BY column_name
+      """.trim)
+      },
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+          Seq((count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+            countDistinct(col(c)).as(s"${c}__distinct"),
+            min(col(c)).cast("string").as(s"${c}__min"),
+            max(col(c)).cast("string").as(s"${c}__max"))
+        }
+        val wide = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        val rows = cols.map { c =>
+          struct(lit(c).as("column_name"), col("n_rows"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__distinct").as("n_distinct"),
+            col(s"${c}__min").as("min_val"),
+            col(s"${c}__max").as("max_val"))
+        }
+        wide.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.column_name").as("column_name"), col("r.n_rows").as("n_rows"),
+            col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
+            col("r.min_val").as("min_val"), col("r.max_val").as("max_val"))
+          .orderBy(col("column_name"))
       })
   )
 }
