@@ -526,6 +526,52 @@ object TextAnalysis {
           .orderBy($"doc_id")
       }),
 
+    // Unigram-surprisal quality score — the LM-perplexity-filter proxy
+    // (CCNet-style: rank documents by how surprising their tokens are
+    // under a unigram model of the corpus itself). Surprisal is
+    // integer-BUCKETED: bits(token) = floor(log2(total/freq)), because
+    // floating ln/log2 are not bit-portable across engines while the
+    // floor is — for count ratios p/q at corpus magnitudes the true
+    // log2 can't sit within an ulp of an integer unless the ratio IS a
+    // power of two (where log2 is exact), so the bucket is
+    // deterministic. Dataflow: one token explode, a vocab-sized
+    // broadcast frequency join, integer sums — scan + broadcast join
+    // at any corpus size; no DECIMAL routing needed because every
+    // aggregate is integral until the final exact division.
+    QueryDef(
+      "ta_unigram_surprisal",
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS m FROM tok),
+        b AS (
+          SELECT t.doc_id,
+                 CAST(floor(log2(CAST(m AS DOUBLE) / f)) AS BIGINT) AS bits
+          FROM tok t JOIN freq USING (tok) CROSS JOIN tot)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(bits) AS BIGINT) AS total_bits,
+               (SUM(bits) * 1.0 / COUNT(*)) AS mean_bits
+        FROM b GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val tok = documents(s, d)
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        val freq = tok.groupBy($"tok").agg(count(lit(1)).as("f"))
+        val tot = tok.agg(count(lit(1)).as("m"))
+        tok.join(broadcast(freq), "tok")
+          .crossJoin(broadcast(tot))
+          .select($"doc_id",
+            floor(log2($"m".cast("double") / $"f")).cast("long").as("bits"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum($"bits").as("total_bits"),
+            (sum($"bits") * lit(1.0) / count(lit(1))).as("mean_bits"))
+          .orderBy($"doc_id")
+      }),
+
     // Vocabulary coverage curve: the tokens that carry the first 90% of
     // corpus mass, with each one's cumulative share — the readout that
     // sizes a tokenizer's vocabulary. The cumulative sum is
