@@ -121,7 +121,8 @@ object Bench {
       "rag_tfidf_topk", "ts_resample_ffill", "ts_user_similarity",
       "ev_session_window", "pl_corpus_curation", "gx_pagerank",
       "gx_triangles", "sk_countmin", "cl_commit_log",
-      "ta_bpe_merges", "pl_curation_v2", "q32_recursive_cte")
+      "ta_bpe_merges", "pl_curation_v2", "q32_recursive_cte",
+      "dd_incremental", "ta_bpe_apply")
     val resMap = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + r3(v)))
       .mkString("{", ",", "}")
