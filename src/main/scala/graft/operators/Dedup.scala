@@ -518,6 +518,40 @@ object Dedup {
           .orderBy(col("i"), col("j"))
       }),
 
+    // Cross-source overlap forensics: near-dup pair counts and total
+    // similarity mass by (source, source) — the corpus-composition
+    // readout that tells you WHICH ingest feeds duplicate each other
+    // (e.g. two crawls of the same sites) before you pay for a full
+    // dedup pass. Rides the banded near-dup pairs; two dimension-sized
+    // joins + one tiny groupBy on top.
+    QueryDef(
+      "dd_source_overlap",
+      Some(s"""
+        WITH ${sqlLshPairsCtes()}
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ${graft.det.sqlSum("p.jac", 6)} AS sum_jac
+        FROM pairs p
+        JOIN documents da ON p.i = da.doc_id
+        JOIN documents db ON p.j = db.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.trim),
+      (s, d) => {
+        val docs = documents(s, d)
+        val src = docs.select(col("doc_id"), col("source"))
+        minhashLshPairs(docs)
+          .join(src.select(col("doc_id").as("i"), col("source").as("sa")), "i")
+          .join(src.select(col("doc_id").as("j"), col("source").as("sb")), "j")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"), col("jac"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            graft.det.dsum(col("jac"), 6).as("sum_jac"))
+          .orderBy(col("source_a"), col("source_b"))
+      }),
+
     // Incremental batch dedup — the production ingestion flow: an
     // incoming batch (doc_id % 5 = 0 here) dedups against the EXISTING
     // index (the rest), never batch×batch-squared. Two layers, exactly

@@ -73,6 +73,17 @@ object TextAnalysis {
     WinnowStats(nw.toLong, minima.distinct.length.toLong, minima.min, minima.max)
   }
 
+  /** ALL positional space-joined word bigrams (repeats kept — the
+    * repetition rules need multiplicity); null under 2 tokens. */
+  private[operators] val positionalBigramsUdf = udf { text: String =>
+    if (text == null) null
+    else {
+      val tk = text.split(" ", -1)
+      if (tk.length < 2) null
+      else Array.tabulate(tk.length - 1)(i => tk(i) + " " + tk(i + 1))
+    }
+  }
+
   private def markerScore(markers: Seq[String]): Column =
     size(array_intersect(array_distinct(toks), array(markers.map(lit): _*))).cast("long")
 
@@ -523,6 +534,52 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_words"),
             sum($"n_sym").as("n_bpe_tokens"),
             (sum($"n_sym") * lit(1.0) / count(lit(1))).as("tokens_per_word"))
+          .orderBy($"doc_id")
+      }),
+
+    // Within-document repetition filters (the Gopher rules, Rae et al.
+    // 2021 §A1.1, as adopted by RefinedWeb/Dolma): fraction of word
+    // bigrams that are repeats of an earlier bigram, and the share of
+    // the single most frequent bigram. High values flag boilerplate /
+    // template / spam documents that per-corpus dedup never sees
+    // because the repetition is INTERNAL. Pure row-local expression
+    // over the token array (positional bigrams, not the distinct
+    // shingle set) — one scan, no shuffle, exact integer arithmetic.
+    QueryDef(
+      "ta_repetition",
+      Some("""
+        WITH b AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) AS bgs
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+          WHERE len(tk) >= 2),
+        f AS (
+          SELECT doc_id, bg, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(bgs) AS bg FROM b)
+          GROUP BY doc_id, bg)
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_bigrams,
+               ((SUM(c) - COUNT(*)) * 1.0 / SUM(c)) AS dup_bigram_frac,
+               (MAX(c) * 1.0 / SUM(c)) AS top_bigram_share
+        FROM f GROUP BY doc_id
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        // single-pass UDF, not transform(sequence(...)): the expression
+        // form re-splits the text per element under CollapseProject
+        // (the O(tokens²) trap documented at Dedup.shingleUdf)
+        val bgs = documents(s, d)
+          .select($"doc_id", positionalBigramsUdf($"text").as("bgs"))
+          .filter($"bgs".isNotNull)
+          .select($"doc_id", explode($"bgs").as("bg"))
+        bgs.groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_bigrams"),
+            (sum($"c") - count(lit(1))).as("n_dup_bigrams"),
+            ((sum($"c") - count(lit(1))) * lit(1.0) / sum($"c")).as("dup_bigram_frac"),
+            (max($"c") * lit(1.0) / sum($"c")).as("top_bigram_share"))
           .orderBy($"doc_id")
       }),
 
