@@ -332,6 +332,102 @@ object Pipeline {
           .orderBy($"doc_id")
       }),
 
+    // ------------------------------------------- full-recipe curation v3
+    // The complete modern pretraining-curation filter stack in ONE
+    // dataflow — each rule is its own oracle-checked operator,
+    // composed: heuristic quality (ta_quality_score, ≥ 0.7), Gopher
+    // internal-repetition rules (ta_repetition, dup-bigram fraction
+    // < 0.08), unigram-surprisal band (ta_unigram_surprisal,
+    // 3.99 < mean_bits < 4.09 — the CCNet perplexity-band idea: drop
+    // both the too-predictable and the too-random tails), then
+    // near-dup keep-one over the survivors (banded MinHash → verify →
+    // connected-component representative). Corpus-sized work is three
+    // token-level passes plus the banded candidate join — no stage is
+    // quadratic, no stage leaves the cluster.
+    QueryDef(
+      "pl_curation_v3",
+      Some(s"""
+          WITH RECURSIVE $scoredSql,
+          bg0 AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) AS bgs
+            FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+            WHERE len(tk) >= 2),
+          bgf AS (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(bgs) AS bg FROM bg0)
+            GROUP BY doc_id, bg),
+          rep AS (
+            SELECT doc_id, (SUM(c) - COUNT(*)) * 1.0 / SUM(c) AS dup_bigram_frac
+            FROM bgf GROUP BY doc_id),
+          tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          tfreq AS (SELECT tok, COUNT(*) AS f FROM tok GROUP BY tok),
+          ttot AS (SELECT COUNT(*) AS m FROM tok),
+          tbits AS (
+            SELECT t.doc_id,
+                   CAST(floor(log2(CAST(m AS DOUBLE) / f)) AS BIGINT) AS bits
+            FROM tok t JOIN tfreq USING (tok) CROSS JOIN ttot),
+          surp AS (
+            SELECT doc_id, SUM(bits) * 1.0 / COUNT(*) AS mean_bits
+            FROM tbits GROUP BY doc_id),
+          kept AS (
+            SELECT s.doc_id, s.text, s.quality, r.dup_bigram_frac, u.mean_bits
+            FROM scored s
+            JOIN rep r ON s.doc_id = r.doc_id
+            JOIN surp u ON s.doc_id = u.doc_id
+            WHERE s.quality >= 0.7
+              AND r.dup_bigram_frac < 0.08
+              AND u.mean_bits > 3.99 AND u.mean_bits < 4.09),
+          ${Dedup.sqlLshPairsCtes("kept")},
+          edges AS (SELECT i AS a, j AS b FROM pairs
+                    UNION ALL SELECT j, i FROM pairs),
+          walk(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+          mins AS (SELECT a AS doc_id, MIN(b) AS mn FROM walk GROUP BY a),
+          reps AS (
+            SELECT k.doc_id, k.quality, k.dup_bigram_frac, k.mean_bits,
+                   COALESCE(LEAST(k.doc_id, m.mn), k.doc_id) AS rep
+            FROM kept k LEFT JOIN mins m ON k.doc_id = m.doc_id)
+          SELECT doc_id, quality, dup_bigram_frac, mean_bits
+          FROM reps
+          WHERE doc_id = rep
+          ORDER BY doc_id
+        """.trim),
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val bgs = docs
+          .select($"doc_id", TextAnalysis.positionalBigramsUdf($"text").as("bgs"))
+          .filter($"bgs".isNotNull)
+          .select($"doc_id", explode($"bgs").as("bg"))
+          .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(((sum($"c") - count(lit(1))) * lit(1.0) / sum($"c")).as("dup_bigram_frac"))
+        val tok = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+        val tfreq = tok.groupBy($"tok").agg(count(lit(1)).as("f"))
+        val surp = tok.join(broadcast(tfreq), "tok")
+          .crossJoin(broadcast(tok.agg(count(lit(1)).as("m"))))
+          .select($"doc_id", floor(log2($"m".cast("double") / $"f")).cast("long").as("bits"))
+          .groupBy($"doc_id")
+          .agg((sum($"bits") * lit(1.0) / count(lit(1))).as("mean_bits"))
+        val kept = qualityScored(docs)
+          .filter($"quality" >= 0.7)
+          .join(bgs.filter($"dup_bigram_frac" < 0.08), "doc_id")
+          .join(surp.filter($"mean_bits" > 3.99 && $"mean_bits" < 4.09), "doc_id")
+          .select($"doc_id", $"text", $"quality", $"dup_bigram_frac", $"mean_bits")
+          // feeds shingling (signatures + verify) AND the final join —
+          // materialize the filtered subset once
+          .localCheckpoint()
+        val pairs = Dedup.minhashLshPairs(kept.select($"doc_id", $"text"))
+        val clusters = Dedup.duplicateClusters(kept.select($"doc_id", $"text"), pairs)
+        kept.join(clusters, "doc_id")
+          .filter($"doc_id" === $"cluster_rep")
+          .select($"doc_id", $"quality", $"dup_bigram_frac", $"mean_bits")
+          .orderBy($"doc_id")
+      }),
+
     // --------------------------------------------------- token budgeting
     // Greedy selection under a token budget: rank documents by value
     // density (quality per token, ties on doc_id), admit while the
