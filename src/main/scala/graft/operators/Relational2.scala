@@ -488,13 +488,17 @@ object Relational2 {
     // ---------------------------------------------------------------- q33
     // Column profiling — the stats sweep every ingestion pipeline runs
     // before anything else: per column, row/null/distinct counts and
-    // min/max (as strings, so one schema serves every type). The Spark
-    // plan is ONE scan: all per-column aggregates (including the seven
-    // exact count-distincts, which Catalyst plans as a single Expand)
-    // run in one aggregation, then the wide row explodes into the
-    // per-column long format — at 100 TB that is one pass over the
-    // table, not a pass per column (the oracle's 7-way UNION ALL is
-    // the quadratic-is-fine-oracle-side formulation).
+    // min/max (as strings, so one schema serves every type). Two scans,
+    // both map-side combining: (1) the simple aggregates (counts,
+    // typed min/max) in one aggregation; (2) the seven exact distinct
+    // counts via a MELT — explode each row into (column, value-string)
+    // pairs, dedup with a hash aggregate, count per column. Putting
+    // all seven COUNT(DISTINCT)s in one aggregation instead plans as
+    // an 8× Expand of the whole fact table (measured 10.7s vs ~2s at
+    // sf0.1); the melt shuffles only per-partition-distinct pairs.
+    // Min/max stay typed before the string cast — a lexicographic
+    // min over stringified ints would be wrong. (The oracle's 7-way
+    // UNION ALL is the quadratic-is-fine-oracle-side formulation.)
     QueryDef(
       "q33_column_profile", {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -516,24 +520,33 @@ object Relational2 {
       (s, d) => {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
           "l_returnflag", "l_linestatus", "l_shipdate")
+        val li = lineitem(s, d)
         val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
           Seq((count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
-            countDistinct(col(c)).as(s"${c}__distinct"),
             min(col(c)).cast("string").as(s"${c}__min"),
             max(col(c)).cast("string").as(s"${c}__max"))
         }
-        val wide = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+        val wide = li.agg(aggs.head, aggs.tail: _*)
         val rows = cols.map { c =>
           struct(lit(c).as("column_name"), col("n_rows"),
             col(s"${c}__nulls").as("n_nulls"),
-            col(s"${c}__distinct").as("n_distinct"),
             col(s"${c}__min").as("min_val"),
             col(s"${c}__max").as("max_val"))
         }
-        wide.select(explode(array(rows: _*)).as("r"))
+        val simple = wide.select(explode(array(rows: _*)).as("r"))
           .select(col("r.column_name").as("column_name"), col("r.n_rows").as("n_rows"),
-            col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
+            col("r.n_nulls").as("n_nulls"),
             col("r.min_val").as("min_val"), col("r.max_val").as("max_val"))
+        val melted = li.select(explode(array(cols.map { c =>
+            struct(lit(c).as("column_name"), col(c).cast("string").as("v"))
+          }: _*)).as("p"))
+          .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+          .filter(col("v").isNotNull)
+          .groupBy(col("column_name"), col("v")).agg(count(lit(1)))
+          .groupBy(col("column_name")).agg(count(lit(1)).as("n_distinct"))
+        simple.join(melted, "column_name")
+          .select(col("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
           .orderBy(col("column_name"))
       })
   )
