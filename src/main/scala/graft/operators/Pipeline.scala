@@ -405,7 +405,9 @@ object Pipeline {
           .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
           .groupBy($"doc_id")
           .agg(((sum($"c") - count(lit(1))) * lit(1.0) / sum($"c")).as("dup_bigram_frac"))
-        val tok = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+        // three consumers (frequency table, total, surprisal join) —
+        // cache the exploded stream rather than re-scanning per use
+        val tok = docs.select($"doc_id", explode(split($"text", " ")).as("tok")).persist()
         val tfreq = tok.groupBy($"tok").agg(count(lit(1)).as("f"))
         val surp = tok.join(broadcast(tfreq), "tok")
           .crossJoin(broadcast(tok.agg(count(lit(1)).as("m"))))
