@@ -105,4 +105,47 @@ class PropertySpec extends AnyFunSuite {
       AgentText.parseJson5ish(json).isDefined
     })
   }
+
+  test("incremental BPE trainer equals the naive full-recount trainer") {
+    import scala.collection.mutable
+    def mergeGreedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    def naive(vocab: Array[(String, Long)], nMerges: Int): Seq[(Int, String, String, Long)] = {
+      var words = vocab.toVector.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var k = 1
+      var done = false
+      while (k <= nMerges && !done) {
+        val counts = mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (syms, f) =>
+          (0 until syms.length - 1).foreach { i =>
+            val p = (syms(i), syms(i + 1))
+            counts(p) = counts.getOrElse(p, 0L) + f
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val (best, cnt) = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+          out += ((k, best._1, best._2, cnt))
+          words = words.map { case (syms, f) => (mergeGreedy(syms, best._1, best._2), f) }
+          k += 1
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    val vocabGen = Gen.nonEmptyListOf(Gen.zip(wordGen, Gen.choose(1L, 5L)))
+      .map(_.groupBy(_._1).map { case (w, fs) => (w, fs.map(_._2).sum) }.toArray.sortBy(_._1))
+    check("bpe incremental == naive", Prop.forAll(vocabGen, Gen.choose(1, 6)) { (vocab, n) =>
+      graft.operators.TextAnalysis.bpeTrainIncremental(vocab, n) == naive(vocab, n)
+    })
+  }
 }
