@@ -70,6 +70,28 @@ class IoAndUdfsSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("documents round-trip through CSV and ORC bit-exactly (source matrix)") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+
+    // CSV: quoting/escaping must survive arbitrary corpus text
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"").csv(csvDir)
+    val csvBack = spark.read.schema(docs.schema)
+      .option("header", "true").option("escape", "\"").csv(csvDir)
+    assert(csvBack.count() == docs.count())
+    assert(csvBack.exceptAll(docs).isEmpty && docs.exceptAll(csvBack).isEmpty)
+
+    // ORC: the columnar alternative to parquet, schema preserved
+    val orcDir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(orcDir)
+    val orcBack = spark.read.orc(orcDir)
+    assert(orcBack.schema == docs.schema)
+    assert(orcBack.exceptAll(docs).isEmpty && docs.exceptAll(orcBack).isEmpty)
+  }
+
   test("registered UDFs work from spark.sql (§2.10)") {
     graft.functions.Udfs.registerAll(spark)
     val r = spark.sql(
