@@ -93,6 +93,32 @@ class ChatServiceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a streaming consumer tails the chat push topic (the socketio analog)") {
+    import spark.implicits._
+    val pushDir = Files.createTempDirectory("graft_chat_stream").toString
+    val outDir = Files.createTempDirectory("graft_chat_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_chat_stream_ckpt").toString
+    val stub = new StubProvider(canned = Seq())  // default: "ok"
+    val svc = new ChatService(stub,
+      ChatService.State(MemoryStore.empty(spark), TaskStore.empty(spark),
+        spark.emptyDataset[Message]),
+      spark.emptyDataset[Tool], pushDir)
+    svc.handle("""{"session_id": "s9", "query": "hi", "ts": 10}""")
+    svc.handle("""{"session_id": "s9", "query": "again", "ts": 20}""")
+    // tail the topic exactly as a push-notification consumer would
+    val q = spark.readStream.format("commit-log").load(pushDir)
+      .select($"key", $"value")
+      .writeStream.format("commit-log")
+      .option("path", outDir).option("partitions", "1")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val got = spark.read.format("commit-log").load(outDir)
+      .orderBy("offset").select("key", "value").as[(String, String)].collect()
+    assert(got.toSeq == Seq(("s9", "ok"), ("s9", "ok")))
+  }
+
   test("rowCap bounds what a GET view can collect into the driver") {
     import spark.implicits._
     val server = new ViewServer(
