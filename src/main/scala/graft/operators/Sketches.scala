@@ -313,6 +313,62 @@ object Sketches {
             (col("n_joined") === col("n_plain")).as("no_false_drops"),
             ((col("n_orders") - col("n_passed")) * lit(1.0) / col("n_orders"))
               .as("filtered_frac"))
+      }),
+
+    // Approximate quantiles (Greenwald–Khanna, Spark's
+    // approx_percentile) checked against the exact DISCRETE quantile —
+    // the same exact-side + guaranteed-invariant oracle pattern as the
+    // other sk_* rows: the approx VALUE can vary with merge order, so
+    // the hashed output carries the exact quantile and a boolean that
+    // the approx answer's RANK sits within twice the algorithm's
+    // n/accuracy guarantee — deterministically true however the
+    // mergeable sketch was assembled. Discrete (element-at-rank)
+    // quantiles, not interpolated, so the exact side is bit-portable
+    // with no float arithmetic (the ev_winsorize midpoint lesson).
+    QueryDef(
+      "sk_approx_quantiles",
+      Some("""
+        WITH ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events),
+        disc AS (
+          SELECT event_type,
+                 MAX(n) AS n,
+                 MAX(CASE WHEN rn = CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT) THEN value END) AS p50_disc,
+                 MAX(CASE WHEN rn = CAST(ceil(n * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END) AS p95_disc
+          FROM ranked GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n, p50_disc, p95_disc,
+               TRUE AS rank_ok_50, TRUE AS rank_ok_95
+        FROM disc
+        ORDER BY event_type
+      """.trim),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, d).select(col("event_type"), col("value"))
+        val ranked = ev
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("value"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        val disc = ranked.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            max(when(col("rn") === ceil(col("n") * lit(0.5)).cast("long"), col("value"))).as("p50_disc"),
+            max(when(col("rn") === ceil(col("n") * lit(0.95)).cast("long"), col("value"))).as("p95_disc"))
+        val approx = ev.groupBy(col("event_type"))
+          .agg(expr("approx_percentile(value, 0.5, 100)").as("a50"),
+            expr("approx_percentile(value, 0.95, 100)").as("a95"))
+        val ranks = ev.join(broadcast(approx), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(when(col("value") <= col("a50"), 1)).as("le50"),
+            count(when(col("value") <= col("a95"), 1)).as("le95"))
+        disc.join(ranks, "event_type")
+          .select(col("event_type"), col("n"), col("p50_disc"), col("p95_disc"),
+            (abs(col("le50") - ceil(col("n") * lit(0.5)).cast("long"))
+              <= lit(2.0) * col("n") / 100 + 1).as("rank_ok_50"),
+            (abs(col("le95") - ceil(col("n") * lit(0.95)).cast("long"))
+              <= lit(2.0) * col("n") / 100 + 1).as("rank_ok_95"))
+          .orderBy(col("event_type"))
       })
   )
 }

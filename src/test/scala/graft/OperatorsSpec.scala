@@ -341,6 +341,15 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("column profile never plans an Expand of the fact table") {
+    // seven COUNT(DISTINCT)s in one aggregation would plan as an 8x
+    // Expand (measured 10.7s vs 1.7s at sf0.1) - the melt formulation
+    // must keep it out of the plan
+    val plan = SparkEntry.queries("q33_column_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(800))
+  }
+
   test("filter pushdown reaches parquet (q02 PushedFilters non-empty)") {
     val plan = SparkEntry.queries("q02_filter_pushdown")(spark, sf)
       .queryExecution.executedPlan.toString
