@@ -159,6 +159,76 @@ object SimpleRag {
           .orderBy(col("tok"))
       }),
 
+    // BM25-style ranked retrieval: the tf-saturation core
+    //   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)),  k1=1.2, b=0.75
+    // with the RAW ratio N/df as idf — same bit-portability deviation as
+    // rag_tfidf_topk above: ln() is not guaranteed to round identically
+    // across engines, while the saturation term is pure IEEE ×/÷ over
+    // exactly-representable integers (tf, dl, N, df) and shared literals
+    // (oracle literals are CAST(... AS DOUBLE) so DuckDB doesn't route
+    // them through DECIMAL math). Per-term scores snap to DECIMAL(18,6)
+    // before the per-doc sum, so addition order can't matter. Plan shape
+    // is rag_tfidf plus one extra broadcast row (corpus length stats):
+    // explode → two hash aggs → broadcast joins → TakeOrderedAndProject.
+    QueryDef(
+      "rag_bm25_topk", {
+        val terms = getKeywords(cleanString(harnessQuery)).distinct
+        val vals = terms.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+        Some(s"""
+          WITH d AS (
+            SELECT doc_id, tk, CAST(len(list_filter(tk, x -> x <> '')) AS BIGINT) AS dl
+            FROM (SELECT doc_id, string_split(${sqlClean("text")}, ' ') AS tk FROM documents)),
+          tf AS (
+            SELECT doc_id, dl, term, CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf
+            FROM d, (VALUES $vals) t(term)),
+          pos AS (SELECT doc_id, dl, term, tf FROM tf WHERE tf > 0),
+          dfs AS (SELECT term, COUNT(*) AS df FROM pos GROUP BY 1),
+          stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM d)
+          SELECT doc_id,
+                 CAST(SUM(CAST(
+                   (pos.tf * CAST(2.2 AS DOUBLE)
+                     / (pos.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + (CAST(0.75 AS DOUBLE) * pos.dl) / (stats.tot / stats.n))))
+                   * (stats.n / dfs.df)
+                 AS DECIMAL(18,6))) AS DOUBLE) AS score
+          FROM pos JOIN dfs USING (term) CROSS JOIN stats
+          GROUP BY doc_id
+          ORDER BY score DESC, doc_id
+          LIMIT 10
+        """.trim)
+      },
+      (s, d) => {
+        val docs = documents(s, d)
+        val terms = getKeywords(cleanString(harnessQuery)).distinct
+        val withDl = docs
+          .select(col("doc_id"), split(cleanText(col("text")), " ").as("tk"))
+          .withColumn("dl",
+            size(filter(col("tk"), x => x =!= lit(""))).cast("long"))
+        val stats = withDl.agg(
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_toks"))
+        val tf = withDl
+          .select(col("doc_id"), col("dl"), explode(array(terms.map { t =>
+            struct(lit(t).as("term"),
+              size(filter(col("tk"), x => x === lit(t))).cast("long").as("tf"))
+          }: _*)).as("s"))
+          .select(col("doc_id"), col("dl"),
+            col("s.term").as("term"), col("s.tf").as("tf"))
+          .filter(col("tf") > 0)
+        val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfs), "term")
+          .crossJoin(broadcast(stats))
+          .groupBy(col("doc_id"))
+          .agg(graft.det.dsum(
+            (col("tf") * lit(2.2)
+              / (col("tf") + lit(1.2)
+                 * (lit(0.25)
+                    + (lit(0.75) * col("dl")) / (col("tot_toks") / col("n_docs")))))
+            * (col("n_docs") / col("df")), scale = 6).as("score"))
+          .orderBy(desc("score"), asc("doc_id"))
+          .limit(10)
+      }),
+
     // Positional phrase search: exact occurrence counts of the 2-token
     // phrase "table hash" per document. When documents are rows, the
     // positional-index intersection reduces to a row-local adjacent
