@@ -30,6 +30,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et", "filter", "group", "sort"),
     "zh" -> Seq("spark", "agg", "scan", "hash", "column", "value"))
 
+  /** PII regexes, restricted to the Java-regex ∩ RE2 subset so Spark and
+    * DuckDB match identically: character classes, bounded repeats, and
+    * `\b` only — no lookaround, no backreferences, no possessives.
+    * (Declared before `defs`: the oracle strings interpolate them at
+    * object init, which runs top-down.) */
+  private[operators] val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[operators] val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private[operators] val phoneRe = """\+1-555-\d{4}"""
+
   private def toks: Column = split(col("text"), " ")
 
   /** Distinct character trigrams in first-occurrence order (matches
@@ -667,6 +676,83 @@ object TextAnalysis {
           .select($"tok", $"cnt", $"run_sum".as("cum_tokens"),
             ($"run_sum" * lit(1.0) / $"m").as("cum_share"))
           .orderBy($"cum_tokens")
+      }),
+
+    // PII detection + redaction — the scrubbing pass every training-data
+    // pipeline runs before release. The synthetic corpus contains no PII,
+    // so the query first INJECTS it deterministically from doc_id (email
+    // every 3rd doc, IPv4 every 5th, phone every 7th — identical
+    // expressions on both engines), then detects and redacts with
+    // regexes restricted to the Java-regex ∩ RE2 common subset
+    // (char classes, bounded repeats, \b — no lookaround, no backrefs).
+    // Everything is a row-local expression tree over one scan: at 100 TB
+    // this is an embarrassingly parallel map with zero shuffles besides
+    // the presentation sort, and the filter prunes clean docs before the
+    // (wide) redacted column is materialized.
+    QueryDef(
+      "ta_pii_redaction", {
+        Some(s"""
+          WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                                || '.' || CAST(doc_id % 250 AS VARCHAR)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS aug
+            FROM documents),
+          hits AS (
+            SELECT doc_id, aug,
+                   CAST(len(regexp_extract_all(aug, '$emailRe')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(aug, '$ipRe')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(aug, '$phoneRe')) AS BIGINT) AS n_phone
+            FROM aug)
+          SELECT doc_id, n_email, n_ip, n_phone,
+                 regexp_replace(regexp_replace(regexp_replace(aug,
+                   '$emailRe', '<EMAIL>', 'g'),
+                   '$ipRe', '<IP>', 'g'),
+                   '$phoneRe', '<PHONE>', 'g') AS redacted
+          FROM hits
+          WHERE n_email + n_ip + n_phone > 0
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val aug = documents(s, d).select($"doc_id",
+          concat(
+            $"text",
+            when($"doc_id" % 3 === 0,
+              concat(lit(" contact user"), $"doc_id".cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when($"doc_id" % 5 === 0,
+              concat(lit(" from 10."), ($"doc_id" % 256).cast("string"),
+                lit("."), (($"doc_id" * 7) % 256).cast("string"),
+                lit("."), ($"doc_id" % 250).cast("string"))).otherwise(lit("")),
+            when($"doc_id" % 7 === 0,
+              concat(lit(" call +1-555-"),
+                lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("aug"))
+        aug
+          .withColumn("n_email",
+            size(regexp_extract_all($"aug", lit(emailRe), lit(0))).cast("long"))
+          .withColumn("n_ip",
+            size(regexp_extract_all($"aug", lit(ipRe), lit(0))).cast("long"))
+          .withColumn("n_phone",
+            size(regexp_extract_all($"aug", lit(phoneRe), lit(0))).cast("long"))
+          .filter($"n_email" + $"n_ip" + $"n_phone" > 0)
+          .select($"doc_id", $"n_email", $"n_ip", $"n_phone",
+            regexp_replace(regexp_replace(regexp_replace($"aug",
+              lit(emailRe), lit("<EMAIL>")),
+              lit(ipRe), lit("<IP>")),
+              lit(phoneRe), lit("<PHONE>")).as("redacted"))
+          .orderBy($"doc_id")
       })
   )
 
