@@ -517,6 +517,91 @@ object Pipeline {
             ($"n_boiler" * lit(1.0) / $"n_windows").as("boiler_frac"),
             ($"n_boiler" > 0).as("flagged"))
           .orderBy($"doc_id")
+      }),
+
+    // Model-based quality filter — the fastText-classifier shape
+    // (fixed weights over hand features) that replaces the heuristic
+    // threshold in pl_corpus_curation. The score stays in LOGIT space
+    // (keep ⟺ w·x ≥ 0 ≡ sigmoid ≥ 0.5): exp() is not bit-portable
+    // across engines, while w·x is a fixed-order chain of IEEE ×/+ over
+    // ratios of exact integers, so both engines agree to the last bit.
+    // All five features are row-local; the only shuffle is the final
+    // per-source rollup — at 100 TB this is one map stage plus a
+    // |sources|-row aggregate. Oracle literals CAST AS DOUBLE so DuckDB
+    // doesn't route them through DECIMAL math.
+    QueryDef(
+      "pl_quality_model", {
+        val sw = graft.functions.TextFunctions.englishStopwords.toSeq.sorted
+          .map(w => s"'$w'").mkString(", ")
+        Some(s"""
+          WITH tk AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+          feats AS (
+            SELECT doc_id, source,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   len(list_filter(tk, t -> list_contains([$sw], t))) * 1.0 / len(tk) AS stop_ratio,
+                   (length(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_tok,
+                   len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                     / length(text) AS digit_frac
+            FROM tk),
+          scored AS (
+            SELECT source, n_tokens,
+                   CAST(-1.2 AS DOUBLE)
+                     + CAST(0.9 AS DOUBLE) * (least(n_tokens, 100) / CAST(100.0 AS DOUBLE))
+                     + CAST(0.8 AS DOUBLE) * stop_ratio
+                     + CAST(0.6 AS DOUBLE) * (mean_tok / CAST(10.0 AS DOUBLE))
+                     + CAST(0.7 AS DOUBLE) * distinct_ratio
+                     - CAST(1.5 AS DOUBLE) * digit_frac AS score
+            FROM feats)
+          SELECT source,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN score >= CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                 CAST(SUM(CASE WHEN score >= CAST(0.0 AS DOUBLE) THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+                 CAST(SUM(CASE WHEN score >= CAST(0.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+                   / COUNT(*) AS keep_rate,
+                 ${graft.det.sqlAvg(
+                   "floor(score * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)",
+                   6)} AS avg_score
+          FROM scored
+          GROUP BY source
+          ORDER BY source
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val sw = graft.functions.TextFunctions.englishStopwords.toSeq.sorted
+        val feats = documents(s, d)
+          .select($"doc_id", $"source", $"text", split($"text", " ").as("tk"))
+          .select($"source",
+            size($"tk").cast("long").as("n_tokens"),
+            (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
+              / size($"tk")).as("stop_ratio"),
+            ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_tok"),
+            (size(array_distinct($"tk")) * lit(1.0) / size($"tk")).as("distinct_ratio"),
+            ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * lit(1.0)
+              / length($"text")).as("digit_frac"))
+        val scored = feats.select($"source", $"n_tokens",
+          (lit(-1.2)
+            + lit(0.9) * (least($"n_tokens", lit(100L)) / lit(100.0))
+            + lit(0.8) * $"stop_ratio"
+            + lit(0.6) * ($"mean_tok" / lit(10.0))
+            + lit(0.7) * $"distinct_ratio"
+            - lit(1.5) * $"digit_frac").as("score"))
+        scored.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when($"score" >= 0.0, 1L).otherwise(0L)).as("n_keep"),
+            sum(when($"score" >= 0.0, $"n_tokens").otherwise(0L)).as("kept_tokens"),
+            // 6-dp half-up snap BEFORE the DECIMAL cast — double→DECIMAL
+            // rounding at exact 1e-6 midpoints is engine-specific
+            // (Spark shortest-string vs DuckDB numeric; the ev_winsorize
+            // gotcha), while floor over identical doubles is not.
+            graft.det.davg(
+              floor($"score" * lit(1000000.0) + lit(0.5)) / lit(1000000.0), 6)
+              .as("avg_score"))
+          .select($"source", $"n_docs", $"n_keep", $"kept_tokens",
+            ($"n_keep" * lit(1.0) / $"n_docs").as("keep_rate"), $"avg_score")
+          .orderBy($"source")
       })
   )
 
