@@ -602,6 +602,60 @@ object Pipeline {
           .select($"source", $"n_docs", $"n_keep", $"kept_tokens",
             ($"n_keep" * lit(1.0) / $"n_docs").as("keep_rate"), $"avg_score")
           .orderBy($"source")
+      }),
+
+    // Best-representative dedup — the production keep-one policy: within
+    // each near-dup cluster keep the HIGHEST-QUALITY document (ties →
+    // min doc_id), not the arbitrary min-id one. Clusters come from the
+    // same alternating large-star/small-star CC as dd_dup_clusters;
+    // selection is a struct-max aggregate (map-side combinable — one
+    // hash shuffle on cluster_rep, no per-cluster sort), with
+    // (quality, −doc_id) lexicographic order encoding the tiebreak.
+    // The oracle replays the recursive-CTE transitive closure and picks
+    // with a row_number window.
+    QueryDef(
+      "pl_dedup_keep_best",
+      Some(s"""
+        WITH RECURSIVE ${Dedup.sqlLshPairsCtes()},
+        edges AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+        walk(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+        mins AS (SELECT a AS doc_id, MIN(b) AS mn FROM walk GROUP BY a),
+        reps AS (
+          SELECT d.doc_id,
+                 COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS cluster_rep
+          FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+        $scoredSql,
+        sel AS (
+          SELECT r.cluster_rep, r.doc_id, s.quality,
+                 row_number() OVER (PARTITION BY r.cluster_rep
+                                    ORDER BY s.quality DESC, r.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY r.cluster_rep) AS csize
+          FROM reps r JOIN scored s USING (doc_id))
+        SELECT cluster_rep, doc_id AS kept_doc, quality AS kept_quality,
+               CAST(csize AS BIGINT) AS cluster_size,
+               CAST(csize - 1 AS BIGINT) AS n_dropped
+        FROM sel WHERE rn = 1
+        ORDER BY cluster_rep
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val clusters = Dedup.duplicateClusters(docs, Dedup.minhashLshPairs(docs))
+        val scored = qualityScored(docs).select($"doc_id", $"quality")
+        clusters.join(scored, "doc_id")
+          .groupBy($"cluster_rep")
+          .agg(count(lit(1)).as("csize"),
+            max(struct($"quality", ($"doc_id" * lit(-1L)).as("negid"))).as("best"))
+          .select($"cluster_rep",
+            ($"best.negid" * lit(-1L)).as("kept_doc"),
+            $"best.quality".as("kept_quality"),
+            $"csize".as("cluster_size"),
+            ($"csize" - 1).as("n_dropped"))
+          .orderBy($"cluster_rep")
       })
   )
 
