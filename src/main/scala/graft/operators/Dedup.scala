@@ -293,9 +293,12 @@ object Dedup {
     * per component" is the canonical keep-one policy. The (vastly
     * larger) singleton set never enters the loop — it joins back after
     * the fixpoint with rep = doc_id. */
-  def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges0 = pairs
-      .select(col("i").as("u"), col("j").as("v"))
+  /** The alternating-star fixpoint itself, reusable for any edge list:
+    * returns (u → v) where v is u's component minimum, one row per
+    * NON-minimum node (the minimum has no row — callers coalesce to
+    * self). Deterministic: the fixpoint is unique. */
+  private[operators] def ccLabels(rawEdges: DataFrame): DataFrame = {
+    val edges0 = rawEdges
       .where(col("u") =!= col("v"))
       .distinct().localCheckpoint()
     var cur = ccSmallStar(ccLargeStar(edges0)).localCheckpoint()
@@ -309,7 +312,12 @@ object Dedup {
       cur = next
       curCnt = nextCnt
     }
-    val labels = cur.select(col("u").as("doc_id"), col("v").as("rep"))
+    cur
+  }
+
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = ccLabels(pairs.select(col("i").as("u"), col("j").as("v")))
+      .select(col("u").as("doc_id"), col("v").as("rep"))
     val full = docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))

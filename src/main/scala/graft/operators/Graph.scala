@@ -222,5 +222,50 @@ object Graph {
           .orderBy(col("pr").desc, col("node"))
           .limit(20)
           .select(col("node").cast("bigint").as("node"), col("pr"))
+      }),
+
+    // General connected components as a first-class graph query — the
+    // same alternating large-star/small-star fixpoint that powers
+    // dd_dup_clusters ([[Dedup.ccLabels]]), here over a deterministic
+    // hash-thinned part–supplier purchase graph (qty-1 lines, 1-in-17
+    // edge sample) so the structure is a forest-of-stars with real
+    // multi-node components (sf0.01: 35 components, max size 5) and
+    // the recursive-CTE oracle stays polynomial. Every step is a
+    // hash-partitioned groupBy + equi-join; nothing driver-side but
+    // the per-round convergence counts.
+    QueryDef(
+      "gx_cc",
+      Some("""
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+          WHERE l_quantity = 1 AND (l_partkey * 31 + l_suppkey) % 17 = 0),
+        edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        walk(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+        mins AS (SELECT a, MIN(b) AS mn FROM walk GROUP BY a),
+        comp AS (SELECT a AS node, LEAST(a, mn) AS rep FROM mins)
+        SELECT node, rep,
+               CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT) AS component_size
+        FROM comp
+        ORDER BY node
+      """.trim),
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .filter(col("l_quantity") === 1 &&
+            (col("l_partkey") * 31 + col("l_suppkey")) % 17 === 0)
+          .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+          .distinct()
+        val labels = Dedup.ccLabels(e0)
+        val nodes = e0.select(col("u").as("node"))
+          .union(e0.select(col("v").as("node"))).distinct()
+        val full = nodes
+          .join(labels.select(col("u").as("node"), col("v").as("rep")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("rep"), col("node")).as("rep"))
+        val sizes = full.groupBy(col("rep")).agg(count(lit(1)).as("component_size"))
+        full.join(sizes, "rep")
+          .select(col("node"), col("rep"), col("component_size"))
+          .orderBy(col("node"))
       }))
 }
