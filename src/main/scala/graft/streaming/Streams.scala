@@ -224,4 +224,29 @@ object Streams {
           Iterator.single(SigGroup(sig, canonical, n))
       }
   }
+
+  /** Streaming exact token counts over a document stream — the
+    * heavy-hitters twin. Tokenization is row-local (no pre-shuffle);
+    * the only exchange is the keyed state update, one Long per
+    * DISTINCT token — the same O(vocab) bound as the exact side of
+    * the batch `sk_heavy_hitters`. Counting is a commutative monoid,
+    * so the final emission per token equals the batch
+    * `groupBy(tok).count()` for ANY arrival order, batch slicing, or
+    * restart, and the streamed heavy-hitter set (freq·k > N) converges
+    * to the batch one — StreamingHeavyHittersSpec pins both over the
+    * commit-log transport with a mid-stream restart. */
+  final case class TokCount(tok: String, n: Long)
+
+  def tokenCounts(docs: DataFrame): Dataset[TokCount] = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok")).as[String]
+    toks.groupByKey(identity)
+      .flatMapGroupsWithState[Long, TokCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (tok: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator.single(TokCount(tok, n))
+      }
+  }
 }
