@@ -361,5 +361,60 @@ object Analytics {
               .otherwise($"value")).as("winsorized_sum"),
             det.dsum($"value").as("raw_sum"))
           .orderBy($"event_type")
+      }),
+
+    // Last-touch attribution: every purchase credits the most recent
+    // click (≤ its timestamp; same-second clicks attribute via the
+    // kind tiebreak) of the same user, rolled up by the click's channel
+    // (props.k mod 4; -1 = no preceding click). One type-pruned scan,
+    // one per-user window (hash-partitioned on user_id — per-user
+    // streams are short and bounded, so the sort is local and
+    // skew-free), one tiny rollup. The `last(ch) ignoreNulls` running
+    // carry is the standard as-of-join-by-window trick: no self-join,
+    // no range explosion, scale-invariant per user.
+    QueryDef(
+      "ev_attribution",
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+                 event_id, value,
+                 CAST(json_extract_string(props, '$$.k') AS BIGINT) % 4 AS ch0
+          FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        s AS (
+          SELECT user_id, tse, event_id, value,
+                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+                 CASE WHEN event_type = 'click' THEN ch0 END AS ch
+          FROM e),
+        a AS (
+          SELECT user_id, event_id, value, kind,
+                 last_value(ch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY tse, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+          FROM s)
+        SELECT COALESCE(channel, -1) AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               ${det.sqlSum("value")} AS attributed_value
+        FROM a WHERE kind = 1
+        GROUP BY 1
+        ORDER BY 1
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val stream = events(s, d)
+          .filter($"event_type".isin("click", "purchase"))
+          .select($"user_id", unix_timestamp($"ts").as("tse"), $"event_id", $"value",
+            when($"event_type" === "click", 0).otherwise(1).as("kind"),
+            when($"event_type" === "click",
+              get_json_object($"props", "$.k").cast("long") % 4).as("ch"))
+        val w = Window.partitionBy($"user_id").orderBy($"tse", $"kind", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        stream
+          .withColumn("channel", last($"ch", ignoreNulls = true).over(w))
+          .filter($"kind" === 1)
+          .groupBy(coalesce($"channel", lit(-1L)).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            det.dsum($"value").as("attributed_value"))
+          .orderBy($"channel")
       }))
 }

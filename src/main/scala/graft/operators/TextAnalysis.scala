@@ -678,6 +678,44 @@ object TextAnalysis {
           .orderBy($"cum_tokens")
       }),
 
+    // Frequency spectrum (the Zipf/LNRE readout): token TYPES per
+    // power-of-two frequency band — the curve that says how heavy the
+    // head is and how long the hapax tail runs, i.e. whether MinHash
+    // prefixes, vocab caps, and heavy-hitter sketches will bite. Bands
+    // are integer-BUCKETED floor(log2(freq)) — same bit-portability
+    // argument as ta_unigram_surprisal: floating log2 of an exact
+    // integer can't sit within an ulp of an integer boundary unless
+    // the ratio IS a power of two, where log2 is exact. One explode +
+    // two tiny aggregations; scale-invariant.
+    QueryDef(
+      "ta_freq_spectrum",
+      Some("""
+        WITH wc AS (
+          SELECT tok, COUNT(*) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY tok)
+        SELECT CAST(floor(log2(CAST(freq AS DOUBLE))) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(freq) AS BIGINT) AS band_tokens,
+               CAST(MIN(freq) AS BIGINT) AS min_freq,
+               CAST(MAX(freq) AS BIGINT) AS max_freq
+        FROM wc
+        GROUP BY 1
+        ORDER BY 1
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        documents(s, d)
+          .select(explode(split($"text", " ")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("freq"))
+          .groupBy(floor(log2($"freq".cast("double"))).cast("long").as("band"))
+          .agg(count(lit(1)).as("n_types"),
+            sum($"freq").as("band_tokens"),
+            min($"freq").as("min_freq"),
+            max($"freq").as("max_freq"))
+          .orderBy($"band")
+      }),
+
     // PII detection + redaction — the scrubbing pass every training-data
     // pipeline runs before release. The synthetic corpus contains no PII,
     // so the query first INJECTS it deterministically from doc_id (email
