@@ -235,6 +235,45 @@ object Streams {
     * restart, and the streamed heavy-hitter set (freq·k > N) converges
     * to the batch one — StreamingHeavyHittersSpec pins both over the
     * commit-log transport with a mid-stream restart. */
+  /** Streaming last-touch attribution — the stateful twin of the batch
+    * `ev_attribution` window carry. Per-user state accumulates every
+    * click (tse, id, channel) and purchase (tse, id); each batch that
+    * touches a user re-derives the attribution of ALL that user's
+    * purchases from state and emits them. Because state is the full
+    * per-user event set, the LAST emission per purchase equals the
+    * batch answer for ANY arrival order, batch slicing, or restart —
+    * including a click arriving AFTER the purchase it wins (the
+    * eventually-consistent case a monoid can't express; emissions
+    * carry nEvents, monotone per user, so "last" is selectable
+    * downstream). State is O(events-per-user) — bounded by per-user
+    * activity; a production deployment windows it with a timeout. */
+  final case class AttEvent(userId: Long, tse: Long, eventId: Long,
+                            kind: Int, ch: Option[Long], value: Double)
+  final case class AttState(events: Seq[AttEvent])
+  final case class AttEmit(userId: Long, purchaseId: Long, channel: Long,
+                           value: Double, nEvents: Long)
+
+  def attribution(events: Dataset[AttEvent]): Dataset[AttEmit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[AttState, AttEmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[AttEvent], state: GroupState[AttState]) =>
+          val all = state.getOption.map(_.events).getOrElse(Seq.empty) ++ rows
+          state.update(AttState(all))
+          val clicks = all.filter(_.kind == 0)
+          val n = all.size.toLong
+          all.filter(_.kind == 1).sortBy(_.eventId).iterator.map { p =>
+            val winner = clicks
+              .filter(c => c.tse <= p.tse)
+              .sortBy(c => (c.tse, c.eventId))
+              .lastOption
+            AttEmit(user, p.eventId,
+              winner.flatMap(_.ch).getOrElse(-1L), p.value, n)
+          }
+      }
+  }
+
   final case class TokCount(tok: String, n: Long)
 
   def tokenCounts(docs: DataFrame): Dataset[TokCount] = {
