@@ -416,5 +416,36 @@ object Analytics {
           .agg(count(lit(1)).as("n_purchases"),
             det.dsum($"value").as("attributed_value"))
           .orderBy($"channel")
+      }),
+
+    // Exact equi-width value histogram per event type — the
+    // distribution readout behind alerting thresholds and bucket-count
+    // sizing (and the exact baseline the sk_approx_quantiles sketch is
+    // judged against). Buckets are integer floor(value/25) — no float
+    // boundaries to disagree on; one scan, one hash aggregate on the
+    // (type, bucket) composite key.
+    QueryDef(
+      "ev_histogram",
+      Some(s"""
+        SELECT event_type,
+               CAST(floor(value / 25) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(value) AS lo,
+               MAX(value) AS hi,
+               ${det.sqlSum("value")} AS bucket_sum
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy($"event_type",
+            floor($"value" / 25).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min($"value").as("lo"),
+            max($"value").as("hi"),
+            det.dsum($"value").as("bucket_sum"))
+          .orderBy($"event_type", $"bucket")
       }))
 }

@@ -267,5 +267,52 @@ object Graph {
         full.join(sizes, "rep")
           .select(col("node"), col("rep"), col("component_size"))
           .orderBy(col("node"))
+      }),
+
+    // Multi-source BFS: hop distance (≤ 4) from a deterministic seed
+    // set (node % 11 = 3) over the same thinned purchase graph as
+    // gx_cc — the reachability/nearest-facility primitive. Each round
+    // is frontier ⋈ edges → union → per-node min: hash-shuffled
+    // min-merge with NO driver-side frontier (the distance table stays
+    // distributed; rounds are fixed, lineage is checkpoint-truncated).
+    // Min-merge makes revisits harmless, so the fixed-round loop equals
+    // true BFS up to the hop cap. The oracle's recursive CTE walks the
+    // same capped expansion and takes the same per-node MIN.
+    QueryDef(
+      "gx_bfs",
+      Some("""
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+          WHERE l_quantity = 1 AND (l_partkey * 31 + l_suppkey) % 17 = 0),
+        edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        walk(node, dist) AS (
+          SELECT node, 0 FROM nodes WHERE node % 11 = 3
+          UNION
+          SELECT e.b, w.dist + 1
+          FROM walk w JOIN edges e ON e.a = w.node
+          WHERE w.dist < 4)
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node ORDER BY node
+      """.trim),
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .filter(col("l_quantity") === 1 &&
+            (col("l_partkey") * 31 + col("l_suppkey")) % 17 === 0)
+          .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+          .distinct()
+        val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).persist()
+        val nodes = sym.select(col("u").as("node")).distinct()
+        var dist = nodes.filter(col("node") % 11 === 3)
+          .select(col("node"), lit(0L).as("dist")).localCheckpoint()
+        for (_ <- 1 to 4) {
+          val step = sym
+            .join(dist.select(col("node").as("u"), col("dist")), "u")
+            .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+          dist = dist.union(step)
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint()
+        }
+        dist.orderBy(col("node"))
       }))
 }
