@@ -714,7 +714,45 @@ object Dedup {
         """.trim)
       },
       (s, d) => simhashPairs64(simhashSignatures64(documents(s, d)), 4)
-        .orderBy(col("i"), col("j")))
+        .orderBy(col("i"), col("j"))),
+
+    // N-gram novelty curve — per document, how many of its shingles
+    // were already seen in any EARLIER document (doc_id order): the
+    // readout dedup-aware sampling uses to decide how fast a corpus
+    // stops contributing new text. "First occurrence" is a per-shingle
+    // MIN(doc_id) — one hash aggregate over the exploded shingles —
+    // then a shingle-keyed join back counts each doc's repeats; at
+    // 100 TB both sides shuffle on the shingle key and nothing is
+    // quadratic (the join's per-key width is df, the same profile the
+    // inverted index handles).
+    QueryDef(
+      "dd_ngram_novelty",
+      Some(s"""
+        WITH sh AS (${sqlShinglesFrom("documents")}),
+        first AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+        per AS (
+          SELECT s.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(COUNT(CASE WHEN f.first_doc < s.doc_id THEN 1 END) AS BIGINT) AS n_repeat
+          FROM sh s JOIN first f USING (sh)
+          GROUP BY s.doc_id)
+        SELECT doc_id, n_grams, n_repeat,
+               n_repeat * 1.0 / n_grams AS repeat_frac
+        FROM per
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        val sh = shingleArrays(documents(s, d))
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+        val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(first, "sh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("first_doc") < col("doc_id"), 1)).as("n_repeat"))
+          .select(col("doc_id"), col("n_grams"), col("n_repeat"),
+            (col("n_repeat") * lit(1.0) / col("n_grams")).as("repeat_frac"))
+          .orderBy(col("doc_id"))
+      })
   )
 
   /** SimHash near-dup pairs via pigeonhole banding: the 32-bit

@@ -314,5 +314,55 @@ object Graph {
             .localCheckpoint()
         }
         dist.orderBy(col("node"))
+      }),
+
+    // k-core peeling (k=2, 4 fixed rounds — fixed like gx_pagerank's
+    // iteration count so the oracle can mirror round-for-round; the
+    // full k-core is this loop run to fixpoint): each round drops
+    // every edge with an endpoint of degree < k. Over the UNTHINNED
+    // qty-1 purchase graph so the peel actually works through the
+    // degree-1 fringe. Per round: one hash aggregate (degrees) + two
+    // semi-joins (endpoint filter) — all shuffles keyed on node id,
+    // lineage checkpoint-truncated; nothing driver-side.
+    QueryDef(
+      "gx_kcore", {
+        def round(i: Int): String = {
+          val p = s"s${i - 1}"
+          s"""d${i - 1} AS (SELECT a, COUNT(*) AS deg FROM $p GROUP BY a),
+          s$i AS (
+            SELECT s.a, s.b FROM $p s
+            JOIN d${i - 1} da ON s.a = da.a
+            JOIN d${i - 1} db ON s.b = db.a
+            WHERE da.deg >= 2 AND db.deg >= 2)"""
+        }
+        Some(s"""
+          WITH e0 AS (
+            SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+            FROM lineitem WHERE l_quantity = 1),
+          s0 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+          ${(1 to 4).map(round).mkString(",\n")}
+          SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM s4 GROUP BY a
+          ORDER BY node
+        """.trim)
+      },
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .filter(col("l_quantity") === 1)
+          .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        var sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+          .localCheckpoint()
+        for (_ <- 1 to 4) {
+          val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 2).select(col("a"))
+          sym = sym
+            .join(keep, Seq("a"), "left_semi")
+            .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+            .select(col("a"), col("b"))
+            .localCheckpoint()
+        }
+        sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("node"))
       }))
 }
