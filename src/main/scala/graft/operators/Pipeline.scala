@@ -656,6 +656,48 @@ object Pipeline {
             $"csize".as("cluster_size"),
             ($"csize" - 1).as("n_dropped"))
           .orderBy($"cluster_rep")
+      }),
+
+    // Epoch shuffling without materializing copies: each training epoch
+    // orders the corpus by a portable hash of (doc_id, epoch) — a new
+    // deterministic permutation per epoch, reproducible on any cluster
+    // (the standard seeded-shuffle trick; the hash IS the sort key a
+    // writer's range partitioner would use). Ranks come from
+    // [[globalRank]] — range-sharded with per-shard offsets, NOT a
+    // per-epoch window (3 epochs would mean 3 sort partitions at any
+    // scale). Readout: the first 20 positions of each epoch's order;
+    // per-epoch position = global (epoch, key) rank minus epoch·N.
+    QueryDef(
+      "pl_epoch_shuffle",
+      Some(s"""
+        WITH e AS (
+          SELECT doc_id, epoch FROM documents, (VALUES (0), (1), (2)) t(epoch)),
+        k AS (
+          SELECT doc_id, epoch,
+                 ${graft.functions.PortableHash.sqlH32(
+                   "CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")} AS k
+          FROM e),
+        r AS (
+          SELECT epoch, doc_id,
+                 row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+          FROM k)
+        SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos, doc_id
+        FROM r WHERE pos <= 20
+        ORDER BY epoch, pos
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d).select($"doc_id")
+        val keyed = docs
+          .select($"doc_id", explode(array(lit(0L), lit(1L), lit(2L))).as("epoch"))
+          .withColumn("k", graft.functions.PortableHash.h32(
+            concat($"doc_id".cast("string"), lit(":"), $"epoch".cast("string"))))
+        globalRank(keyed, Seq($"epoch", $"k", $"doc_id"))
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+          .withColumn("pos", $"rank" - $"epoch" * $"n_docs" + 1)
+          .filter($"pos" <= 20)
+          .select($"epoch", $"pos", $"doc_id")
+          .orderBy($"epoch", $"pos")
       })
   )
 

@@ -548,6 +548,47 @@ object Relational2 {
           .select(col("column_name"), col("n_rows"), col("n_nulls"),
             col("n_distinct"), col("min_val"), col("max_val"))
           .orderBy(col("column_name"))
+      }),
+
+    // MapType function surface (§2.10): per-user event profiles held
+    // as a MAP column — map_from_entries over the grouped counts, then
+    // map_keys/map_values/element_at/map_entries consumed by
+    // higher-order functions. The map is row-local plumbing: the plan
+    // is still two hash aggregations; the oracle computes the same
+    // scalars relationally (maps never cross the engine boundary —
+    // only their derived values do, sorted-serialized for the profile
+    // string).
+    QueryDef(
+      "q34_map_funcs",
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(COALESCE(MAX(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS click_n,
+               CAST(SUM(n) AS BIGINT) AS total_events,
+               string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS profile
+        FROM c
+        GROUP BY user_id
+        ORDER BY user_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+          .groupBy($"user_id")
+          .agg(map_from_entries(collect_list(struct($"event_type", $"n"))).as("m"))
+          .select($"user_id",
+            size(map_keys($"m")).cast("long").as("n_types"),
+            coalesce(element_at($"m", "click"), lit(0L)).as("click_n"),
+            aggregate(map_values($"m"), lit(0L), (acc, x) => acc + x).as("total_events"),
+            array_join(
+              transform(array_sort(map_entries($"m")),
+                e => concat(e.getField("key"), lit(":"),
+                  e.getField("value").cast("string"))),
+              ",").as("profile"))
+          .orderBy($"user_id")
       })
   )
 }
