@@ -302,18 +302,9 @@ object Graph {
           .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
           .distinct()
         val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).persist()
-        val nodes = sym.select(col("u").as("node")).distinct()
-        var dist = nodes.filter(col("node") % 11 === 3)
-          .select(col("node"), lit(0L).as("dist")).localCheckpoint()
-        for (_ <- 1 to 4) {
-          val step = sym
-            .join(dist.select(col("node").as("u"), col("dist")), "u")
-            .select(col("v").as("node"), (col("dist") + 1).as("dist"))
-          dist = dist.union(step)
-            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-            .localCheckpoint()
-        }
-        dist.orderBy(col("node"))
+        val seeds = sym.select(col("u").as("node")).distinct()
+          .filter(col("node") % 11 === 3)
+        bfs(sym, seeds, maxHops = 4).orderBy(col("node"))
       }),
 
     // k-core peeling (k=2, 4 fixed rounds — fixed like gx_pagerank's
@@ -349,20 +340,47 @@ object Graph {
       (s, d) => {
         val e0 = lineitem(s, d)
           .filter(col("l_quantity") === 1)
-          .select((col("l_partkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+          .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
           .distinct()
-        var sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
-          .localCheckpoint()
-        for (_ <- 1 to 4) {
-          val keep = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 2).select(col("a"))
-          sym = sym
-            .join(keep, Seq("a"), "left_semi")
-            .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
-            .select(col("a"), col("b"))
-            .localCheckpoint()
-        }
-        sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
-          .orderBy(col("node"))
+        val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        kcore(sym, k = 2, rounds = 4).orderBy(col("node"))
       }))
+
+  /** Multi-source BFS over a SYMMETRIC (u, v) edge list: hop distance
+    * (≤ maxHops) from the seed node set via distributed min-merge
+    * frontier rounds — per round one node-keyed join and one min
+    * aggregate, lineage checkpoint-truncated, no driver-side frontier.
+    * Min-merge makes revisits harmless, so fixed rounds equal true BFS
+    * up to the hop cap. */
+  def bfs(sym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val step = sym
+        .join(dist.select(col("node").as("u"), col("dist")), "u")
+        .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(step)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Fixed-round k-core peel over a SYMMETRIC (u, v) edge list: each
+    * round drops every edge with an endpoint of degree < k (one degree
+    * aggregate + two semi-joins, all node-keyed). Returns the surviving
+    * nodes with their remaining degrees; run to fixpoint the survivors
+    * are exactly the k-core. */
+  def kcore(sym0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var sym = sym0.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      sym = sym
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+  }
 }
