@@ -698,6 +698,53 @@ object Pipeline {
           .filter($"pos" <= 20)
           .select($"epoch", $"pos", $"doc_id")
           .orderBy($"epoch", $"pos")
+      }),
+
+    // Paragraph-level exact dedup — the sub-document pass (RefinedWeb-
+    // style): disjoint 64-token chunks stand in for paragraphs, and a
+    // chunk content-hash grouped across the corpus finds text blocks
+    // repeated across documents that whole-doc dedup can't see
+    // (boilerplate headers, quoted passages, mirrored sections). The
+    // chunking is the pl_chunking explode at stride = width (row-local,
+    // inside the scan stage); the rollup is one hash aggregate on the
+    // chunk hash. Reports each duplicated block with its canonical
+    // (first) location.
+    QueryDef(
+      "pl_paragraph_dedup",
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks,
+                     UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 64)) AS start
+              FROM t),
+        c AS (
+          SELECT doc_id,
+                 CAST(start // 64 AS BIGINT) AS chunk_no,
+                 md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS h
+          FROM s)
+        SELECT h,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM c
+        GROUP BY h
+        HAVING COUNT(*) > 1
+        ORDER BY h
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val W = 64
+        documents(s, d)
+          .select($"doc_id", split($"text", " ").as("toks"))
+          .select($"doc_id", $"toks",
+            explode(sequence(lit(0), greatest(size($"toks") - 1, lit(0)), lit(W))).as("start"))
+          .select($"doc_id",
+            md5(array_join(slice($"toks", $"start" + 1, lit(W)), " ")).as("h"))
+          .groupBy($"h")
+          .agg(count(lit(1)).as("n_copies"),
+            countDistinct($"doc_id").as("n_docs"),
+            min($"doc_id").as("first_doc"))
+          .filter($"n_copies" > 1)
+          .orderBy($"h")
       })
   )
 
