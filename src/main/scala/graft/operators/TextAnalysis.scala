@@ -777,14 +777,20 @@ object TextAnalysis {
               concat(lit(" call +1-555-"),
                 lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
               .otherwise(lit(""))).as("aug"))
+        // Filter FIRST on one combined-alternation rlike (a boolean
+        // find, the cheapest possible detect), THEN count on the
+        // survivors: filtering on the counts themselves looks natural
+        // but Catalyst pushes that predicate below the projection,
+        // re-running all three regexp_extract_all per row — at 100 TB
+        // the regexes are the whole cost, and rlike(any) ⟺ Σcounts > 0.
         aug
+          .filter($"aug".rlike(s"($emailRe)|($ipRe)|($phoneRe)"))
           .withColumn("n_email",
             size(regexp_extract_all($"aug", lit(emailRe), lit(0))).cast("long"))
           .withColumn("n_ip",
             size(regexp_extract_all($"aug", lit(ipRe), lit(0))).cast("long"))
           .withColumn("n_phone",
             size(regexp_extract_all($"aug", lit(phoneRe), lit(0))).cast("long"))
-          .filter($"n_email" + $"n_ip" + $"n_phone" > 0)
           .select($"doc_id", $"n_email", $"n_ip", $"n_phone",
             regexp_replace(regexp_replace(regexp_replace($"aug",
               lit(emailRe), lit("<EMAIL>")),
