@@ -211,6 +211,48 @@ object Multimodal {
           .orderBy($"o_orderpriority")
       }),
 
+    // Set-intersection estimation from mergeable sketches: |A∩B| via
+    // inclusion–exclusion over three HLL estimates (A, B, A∪B from
+    // hll_union) — the audience-overlap question ("how many users both
+    // click high-value AND purchase high-value") answered WITHOUT
+    // co-shuffling the two sets: each side aggregates independently
+    // (sketches travel, rows don't), which is the whole point at
+    // 100 TB. The exact intersection (one semi-join, fine at test
+    // scale) grades the estimate; inclusion–exclusion compounds the
+    // per-sketch error so the bound is looser than the single-set one.
+    QueryDef(
+      "sk_hll_intersect",
+      Some("""
+        WITH a AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'click' AND value > 150),
+        b AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'purchase' AND value > 150)
+        SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+               CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+               CAST((SELECT COUNT(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS BIGINT) AS exact_inter,
+               TRUE AS inter_in_bound
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val e = events(s, d)
+        val a = e.filter($"event_type" === "click" && $"value" > 150)
+          .agg(hll_sketch_agg($"user_id").as("ska"),
+            countDistinct($"user_id").as("exact_a"))
+        val b = e.filter($"event_type" === "purchase" && $"value" > 150)
+          .agg(hll_sketch_agg($"user_id").as("skb"),
+            countDistinct($"user_id").as("exact_b"))
+        val exactInter = e.filter($"event_type" === "click" && $"value" > 150)
+          .select($"user_id").distinct()
+          .join(e.filter($"event_type" === "purchase" && $"value" > 150)
+            .select($"user_id").distinct(), Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("exact_inter"))
+        a.crossJoin(b).crossJoin(exactInter)
+          .select($"exact_a", $"exact_b", $"exact_inter",
+            (abs(hll_sketch_estimate($"ska") + hll_sketch_estimate($"skb")
+              - hll_sketch_estimate(hll_union($"ska", $"skb")) - $"exact_inter")
+              <= greatest($"exact_inter" * 0.2, lit(8.0))).as("inter_in_bound"))
+      }),
+
     // Expression-level formulation of the same fake decode (oracle-able:
     // md5 is portable). Exercises binary columns + metadata derivation.
     QueryDef(

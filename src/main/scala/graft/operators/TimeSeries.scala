@@ -344,6 +344,70 @@ object TimeSeries {
             last($"v", ignoreNulls = true).over(w).as("v_filled"),
             $"v".isNull.as("gap_filled"))
           .orderBy($"user_id", $"bucket")
+      }),
+
+    // Lagged cross-correlation between the daily click and purchase
+    // count series — the does-one-signal-lead-the-other diagnostic
+    // (promo→purchase lag estimation). Same determinism rules as
+    // ts_autocorr: moment sums through DECIMAL, then the Pearson
+    // formula over identical doubles — sqrt is IEEE correctly-rounded
+    // (unlike ln/exp), so it is bit-portable. Day keys are exact
+    // integer division (`div` / `//`); per-lag pairs come from ONE
+    // day-keyed equi-join of the two (tiny, pre-aggregated) daily
+    // series — the scan aggregates once, lags reuse it.
+    QueryDef(
+      "ts_cross_corr",
+      Some(s"""
+        WITH e AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, event_type
+          FROM events),
+        cx AS (SELECT day, CAST(COUNT(*) AS DOUBLE) AS x FROM e
+               WHERE event_type = 'click' GROUP BY day),
+        cy AS (SELECT day, CAST(COUNT(*) AS DOUBLE) AS y FROM e
+               WHERE event_type = 'purchase' GROUP BY day),
+        p AS (
+          SELECT l.lag, cx.x, cy.y
+          FROM (VALUES (0), (1), (2)) l(lag)
+          JOIN cx ON TRUE
+          JOIN cy ON cy.day = cx.day + l.lag),
+        m AS (
+          SELECT lag, COUNT(*) AS n,
+                 ${sqlSum("x")} AS sx, ${sqlSum("y")} AS sy,
+                 ${sqlSum("x * x", 6)} AS sxx, ${sqlSum("y * y", 6)} AS syy,
+                 ${sqlSum("x * y", 6)} AS sxy
+          FROM p GROUP BY lag)
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_days,
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                    THEN (n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+               END AS r
+        FROM m
+        ORDER BY lag
+      """.trim)
+      ,
+      (s, d) => {
+        import s.implicits._
+        val e = events(s, d)
+          .select(expr("unix_timestamp(ts) div 86400").as("day"), $"event_type")
+        val cx = e.filter($"event_type" === "click")
+          .groupBy($"day").agg(count(lit(1)).cast("double").as("x"))
+        val cy = e.filter($"event_type" === "purchase")
+          .groupBy($"day").agg(count(lit(1)).cast("double").as("y"))
+        val lags = Seq(0L, 1L, 2L).toDF("lag")
+        val p = broadcast(lags).crossJoin(cx)
+          .join(cy.select(($"day").as("yday"), $"y"), $"yday" === $"day" + $"lag")
+        val m = p.groupBy($"lag").agg(
+          count(lit(1)).as("n"),
+          dsum($"x").as("sx"), dsum($"y").as("sy"),
+          dsum($"x" * $"x", 6).as("sxx"), dsum($"y" * $"y", 6).as("syy"),
+          dsum($"x" * $"y", 6).as("sxy"))
+        m.select($"lag", $"n".as("n_days"),
+          when(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy") > 0,
+            ($"n" * $"sxy" - $"sx" * $"sy")
+              / sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+            .as("r"))
+          .orderBy($"lag")
       })
   )
 }
