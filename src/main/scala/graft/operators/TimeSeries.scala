@@ -408,6 +408,45 @@ object TimeSeries {
               / sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
             .as("r"))
           .orderBy($"lag")
+      }),
+
+    // Day-of-week seasonality profile: per event type, the weekly
+    // activity shape plus a concentration readout (peak-day share) —
+    // the calendar diagnostic behind "is this signal weekday-driven".
+    // Day-of-week is pure integer arithmetic on the epoch day ((day+4)
+    // mod 7; 1970-01-01 was a Thursday=4) — no timezone/locale
+    // functions to disagree across engines. One scan, one composite
+    // hash aggregate, one tiny per-type rollup join.
+    QueryDef(
+      "ts_seasonality",
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow
+          FROM events),
+        c AS (SELECT event_type, dow, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        t AS (SELECT event_type, SUM(n) AS tot, MAX(n) AS peak FROM c GROUP BY 1)
+        SELECT c.event_type,
+               CAST(c.dow AS BIGINT) AS dow,
+               CAST(c.n AS BIGINT) AS n,
+               c.n * 1.0 / t.tot AS share,
+               c.n = t.peak AS is_peak
+        FROM c JOIN t ON c.event_type = t.event_type
+        ORDER BY c.event_type, dow
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val c = events(s, d)
+          .select($"event_type",
+            ((expr("unix_timestamp(ts) div 86400") + 4) % 7).as("dow"))
+          .groupBy($"event_type", $"dow").agg(count(lit(1)).as("n"))
+        val t = c.groupBy($"event_type")
+          .agg(sum($"n").as("tot"), max($"n").as("peak"))
+        c.join(broadcast(t), "event_type")
+          .select($"event_type", $"dow", $"n",
+            ($"n" * lit(1.0) / $"tot").as("share"),
+            ($"n" === $"peak").as("is_peak"))
+          .orderBy($"event_type", $"dow")
       })
   )
 }
