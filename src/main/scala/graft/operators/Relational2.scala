@@ -589,6 +589,52 @@ object Relational2 {
                   e.getField("value").cast("string"))),
               ",").as("profile"))
           .orderBy($"user_id")
+      }),
+
+    // Schema-on-read with corrupt-record accounting — what a 100 TB
+    // ingest actually faces: a fraction of the JSON column is mangled
+    // (here deterministically, every 13th event loses its closing
+    // brace) and the pipeline must parse what it can and COUNT what it
+    // can't rather than fail. Spark side: from_json (PERMISSIVE →
+    // null on corrupt) + null accounting; oracle: json_valid gates
+    // json_extract. Row-local; one rollup.
+    QueryDef(
+      "q35_corrupt_json",
+      Some("""
+        WITH raw AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 13 = 0
+                      THEN replace(props, '}', '') ELSE props END AS j
+          FROM events),
+        p AS (
+          SELECT event_type,
+                 CASE WHEN json_valid(j)
+                      THEN CAST(json_extract_string(j, '$.k') AS BIGINT) END AS k
+          FROM raw)
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_corrupt,
+               CAST(SUM(k) AS BIGINT) AS k_sum
+        FROM p
+        GROUP BY event_type
+        ORDER BY event_type
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val raw = events(s, d).select($"event_type",
+          when($"event_id" % 13 === 0, regexp_replace($"props", "\\}", ""))
+            .otherwise($"props").as("j"))
+        raw
+          .select($"event_type",
+            from_json($"j", org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+              .getField("k").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            (count(lit(1)) - count($"k")).as("n_corrupt"),
+            sum($"k").as("k_sum"))
+          .orderBy($"event_type")
       })
   )
 }
