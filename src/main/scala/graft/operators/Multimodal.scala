@@ -98,7 +98,71 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"), col("n_frames"))
   }
 
+  /** Batched model-inference seam — the JVM analogue of the
+    * mapInPandas/Arrow-batch contract used for GPU encoders: rows are
+    * buffered into fixed-size batches per partition and the encoder is
+    * invoked ONCE PER BATCH (amortizing model-call overhead), then
+    * results unzip back to rows. The stub encoder is deterministic per
+    * ROW (portable md5 features), so results are provably independent
+    * of batch composition and partitioning — the oracle equality below
+    * and the equal-across-batch-sizes spec pin exactly that invariant,
+    * which is what makes batched inference safe to run on any cluster
+    * layout. A real deployment swaps `encodeBatch` for the model call;
+    * everything Spark-side (schema, batching, partition locality) is
+    * the production shape. */
+  def batchEmbed(docs: DataFrame, batchSize: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val in = docs.select(col("doc_id"), col("text"))
+    val rdd = in.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val embs = encodeBatch(batch.map(_.getString(1)))
+        batch.iterator.zip(embs.iterator).map { case (r, e) =>
+          Row(r.getLong(0), e(0), e(1), e(2), e(3))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("d0", LongType, nullable = false),
+      StructField("d1", LongType, nullable = false),
+      StructField("d2", LongType, nullable = false),
+      StructField("d3", LongType, nullable = false))))
+  }
+
+  /** One "model call" per batch; per-row deterministic features (first
+    * 32 md5 bits of text:i, mod 997 — the [[PortableHash.h32]] family
+    * computed JVM-side). */
+  private def encodeBatch(texts: Seq[String]): Seq[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.map { t =>
+      Array.tabulate(4) { i =>
+        md.reset()
+        val hex = md.digest(s"$t:$i".getBytes("UTF-8"))
+          .take(4).map(b => f"${b & 0xff}%02x").mkString
+        java.lang.Long.parseLong(hex, 16) % 997
+      }
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // Oracle for the batched-inference seam: per-row portable features
+    // must come out identical through the per-BATCH encoder path —
+    // i.e. batch composition cannot leak into results (the invariant
+    // that makes GPU batching safe). DuckDB computes the same md5
+    // features relationally.
+    QueryDef(
+      "mm_batch_infer", {
+        def dim(i: Int) =
+          s"CAST(('0x' || substr(md5(text || ':$i'), 1, 8))::UBIGINT AS BIGINT) % 997 AS d$i"
+        Some(s"""
+          SELECT doc_id, ${(0 until 4).map(dim).mkString(", ")}
+          FROM documents
+          ORDER BY doc_id
+        """.trim)
+      },
+      (s, d) => batchEmbed(documents(s, d), batchSize = 32)
+        .orderBy(col("doc_id"))),
+
     // Binary-column scalar surface: encode → BINARY, lengths, digest,
     // base64 of a fixed prefix — the payload-handling functions any
     // media pipeline leans on, oracle-checked against DuckDB's blob ops.

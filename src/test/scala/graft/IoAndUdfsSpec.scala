@@ -58,6 +58,21 @@ class IoAndUdfsSpec extends SparkSpec {
     assert(out.forall(r => r.completion == IdentityProvider.generateResponse(r.prompt)))
   }
 
+  test("batched inference is invariant to batch size and partitioning") {
+    import graft.operators.Multimodal
+    val docs = sources.Tables.documents(spark, sf)
+    def run(bs: Int, parts: Int): Map[Long, (Long, Long, Long, Long)] =
+      Multimodal.batchEmbed(docs.repartition(parts), batchSize = bs)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val base = run(bs = 32, parts = 4)
+    assert(base.nonEmpty)
+    assert(run(bs = 1, parts = 4) == base)     // degenerate batches
+    assert(run(bs = 1000, parts = 1) == base)  // one giant batch
+    assert(run(bs = 7, parts = 9) == base)     // ragged batches, odd layout
+  }
+
   test("documents round-trip through JSONL bit-exactly (S1/S2 on the corpus)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
