@@ -47,7 +47,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    // null-guard: an oracle string that is null (object-init ordering
+    // bugs) must surface as a missing oracle, not NPE the whole dump
+    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1) && kv._2 != null)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

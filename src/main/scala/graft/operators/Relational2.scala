@@ -635,6 +635,39 @@ object Relational2 {
             (count(lit(1)) - count($"k")).as("n_corrupt"),
             sum($"k").as("k_sum"))
           .orderBy($"event_type")
+      }),
+
+    // ANSI FILTER-clause aggregates, ONE text run verbatim by both
+    // engines (the q30 dialect-agreement pattern): conditional
+    // aggregation without CASE scaffolding — per priority, order
+    // counts and clerk cardinalities sliced by status inline in the
+    // aggregate list. Plans as a single hash aggregate with the
+    // predicates folded into the partial buffers (no extra scans, no
+    // join), exactly like the CASE form but declared the standard way.
+    QueryDef(
+      "q36_filter_agg",
+      Some(Relational2.filterAggSql),
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders")
+        s.sql(Relational2.filterAggSql)
       })
   )
+
+  /** Shared verbatim text for q36_filter_agg (ANSI FILTER clause).
+    * A `def`, not a `val`: `defs` above interpolates it at object
+    * init, which runs top-down — a later val would still be null
+    * there (the ta_pii_redaction lesson). STRING not VARCHAR: Spark
+    * rejects bare VARCHAR; both engines accept STRING. */
+  def filterAggSql: String = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS custs_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value,
+           CAST(MIN(o_orderdate) FILTER (WHERE o_orderstatus = 'O') AS STRING) AS first_open_date
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+  """.trim
 }
