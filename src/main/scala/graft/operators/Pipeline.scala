@@ -745,6 +745,73 @@ object Pipeline {
             min($"doc_id").as("first_doc"))
           .filter($"n_copies" > 1)
           .orderBy($"h")
+      }),
+
+    // Dataset card — the one-row datasheet a release pipeline prints
+    // for the curated corpus: volume (docs, tokens), exact-dup rate,
+    // composition (sources, languages, modal language), and quality
+    // profile (snapped mean, share above the curation threshold).
+    // Every term is a small independent aggregate broadcast-crossed
+    // into one row; at 100 TB each is one scan-share of the same
+    // dataflow, nothing wide. The modal language is (count desc, lang)
+    // — a deterministic mode.
+    QueryDef(
+      "pl_dataset_card",
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text, lang, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        base AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+          FROM t),
+        dup AS (
+          SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_docs
+          FROM (SELECT COUNT(*) AS c FROM t GROUP BY md5(text) HAVING COUNT(*) > 1)),
+        top AS (
+          SELECT lang AS top_lang
+          FROM (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang
+                ORDER BY c DESC, lang LIMIT 1)),
+        $scoredSql,
+        q AS (
+          SELECT ${graft.det.sqlAvg(
+            "floor(quality * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)",
+            6)} AS mean_quality,
+                 CAST(SUM(CASE WHEN quality >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+                   / COUNT(*) AS pct_quality_ok
+          FROM scored)
+        SELECT base.n_docs, base.n_tokens, base.n_sources, base.n_langs,
+               dup.n_dup_docs, dup.n_dup_docs * 1.0 / base.n_docs AS dup_rate,
+               top.top_lang, q.mean_quality, q.pct_quality_ok
+        FROM base CROSS JOIN dup CROSS JOIN top CROSS JOIN q
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val t = docs.select($"doc_id", $"text", $"lang", $"source",
+          size(split($"text", " ")).cast("long").as("ntok"))
+        val base = t.agg(count(lit(1)).as("n_docs"), sum($"ntok").as("n_tokens"),
+          countDistinct($"source").as("n_sources"),
+          countDistinct($"lang").as("n_langs"))
+        val dup = t.groupBy(md5($"text")).agg(count(lit(1)).as("c"))
+          .filter($"c" > 1)
+          .agg(coalesce(sum($"c"), lit(0L)).as("n_dup_docs"))
+        val top = t.groupBy($"lang").agg(count(lit(1)).as("c"))
+          .orderBy($"c".desc, $"lang").limit(1)
+          .select($"lang".as("top_lang"))
+        val q = qualityScored(docs).agg(
+          graft.det.davg(
+            floor($"quality" * lit(1000000.0) + lit(0.5)) / lit(1000000.0), 6)
+            .as("mean_quality"),
+          (sum(when($"quality" >= 0.7, 1L).otherwise(0L)) * lit(1.0)
+            / count(lit(1))).as("pct_quality_ok"))
+        base.crossJoin(broadcast(dup)).crossJoin(broadcast(top)).crossJoin(broadcast(q))
+          .select($"n_docs", $"n_tokens", $"n_sources", $"n_langs",
+            $"n_dup_docs", ($"n_dup_docs" * lit(1.0) / $"n_docs").as("dup_rate"),
+            $"top_lang", $"mean_quality", $"pct_quality_ok")
       })
   )
 
