@@ -447,5 +447,41 @@ object Analytics {
             max($"value").as("hi"),
             det.dsum($"value").as("bucket_sum"))
           .orderBy($"event_type", $"bucket")
+      }),
+
+    // Daily growth accounting: active / new / returning users per
+    // epoch day — the DAU decomposition every telemetry pipeline
+    // reports. Day keys are exact integer division; "new" compares the
+    // day against the user's first-ever day (one per-user min, joined
+    // back small). Two shuffles (user-day distinct, per-day rollup) —
+    // both keyed, both map-side combined.
+    QueryDef(
+      "ev_lifecycle",
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+          FROM events),
+        firsts AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_active,
+               CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        FROM ud JOIN firsts USING (user_id)
+        GROUP BY day
+        ORDER BY day
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val ud = events(s, d)
+          .select($"user_id", expr("unix_timestamp(ts) div 86400").as("day"))
+          .distinct()
+        val firsts = ud.groupBy($"user_id").agg(min($"day").as("first_day"))
+        ud.join(firsts, "user_id")
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_active"),
+            sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"),
+            sum(when($"day" > $"first_day", 1L).otherwise(0L)).as("n_returning"))
+          .orderBy($"day")
       }))
 }
