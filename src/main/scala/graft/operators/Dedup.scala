@@ -752,6 +752,120 @@ object Dedup {
           .select(col("doc_id"), col("n_grams"), col("n_repeat"),
             (col("n_repeat") * lit(1.0) / col("n_grams")).as("repeat_frac"))
           .orderBy(col("doc_id"))
+      }),
+
+    // LSH band/row tuning S-curve — "measure before choosing" as a
+    // query: the same 8 minhashes banded four ways (8×1, 4×2, 2×4,
+    // 1×8), each config's candidate volume, verified-true count
+    // (exact Jaccard ≥ 0.7), precision, and recall relative to the
+    // most permissive config. Stricter bandings are SUBSETS of r=1
+    // (all-rows-equal implies any-row-equal), so the exact verify runs
+    // ONCE over the r=1 candidates and every config aggregates from
+    // that one joined table. All candidate generation is explode +
+    // band-key equi-join (never an OR-join, which would plan as a
+    // nested loop); verify cost ∝ |r=1 candidates|.
+    QueryDef(
+      "dd_lsh_tuning", {
+        def allEq(hs: Seq[Int]) =
+          hs.map(h => s"x.mh$h = y.mh$h").mkString("(", " AND ", ")")
+        def bandsOf(rows: Int) =
+          (0 until 8 / rows).map(b => allEq((b * rows) until ((b + 1) * rows)))
+            .mkString(" OR ")
+        Some(s"""
+          WITH sh AS (${sqlShinglesFrom("documents")}),
+          sigs AS (SELECT doc_id, ${minhashParams.indices
+            .map(i => s"MIN(${sqlUhash(sqlH32("sh"), i)}) AS mh$i").mkString(", ")}
+                   FROM sh GROUP BY doc_id),
+          cand AS (
+            SELECT x.doc_id AS i, y.doc_id AS j,
+                   ${bandsOf(2)} AS c4x2,
+                   ${bandsOf(4)} AS c2x4,
+                   ${bandsOf(8)} AS c1x8
+            FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+            WHERE ${bandsOf(1)}),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+          common AS (
+            SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = a.doc_id AND c.j = b.doc_id)
+            GROUP BY 1, 2),
+          jc AS (
+            SELECT cand.i, cand.j, cand.c4x2, cand.c2x4, cand.c1x8,
+                   COALESCE(m.common, 0) * 1.0 / (sa.n + sb.n - COALESCE(m.common, 0)) AS jac
+            FROM cand
+            LEFT JOIN common m ON m.i = cand.i AND m.j = cand.j
+            JOIN sizes sa ON cand.i = sa.doc_id
+            JOIN sizes sb ON cand.j = sb.doc_id),
+          cfg AS (
+            SELECT 'r1_b8' AS config, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+            FROM jc
+            UNION ALL
+            SELECT 'r2_b4', CAST(COUNT(CASE WHEN c4x2 THEN 1 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN c4x2 AND jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM jc
+            UNION ALL
+            SELECT 'r4_b2', CAST(COUNT(CASE WHEN c2x4 THEN 1 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN c2x4 AND jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM jc
+            UNION ALL
+            SELECT 'r8_b1', CAST(COUNT(CASE WHEN c1x8 THEN 1 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN c1x8 AND jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM jc),
+          tot AS (SELECT n_true AS base_true FROM cfg WHERE config = 'r1_b8')
+          SELECT config, n_candidates, n_true,
+                 CASE WHEN n_candidates > 0
+                      THEN n_true * 1.0 / n_candidates END AS precision_,
+                 CASE WHEN tot.base_true > 0
+                      THEN n_true * 1.0 / tot.base_true END AS recall_vs_r1
+          FROM cfg CROSS JOIN tot
+          ORDER BY config
+        """.trim)
+      },
+      (s, d) => {
+        val docs = documents(s, d)
+        val sigs = minhashSignatures(shingles(docs)).localCheckpoint()
+
+        def bandCand(rows: Int): DataFrame = {
+          val nBands = 8 / rows
+          val bands = sigs.select(col("doc_id"),
+            explode(array((0 until nBands).map { b =>
+              struct(lit(b).as("bn"),
+                concat_ws("_", ((b * rows) until ((b + 1) * rows))
+                  .map(h => col(s"mh$h")): _*).as("key"))
+            }: _*)).as("bd"))
+            .select(col("doc_id"), col("bd.bn").as("bn"), col("bd.key").as("key"))
+          bands.as("x").join(bands.as("y"),
+              col("x.bn") === col("y.bn") && col("x.key") === col("y.key") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+            .distinct()
+        }
+
+        val candA = bandCand(1).localCheckpoint()
+        val ja = jaccardForPairs(docs, candA).localCheckpoint()
+
+        def cfgRow(name: String, rows: Int): DataFrame = {
+          val cand = if (rows == 1) candA else bandCand(rows)
+          cand.join(ja, Seq("i", "j"))
+            .agg(count(lit(1)).as("n_candidates"),
+              sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_true"))
+            .select(lit(name).as("config"), col("n_candidates"), col("n_true"))
+        }
+
+        val cfg = cfgRow("r1_b8", 1)
+          .unionByName(cfgRow("r2_b4", 2))
+          .unionByName(cfgRow("r4_b2", 4))
+          .unionByName(cfgRow("r8_b1", 8))
+        val tot = cfg.filter(col("config") === "r1_b8")
+          .select(col("n_true").as("base_true"))
+        cfg.crossJoin(broadcast(tot))
+          .select(col("config"), col("n_candidates"), col("n_true"),
+            when(col("n_candidates") > 0,
+              col("n_true") * lit(1.0) / col("n_candidates")).as("precision_"),
+            when(col("base_true") > 0,
+              col("n_true") * lit(1.0) / col("base_true")).as("recall_vs_r1"))
+          .orderBy(col("config"))
       })
   )
 
