@@ -483,5 +483,56 @@ object Analytics {
             sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"),
             sum(when($"day" > $"first_day", 1L).otherwise(0L)).as("n_returning"))
           .orderBy($"day")
+      }),
+
+    // Seasonal-naive forecast backtest: predict each day's event count
+    // with (a) yesterday's count and (b) the count 7 days before, and
+    // report per-type mean absolute error for both — the baseline any
+    // real forecaster must beat, and the backtest harness shape
+    // (join actuals to lagged actuals, aggregate the error) that
+    // evaluates it. Pure integer counts and exact integer MAE sums;
+    // the lags are one window pass over the (tiny) daily series.
+    QueryDef(
+      "ev_forecast_naive",
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        l AS (
+          SELECT event_type, day, n,
+                 lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS n_lag1,
+                 lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n_lag7
+          FROM c)
+        SELECT event_type,
+               CAST(COUNT(n_lag7) AS BIGINT) AS n_days_scored,
+               CAST(SUM(abs(n - n_lag1)) FILTER (WHERE n_lag7 IS NOT NULL) AS BIGINT) AS ae_lag1,
+               CAST(SUM(abs(n - n_lag7)) FILTER (WHERE n_lag7 IS NOT NULL) AS BIGINT) AS ae_lag7,
+               SUM(abs(n - n_lag1)) FILTER (WHERE n_lag7 IS NOT NULL) * 1.0
+                 / COUNT(n_lag7) AS mae_lag1,
+               SUM(abs(n - n_lag7)) FILTER (WHERE n_lag7 IS NOT NULL) * 1.0
+                 / COUNT(n_lag7) AS mae_lag7
+        FROM l
+        GROUP BY event_type
+        ORDER BY event_type
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val c = events(s, d)
+          .select($"event_type", expr("unix_timestamp(ts) div 86400").as("day"))
+          .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"event_type").orderBy($"day")
+        val l = c
+          .withColumn("n_lag1", lag($"n", 1).over(w))
+          .withColumn("n_lag7", lag($"n", 7).over(w))
+        l.groupBy($"event_type")
+          .agg(count($"n_lag7").as("n_days_scored"),
+            sum(when($"n_lag7".isNotNull, abs($"n" - $"n_lag1"))).as("ae_lag1"),
+            sum(when($"n_lag7".isNotNull, abs($"n" - $"n_lag7"))).as("ae_lag7"))
+          .select($"event_type", $"n_days_scored", $"ae_lag1", $"ae_lag7",
+            ($"ae_lag1" * lit(1.0) / $"n_days_scored").as("mae_lag1"),
+            ($"ae_lag7" * lit(1.0) / $"n_days_scored").as("mae_lag7"))
+          .orderBy($"event_type")
       }))
 }

@@ -812,6 +812,56 @@ object Pipeline {
           .select($"n_docs", $"n_tokens", $"n_sources", $"n_langs",
             $"n_dup_docs", ($"n_dup_docs" * lit(1.0) / $"n_docs").as("dup_rate"),
             $"top_lang", $"mean_quality", $"pct_quality_ok")
+      }),
+
+    // Balanced source resampling — downsample every source to the
+    // smallest source's size, deterministically: per-source admission
+    // threshold thr = (min_count · 10⁶) div count, keep a doc iff its
+    // content-hash bucket (h % 10⁶) falls under its source's
+    // threshold. Same reproducible-no-rand() contract as pl_mixture,
+    // but with DATA-DERIVED rates (the rebalancing real mixtures do
+    // when one crawl dwarfs the others); hash admission keeps the
+    // expected kept-count at min_count per source without any global
+    // sort or per-source limit. Thresholds are exact integer division
+    // on both engines.
+    QueryDef(
+      "pl_balanced_sample", {
+        val h = PortableHash.sqlH32("text")
+        Some(s"""
+          WITH cnt AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY 1),
+          mn AS (SELECT MIN(c) AS m FROM cnt),
+          thr AS (SELECT source, c, (m * 1000000) // c AS thr FROM cnt, mn),
+          k AS (
+            SELECT d.source, t.c, t.thr,
+                   CASE WHEN $h % 1000000 < t.thr THEN 1 ELSE 0 END AS keep
+            FROM documents d JOIN thr t USING (source))
+          SELECT source,
+                 CAST(MAX(c) AS BIGINT) AS n_docs,
+                 CAST(MAX(thr) AS BIGINT) AS thr,
+                 CAST(SUM(keep) AS BIGINT) AS n_kept,
+                 SUM(keep) * 1.0 / MAX(c) AS kept_frac
+          FROM k
+          GROUP BY source
+          ORDER BY source
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val cnt = docs.groupBy($"source").agg(count(lit(1)).as("c"))
+        val mn = cnt.agg(min($"c").as("m"))
+        val thr = cnt.crossJoin(broadcast(mn))
+          .select($"source", $"c", expr("(m * 1000000) div c").as("thr"))
+        docs.join(broadcast(thr), "source")
+          .select($"source", $"c", $"thr",
+            when(PortableHash.h32($"text") % 1000000 < $"thr", 1L)
+              .otherwise(0L).as("keep"))
+          .groupBy($"source")
+          .agg(max($"c").as("n_docs"), max($"thr").as("thr"),
+            sum($"keep").as("n_kept"))
+          .select($"source", $"n_docs", $"thr", $"n_kept",
+            ($"n_kept" * lit(1.0) / $"n_docs").as("kept_frac"))
+          .orderBy($"source")
       })
   )
 
