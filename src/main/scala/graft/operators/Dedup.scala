@@ -824,42 +824,68 @@ object Dedup {
       },
       (s, d) => {
         val docs = documents(s, d)
-        val sigs = minhashSignatures(shingles(docs)).localCheckpoint()
+        // Shingle the corpus ONCE: signatures, and both sides of the
+        // exact verify, all derive from this checkpointed array table
+        // (jaccardForPairs would re-shingle per join side — 3 corpus
+        // scans instead of 1).
+        val arrs = shingleArrays(docs).localCheckpoint()
+        val sigs = minhashSignatures(
+          arrs.select(col("doc_id"), explode(col("shs")).as("sh")))
+          .localCheckpoint()
 
-        def bandCand(rows: Int): DataFrame = {
-          val nBands = 8 / rows
-          val bands = sigs.select(col("doc_id"),
-            explode(array((0 until nBands).map { b =>
-              struct(lit(b).as("bn"),
-                concat_ws("_", ((b * rows) until ((b + 1) * rows))
-                  .map(h => col(s"mh$h")): _*).as("key"))
-            }: _*)).as("bd"))
-            .select(col("doc_id"), col("bd.bn").as("bn"), col("bd.key").as("key"))
-          bands.as("x").join(bands.as("y"),
-              col("x.bn") === col("y.bn") && col("x.key") === col("y.key") &&
-                col("x.doc_id") < col("y.doc_id"))
-            .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
-            .distinct()
-        }
+        // r=1 candidates (the superset every stricter config is a
+        // subset of): one NARROW band-key equi-join (doc_id, bn, key
+        // only — riding the full signatures through the pre-distinct
+        // ~5× multiplicity measured slower than the DISTINCT shuffle),
+        // then pair-dedup.
+        val bands = sigs.select(col("doc_id"),
+          explode(array((0 until 8).map { h =>
+            struct(lit(h).as("bn"), col(s"mh$h").as("key"))
+          }: _*)).as("bd"))
+          .select(col("doc_id"), col("bd.bn").as("bn"), col("bd.key").as("key"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bn") === col("y.bn") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+          .distinct()
 
-        val candA = bandCand(1).localCheckpoint()
-        val ja = jaccardForPairs(docs, candA).localCheckpoint()
+        // The deduped pairs stream through FOUR broadcast joins — both
+        // signature vectors (|docs|·8 ints; the stricter configs are
+        // boolean expressions over them, the oracle's one-joined-table
+        // shape) and both shingle arrays (exact verify) — one linear
+        // pipeline into ONE aggregate, nothing materialized twice.
+        def bandEq(rows: Int) = (0 until 8 / rows).map { b =>
+          ((b * rows) until ((b + 1) * rows))
+            .map(h => col(s"xi$h") === col(s"yj$h")).reduce(_ && _)
+        }.reduce(_ || _)
+        val sx = sigs.select(col("doc_id").as("i") +:
+          (0 until 8).map(h => col(s"mh$h").as(s"xi$h")): _*)
+        val sy = sigs.select(col("doc_id").as("j") +:
+          (0 until 8).map(h => col(s"mh$h").as(s"yj$h")): _*)
+        graft.functions.GraftFunctions.register(s)
+        val jc = cand
+          .join(broadcast(sx), "i").join(broadcast(sy), "j")
+          .join(broadcast(arrs.select(col("doc_id").as("i"), col("shs").as("sha"))), "i")
+          .join(broadcast(arrs.select(col("doc_id").as("j"), col("shs").as("shb"))), "j")
+          .select(col("i"), col("j"),
+            bandEq(2).as("c4x2"), bandEq(4).as("c2x4"), bandEq(8).as("c1x8"),
+            call_function("jaccard_sim", col("sha"), col("shb")).as("jac"))
 
-        def cfgRow(name: String, rows: Int): DataFrame = {
-          val cand = if (rows == 1) candA else bandCand(rows)
-          cand.join(ja, Seq("i", "j"))
-            .agg(count(lit(1)).as("n_candidates"),
-              sum(when(col("jac") >= 0.7, 1L).otherwise(0L)).as("n_true"))
-            .select(lit(name).as("config"), col("n_candidates"), col("n_true"))
-        }
-
-        val cfg = cfgRow("r1_b8", 1)
-          .unionByName(cfgRow("r2_b4", 2))
-          .unionByName(cfgRow("r4_b2", 4))
-          .unionByName(cfgRow("r8_b1", 8))
-        val tot = cfg.filter(col("config") === "r1_b8")
-          .select(col("n_true").as("base_true"))
-        cfg.crossJoin(broadcast(tot))
+        // All four configs in ONE aggregate row (conditional counts),
+        // then stack to rows; base_true is a sibling column, so no
+        // self-join/crossJoin and nothing recomputes.
+        def hit(flag: Column) = count(when(flag, 1))
+        val t = col("jac") >= 0.7
+        jc.agg(
+            count(lit(1)).as("n1"), hit(t).as("t1"),
+            hit(col("c4x2")).as("n2"), hit(col("c4x2") && t).as("t2"),
+            hit(col("c2x4")).as("n3"), hit(col("c2x4") && t).as("t3"),
+            hit(col("c1x8")).as("n4"), hit(col("c1x8") && t).as("t4"))
+          .select(expr(
+            """stack(4, 'r1_b8', n1, t1, 'r2_b4', n2, t2,
+              |         'r4_b2', n3, t3, 'r8_b1', n4, t4)
+              |  AS (config, n_candidates, n_true)""".stripMargin),
+            col("t1").as("base_true"))
           .select(col("config"), col("n_candidates"), col("n_true"),
             when(col("n_candidates") > 0,
               col("n_true") * lit(1.0) / col("n_candidates")).as("precision_"),

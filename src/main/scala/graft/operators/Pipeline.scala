@@ -212,7 +212,7 @@ object Pipeline {
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         grams AS (
           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
-                 i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2] || '_' || tk[i+3] || '_' || tk[i+4]))) AS g
+                 i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2] || chr(1) || tk[i+3] || chr(1) || tk[i+4]))) AS g
           FROM toks WHERE len(tk) >= 5),
         bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
         hits AS (
@@ -886,14 +886,13 @@ object Pipeline {
     }
   }
 
-  // Separator caveat: a '_'-joined k-gram is ambiguous when corpus
-  // tokens themselves contain '_' ("a_b c" vs "a b_c" collide). The
-  // benchmark corpora are underscore-free (asserted nowhere cheaper
-  // than here: the oracle uses the same join, so correctness is
-  // unaffected either way — only gram identity granularity). For an
-  // arbitrary corpus, swap in a token-impossible separator (U+0001,
-  // as ta_bpe_merges' oracle does) on BOTH engine and oracle sides.
-  private val gram5Udf = gramKUdf(5, "_")
+  // Separator: U+0001 (as ta_bpe_merges' oracle uses) — a control
+  // char cannot appear in a whitespace-split token, so gram identity
+  // is unambiguous even for corpora whose tokens contain '_'
+  // ("a_b c" vs "a b_c" no longer collide). The oracle joins with
+  // chr(1) to match. gram10Udf joins with ' ' which is equally
+  // token-impossible after a whitespace split.
+  private val gram5Udf = gramKUdf(5, "\u0001")
   private val gram10Udf = gramKUdf(10, " ")
 
   /** Scale-safe global 0-based rank by a total-order key: range-
