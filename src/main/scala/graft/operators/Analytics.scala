@@ -534,5 +534,134 @@ object Analytics {
             ($"ae_lag1" * lit(1.0) / $"n_days_scored").as("mae_lag1"),
             ($"ae_lag7" * lit(1.0) / $"n_days_scored").as("mae_lag7"))
           .orderBy($"event_type")
+      }),
+
+    // DAU/WAU stickiness — per day, distinct daily actives over
+    // distinct trailing-7-day actives (the engagement ratio every
+    // product dashboard leads with). The trailing distinct-count is a
+    // bounded 7× fan-out: the day×user distinct table joins a
+    // BROADCAST calendar (|days| rows — bounded by time, not data) on
+    // a 7-day range, then one distinct-count per day. Nothing scans
+    // events twice and no window runs over the raw stream; at 100 TB
+    // the du table is the per-day-distinct reduction, orders of
+    // magnitude smaller than the events themselves.
+    QueryDef(
+      "ev_stickiness",
+      Some("""
+        WITH du AS (SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                                    user_id
+                    FROM events),
+        days AS (SELECT DISTINCT day FROM du),
+        dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+        wau AS (SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+                FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+                GROUP BY d.day)
+        SELECT dau.day AS day,
+               CAST(dau.dau AS BIGINT) AS dau,
+               CAST(wau.wau AS BIGINT) AS wau,
+               dau.dau * 1.0 / wau.wau AS stickiness
+        FROM dau JOIN wau ON dau.day = wau.day
+        ORDER BY day
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val du = events(s, d)
+          .select(expr("unix_timestamp(ts) div 86400").as("day"), $"user_id")
+          .distinct()
+        val days = du.select($"day").distinct()
+        val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
+        val wau = broadcast(days.as("d"))
+          .join(du.as("u"), $"u.day".between($"d.day" - 6, $"d.day"))
+          .groupBy($"d.day".as("day"))
+          .agg(countDistinct($"u.user_id").as("wau"))
+        dau.join(wau, "day")
+          .select($"day", $"dau", $"wau",
+            ($"dau" * lit(1.0) / $"wau").as("stickiness"))
+          .orderBy($"day")
+      }),
+
+    // RFM segmentation over purchase events — recency/frequency/
+    // monetary quintiles, the classic customer-value cut. The oracle
+    // scores with three global NTILE(5) windows; the Spark side
+    // deliberately does NOT (a global ntile funnels every user through
+    // one task): each metric's 0-based global rank comes from
+    // [[Pipeline.globalRank]] (range shards + per-shard offsets), and
+    // NTILE's exact tie-free semantics — rem = n % 5 buckets of size
+    // q+1 first, then size-q buckets — is closed-form integer math
+    // over (rank, n). Monetary sums route through DECIMAL so the
+    // quintile ORDER is engine-identical; user_id breaks all ties.
+    QueryDef(
+      "ev_rfm",
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 MAX(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS lastday,
+                 COUNT(*) AS freq,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS mon
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id),
+        m AS (SELECT MAX(lastday) AS maxday FROM u),
+        sc AS (
+          SELECT user_id,
+                 maxday - lastday AS recency_days,
+                 freq, mon,
+                 ntile(5) OVER (ORDER BY lastday, user_id) AS r_score,
+                 ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+                 ntile(5) OVER (ORDER BY mon, user_id) AS m_score
+          FROM u CROSS JOIN m)
+        SELECT user_id,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(freq AS BIGINT) AS frequency,
+               CAST(mon AS DOUBLE) AS monetary,
+               CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+        FROM sc
+        ORDER BY user_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val u = events(s, d).filter($"event_type" === "purchase")
+          .select($"user_id", expr("unix_timestamp(ts) div 86400").as("day"),
+            $"value".cast("decimal(18,2)").as("v"))
+          .groupBy($"user_id")
+          .agg(max($"day").as("lastday"), count(lit(1)).as("freq"),
+            sum($"v").as("mon"))
+        val totals = u.agg(max($"lastday").as("maxday"),
+          count(lit(1)).as("n"))
+        // NTILE(k) from a 0-based global rank r over n rows:
+        // q = n div k, rem = n mod k; buckets 0..rem-1 have q+1 rows.
+        // Integer division as (a - a%b)/b: the double divide then sees
+        // an exactly-divisible pair, so the quotient is exact — no
+        // floor-at-boundary hazard.
+        type C = org.apache.spark.sql.Column
+        def idiv(a: C, b: C): C = ((a - a % b) / b).cast("long")
+        def ntileOf(r: C, n: C, k: Int): C = {
+          val q = idiv(n, lit(k))
+          val rem = n % k
+          val cut = rem * (q + 1)
+          val safeQ = when(q === 0, lit(1)).otherwise(q)
+          (when(r < cut, idiv(r, q + 1))
+            .otherwise(rem + idiv(r - cut, safeQ)) + 1).cast("long")
+        }
+        val ranked = Seq[(String, Seq[C])](
+          "r_rank" -> Seq($"lastday", $"user_id"),
+          "f_rank" -> Seq($"freq", $"user_id"),
+          "m_rank" -> Seq($"mon", $"user_id"))
+          .foldLeft(u) { case (df, (name, ord)) =>
+            Pipeline.globalRank(df, ord).withColumnRenamed("rank", name)
+          }
+        ranked.crossJoin(broadcast(totals))
+          .select($"user_id",
+            ($"maxday" - $"lastday").cast("long").as("recency_days"),
+            $"freq".as("frequency"),
+            $"mon".cast("double").as("monetary"),
+            ntileOf($"r_rank", $"n", 5).as("r_score"),
+            ntileOf($"f_rank", $"n", 5).as("f_score"),
+            ntileOf($"m_rank", $"n", 5).as("m_score"))
+          .withColumn("rfm",
+            ($"r_score" * 100 + $"f_score" * 10 + $"m_score").cast("long"))
+          .orderBy($"user_id")
       }))
 }

@@ -892,6 +892,44 @@ object Dedup {
             when(col("base_true") > 0,
               col("n_true") * lit(1.0) / col("base_true")).as("recall_vs_r1"))
           .orderBy(col("config"))
+      }),
+
+    // Exact-duplicate rate per source — the dataset-datasheet row that
+    // decides which corpus slices are worth scraping again: per
+    // source, docs, distinct texts, rows that are non-canonical copies
+    // (doc_id ≠ min doc_id of their md5 group), and the rate. One
+    // md5-partitioned window + one groupBy(source) — the same
+    // two-shuffle shape as dd_exact_documents, nothing quadratic.
+    QueryDef(
+      "dd_dup_rate",
+      Some("""
+        WITH c AS (
+          SELECT doc_id, source, md5(text) AS h,
+                 MIN(doc_id) OVER (PARTITION BY md5(text)) AS canon
+          FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+               CAST(COUNT(CASE WHEN doc_id <> canon THEN 1 END) AS BIGINT) AS n_dup_rows,
+               COUNT(CASE WHEN doc_id <> canon THEN 1 END) * 1.0 / COUNT(*) AS dup_rate
+        FROM c
+        GROUP BY source
+        ORDER BY source
+      """.trim),
+      (s, d) => {
+        val c = documents(s, d)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+          .withColumn("canon",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        c.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_unique_texts"),
+            count(when(col("doc_id") =!= col("canon"), 1)).as("n_dup_rows"))
+          .select(col("source"), col("n_docs"), col("n_unique_texts"),
+            col("n_dup_rows"),
+            (col("n_dup_rows") * lit(1.0) / col("n_docs")).as("dup_rate"))
+          .orderBy(col("source"))
       })
   )
 

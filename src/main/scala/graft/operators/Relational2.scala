@@ -650,6 +650,73 @@ object Relational2 {
       (s, d) => {
         orders(s, d).createOrReplaceTempView("orders")
         s.sql(Relational2.filterAggSql)
+      }),
+
+    // CSV sink + source round-trip: a lineitem projection is written
+    // as headered CSV (32-way parallel — the sink is a normal
+    // distributed write), read back with an explicit DDL schema (never
+    // inferSchema: a second full scan AND type drift at 100 TB), and
+    // aggregated. The oracle aggregates the original parquet directly,
+    // so a hash-match proves the text round-trip is LOSSLESS — longs
+    // verbatim, doubles via Java's shortest-round-trip toString/parse.
+    // DECIMAL-routed sums keep the aggregation order-independent.
+    QueryDef(
+      "q37_csv_roundtrip",
+      Some(s"""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               ${sqlSum("l_extendedprice")} AS sum_price
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """.trim),
+      (s, d) => {
+        val out = s"/tmp/graft_rt_csv_${Integer.toHexString(d.hashCode)}"
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity"), col("l_extendedprice"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read
+          .option("header", "true")
+          .schema("l_orderkey LONG, l_returnflag STRING, " +
+            "l_quantity DOUBLE, l_extendedprice DOUBLE")
+          .csv(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      }),
+
+    // ORC sink + source round-trip — same proof shape as q37 for the
+    // other columnar format in the lake: binary types (including the
+    // millisecond timestamp) survive verbatim, and the read-back
+    // aggregation benefits from ORC's own column pruning. Monthly
+    // revenue keyed by shipdate; the oracle never sees the ORC copy.
+    QueryDef(
+      "q38_orc_roundtrip",
+      Some(s"""
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ${sqlSum("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY 1
+      """.trim),
+      (s, d) => {
+        val out = s"/tmp/graft_rt_orc_${Integer.toHexString(d.hashCode)}"
+        lineitem(s, d)
+          .select(col("l_shipdate"), col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("revenue"))
+          .orderBy(col("ship_month"))
       })
   )
 

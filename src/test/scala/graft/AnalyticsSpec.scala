@@ -35,6 +35,48 @@ class AnalyticsSpec extends SparkSpec {
     assert(ret.filter($"day_offset" < 0).count() == 0)
   }
 
+  test("stickiness: dau never exceeds wau and the ratio is in (0, 1]") {
+    import spark.implicits._
+    val st = q("ev_stickiness").collect()
+    assert(st.nonEmpty)
+    st.foreach { r =>
+      val dau = r.getAs[Long]("dau")
+      val wau = r.getAs[Long]("wau")
+      val ratio = r.getAs[Double]("stickiness")
+      assert(dau >= 1 && dau <= wau)
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - dau.toDouble / wau) < 1e-12)
+    }
+  }
+
+  test("rfm: closed-form quintiles match Spark's own ntile and balance to ±1") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rfm = q("ev_rfm").cache()
+    // every score in 1..5 and the composite is positional arithmetic
+    rfm.collect().foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1 && v <= 5, s"$c=$v")
+      }
+      assert(r.getAs[Long]("rfm") ==
+        r.getAs[Long]("r_score") * 100 + r.getAs[Long]("f_score") * 10 +
+          r.getAs[Long]("m_score"))
+    }
+    // the globalRank+closed-form path must equal the window ntile it
+    // replaces (small data: the single-partition window is the truth)
+    val viaWindow = rfm.select($"user_id", $"f_score",
+      ntile(5).over(Window.orderBy($"frequency", $"user_id")).cast("long")
+        .as("expect"))
+    assert(viaWindow.filter($"f_score" =!= $"expect").count() == 0)
+    // bucket sizes differ by at most one per metric
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rfm.groupBy(col(c)).count().as[(Long, Long)]
+        .collect().map(_._2)
+      assert(sizes.max - sizes.min <= 1, s"$c buckets: ${sizes.mkString(",")}")
+    }
+    rfm.unpersist()
+  }
+
   test("user paths partition the user population") {
     import spark.implicits._
     val paths = q("ev_user_paths")

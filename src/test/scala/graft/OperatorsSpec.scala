@@ -252,6 +252,43 @@ class OperatorsSpec extends SparkSpec {
     assert(frames.count() >= feats.count()) // at least one frame per doc
   }
 
+  test("dup-rate datasheet partitions the corpus and bounds the rate") {
+    import spark.implicits._
+    val rows = Dedup.defs.find(_.name == "dd_dup_rate").get.fn(spark, sf).collect()
+    val docs = sources.Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique_texts") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_dup_rows") < r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate < 1.0)
+    }
+  }
+
+  test("csv and orc round-trips preserve row count") {
+    // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
+    // sink/source row contract at spec speed.
+    val li = sources.Tables.lineitem(spark, sf)
+    val csvOut = s"/tmp/graft_rt_csv_spec"
+    li.select("l_orderkey", "l_returnflag", "l_quantity")
+      .write.mode("overwrite").option("header", "true").csv(csvOut)
+    val back = spark.read.option("header", "true")
+      .schema("l_orderkey LONG, l_returnflag STRING, l_quantity DOUBLE")
+      .csv(csvOut)
+    assert(back.count() == li.count())
+    assert(back.schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "string", "double"))
+    val orcOut = s"/tmp/graft_rt_orc_spec"
+    li.select("l_orderkey", "l_shipdate").write.mode("overwrite").orc(orcOut)
+    val back2 = spark.read.orc(orcOut)
+    assert(back2.count() == li.count())
+    // Spark 4 surfaces the ORC timestamp as TIMESTAMP_NTZ on read-back;
+    // wall-clock values agree under the UTC session (q38's hash-match
+    // proves it), so accept either flavor here.
+    assert(Set("timestamp", "timestamp_ntz")
+      .contains(back2.schema("l_shipdate").dataType.simpleString))
+  }
+
   test("skew: salted join returns exactly the plain join's rows") {
     import spark.implicits._
     val orders = sources.Tables.orders(spark, sf)
