@@ -663,5 +663,48 @@ object Analytics {
           .withColumn("rfm",
             ($"r_score" * 100 + $"f_score" * 10 + $"m_score").cast("long"))
           .orderBy($"user_id")
+      }),
+
+    // Whale curve — revenue concentration by spend decile: users
+    // ranked by purchase value (DECIMAL-exact order, user_id
+    // tiebreak), cut into tenths by integer rank math, each tenth's
+    // value share. The oracle ranks with a global row_number; the
+    // engine uses [[Pipeline.globalRank]] so no single task ever sees
+    // the full user table. All sums stay DECIMAL until one final
+    // double division per decile row.
+    QueryDef(
+      "ev_whale_curve",
+      Some("""
+        WITH u AS (
+          SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS v
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id),
+        t AS (SELECT SUM(v) AS tot, COUNT(*) AS n FROM u),
+        r AS (SELECT user_id, v,
+                     row_number() OVER (ORDER BY v DESC, user_id) - 1 AS rnk
+              FROM u)
+        SELECT CAST((rnk * 10) // n AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(v) AS DOUBLE) AS value_sum,
+               CAST(SUM(v) AS DOUBLE) / CAST(tot AS DOUBLE) AS value_share
+        FROM r CROSS JOIN t
+        GROUP BY 1, tot
+        ORDER BY 1
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val u = events(s, d).filter($"event_type" === "purchase")
+          .groupBy($"user_id")
+          .agg(sum($"value".cast("decimal(18,2)")).as("v"))
+        val t = u.agg(sum($"v").as("tot"), count(lit(1)).as("n"))
+        Pipeline.globalRank(u, Seq($"v".desc, $"user_id"))
+          .crossJoin(broadcast(t))
+          .groupBy(expr("(rank * 10) div n").as("decile"), $"tot")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"v").as("vs"))
+          .select($"decile", $"n_users",
+            $"vs".cast("double").as("value_sum"),
+            ($"vs".cast("double") / $"tot".cast("double")).as("value_share"))
+          .orderBy($"decile")
       }))
 }

@@ -344,6 +344,54 @@ object Graph {
           .distinct()
         val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         kcore(sym, k = 2, rounds = 4).orderBy(col("node"))
+      }),
+
+    // Common-neighbor link prediction — the classic "who should be
+    // connected next" score: for every non-adjacent pair at distance
+    // 2, count shared neighbors; top 20. One wedge self-join on the
+    // middle node (cost Σ deg² — the same bound every wedge-based
+    // metric carries; at web scale you cap hub degree first), one
+    // count aggregate, an anti-join against the existing edges, and a
+    // TakeOrderedAndProject top-k — never a global sort.
+    QueryDef(
+      "gx_common_neighbors",
+      Some("""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        adj AS (SELECT u AS m, v AS n FROM e UNION ALL SELECT v, u FROM e),
+        wed AS (
+          SELECT a1.n AS x, a2.n AS y, COUNT(*) AS cn
+          FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT w.x, w.y, w.cn
+          FROM wed w LEFT JOIN e ON e.u = w.x AND e.v = w.y
+          WHERE e.u IS NULL)
+        SELECT CAST(x AS BIGINT) AS u, CAST(y AS BIGINT) AS v,
+               CAST(cn AS BIGINT) AS common_neighbors
+        FROM cand
+        ORDER BY cn DESC, x, y
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        val e = canonicalEdges(lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"),
+            (col("l_partkey") % 29989).as("b")))
+        val adj = e.select(col("u").as("m"), col("v").as("n"))
+          .union(e.select(col("v").as("m"), col("u").as("n")))
+        val wed = adj.as("a1")
+          .join(adj.as("a2"), col("a1.m") === col("a2.m") && col("a1.n") < col("a2.n"))
+          .groupBy(col("a1.n").as("x"), col("a2.n").as("y"))
+          .agg(count(lit(1)).as("cn"))
+        wed
+          .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_anti")
+          .select(col("x").as("u"), col("y").as("v"),
+            col("cn").as("common_neighbors"))
+          .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+          .limit(20)
       }))
 
   /** Multi-source BFS over a SYMMETRIC (u, v) edge list: hop distance
