@@ -127,33 +127,38 @@ object Similarity {
   }
 
   /** Unrolled SQL mirror of [[kmeansCentroids]]: CTEs c0..c{iters},
-    * ending in a `cents(centroid, cemb)` relation. Splice into an
-    * oracle with `WITH ${kmeansSqlCte(k, iters, dim)}, ...`. */
-  def kmeansSqlCte(k: Int, iters: Int, dim: Int): String = {
-    val init = s"c0 AS (SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < $k)"
+    * ending in a `${prefix}cents(centroid, cemb)` relation. Splice into
+    * an oracle with `WITH ${kmeansSqlCte(k, iters, dim)}, ...`. `src`
+    * names the (vec_id, embedding) relation to train on and `prefix`
+    * namespaces the CTEs so several trainings (e.g. one per PQ
+    * subspace) coexist in one WITH clause. */
+  def kmeansSqlCte(k: Int, iters: Int, dim: Int,
+      src: String = "embeddings", prefix: String = ""): String = {
+    val init = s"${prefix}c0 AS (SELECT vec_id AS centroid, embedding AS cemb FROM $src WHERE vec_id < $k)"
     val steps = (1 to iters).map { i =>
-      s"""a$i AS (
+      s"""${prefix}a$i AS (
         SELECT vec_id, centroid FROM (
           SELECT e.vec_id, c.centroid,
                  ROW_NUMBER() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
                             c.centroid) AS rn
-          FROM embeddings e, c${i - 1} c)
+          FROM $src e, ${prefix}c${i - 1} c)
         WHERE rn = 1),
-      m$i AS (
+      ${prefix}m$i AS (
         SELECT centroid, list(vr ORDER BY d) AS cemb FROM (
           SELECT a.centroid, t.d,
                  CAST(CAST(SUM(CAST(e.embedding[t.d + 1] AS DECIMAL(28,12))) AS DOUBLE)
                       / COUNT(*) AS REAL) AS vr
-          FROM a$i a JOIN embeddings e ON a.vec_id = e.vec_id, range(0, $dim) t(d)
+          FROM ${prefix}a$i a JOIN $src e ON a.vec_id = e.vec_id, range(0, $dim) t(d)
           GROUP BY a.centroid, t.d)
         GROUP BY centroid),
-      c$i AS (
+      ${prefix}c$i AS (
         SELECT p.centroid, COALESCE(m.cemb, p.cemb) AS cemb
-        FROM c${i - 1} p LEFT JOIN m$i m ON p.centroid = m.centroid)"""
+        FROM ${prefix}c${i - 1} p LEFT JOIN ${prefix}m$i m ON p.centroid = m.centroid)"""
     }
-    (init +: steps).mkString(",\n") + s",\n      cents AS (SELECT centroid, cemb FROM c$iters)"
+    (init +: steps).mkString(",\n") +
+      s",\n      ${prefix}cents AS (SELECT centroid, cemb FROM ${prefix}c$iters)"
   }
 
   /** IVF ANN: probe the nProbe nearest centroids per query, rank only
@@ -695,6 +700,147 @@ object Similarity {
             col("pred_label").cast("bigint").as("pred_label"),
             (col("true_label") === col("pred_label")).as("correct"))
           .orderBy(col("qid"))
+      }),
+
+    // Product quantization with asymmetric-distance search — the third
+    // leg of the ANN family (LSH prunes candidates, IVF prunes
+    // partitions, PQ compresses the vectors themselves): dim 64 splits
+    // into M=4 subspaces of 16; each subspace trains its own k=8
+    // codebook ([[kmeansCentroids]] — model state only, k·dim floats,
+    // oracle-mirrored per iteration per subspace); every vector
+    // encodes to 4 codes (4 bytes vs 256 — the 64× memory win that
+    // lets a 100 TB corpus's index live where the raw vectors can't).
+    // Search is classic ADC: per query, ONE 4×8 lookup table of
+    // subspace dot products + codeword norms, then each candidate
+    // costs 4 broadcast-LUT lookups and fixed-order float-free adds —
+    // no per-candidate vector math at all (sqrt is IEEE-exact, so the
+    // reconstructed cosine is bit-portable). Recall vs the brute-force
+    // top-5 truth prices the compression: every candidate is scored
+    // (n_cands = |corpus|), so recall isolates pure quantization loss.
+    QueryDef(
+      "sim_pq_recall",
+      Some(s"""
+        WITH ${(0 until 4).map(m =>
+          s"sub$m AS (SELECT vec_id, embedding[${m * 16 + 1}:${(m + 1) * 16}] AS embedding FROM embeddings)")
+          .mkString(",\n        ")},
+        ${(0 until 4).map(m => kmeansSqlCte(16, 2, 16, s"sub$m", s"s$m")).mkString(",\n        ")},
+        ${(0 until 4).map(m => s"""enc$m AS (
+          SELECT vec_id, centroid AS c$m FROM (
+            SELECT e.vec_id, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM sub$m e, s${m}cents c)
+          WHERE rn = 1)""").mkString(",\n        ")},
+        codes AS (
+          SELECT enc0.vec_id, c0, c1, c2, c3
+          FROM enc0 JOIN enc1 USING (vec_id) JOIN enc2 USING (vec_id)
+               JOIN enc3 USING (vec_id)),
+        ${(0 until 4).map(m => s"""lut$m AS (
+          SELECT q.vec_id AS qid, c.centroid AS c$m,
+                 list_dot_product(q.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS d$m,
+                 list_dot_product(c.cemb::DOUBLE[], c.cemb::DOUBLE[]) AS n$m
+          FROM sub$m q, s${m}cents c WHERE q.vec_id < 10)""").mkString(",\n        ")},
+        qn AS (
+          SELECT vec_id AS qid,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+          FROM embeddings WHERE vec_id < 10),
+        cands AS (
+          SELECT q.qid, k.vec_id AS nid,
+                 (l0.d0 + l1.d1 + l2.d2 + l3.d3)
+                   / (q.qn * sqrt(l0.n0 + l1.n1 + l2.n2 + l3.n3)) AS cos
+          FROM qn q
+          CROSS JOIN codes k
+          JOIN lut0 l0 ON l0.qid = q.qid AND l0.c0 = k.c0
+          JOIN lut1 l1 ON l1.qid = q.qid AND l1.c1 = k.c1
+          JOIN lut2 l2 ON l2.qid = q.qid AND l2.c2 = k.c2
+          JOIN lut3 l3 ON l3.qid = q.qid AND l3.c3 = k.c3
+          WHERE k.vec_id >= 10),
+        truth AS (
+          SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+            WHERE q.vec_id < 10)
+          WHERE rank <= 5),
+        ann AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM cands)
+          WHERE rank <= 5),
+        stats AS (SELECT qid, COUNT(*) AS n_cands FROM cands GROUP BY qid),
+        hits AS (
+          SELECT t.qid, COUNT(a.nid) AS n_hit
+          FROM truth t LEFT JOIN ann a ON a.qid = t.qid AND a.nid = t.nid
+          GROUP BY t.qid)
+        SELECT CAST(h.qid AS BIGINT) AS qid,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(h.n_hit AS DOUBLE) / 5 AS recall,
+               CAST(COALESCE(s.n_cands, 0) AS BIGINT) AS n_cands
+        FROM hits h LEFT JOIN stats s ON s.qid = h.qid
+        ORDER BY qid
+      """.trim),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val M = 4; val SUB = 16; val K = 16; val IT = 2
+        // every downstream consumer (training, encode, LUTs, truth)
+        // re-reads the corpus — pin it once
+        val emb = embeddings(s, d).localCheckpoint()
+        val spark = s
+        import spark.implicits._
+        // subspace id rides exploded rows so training, encode, and the
+        // LUT build are each ONE job over all M subspaces, not M jobs
+        def subRows(df: DataFrame) = df.select(col("vec_id"),
+          explode(array((0 until M).map(m =>
+            struct(lit(m).as("m"),
+              slice(col("embedding"), m * SUB + 1, SUB).as("semb"))): _*)).as("x"))
+          .select(col("vec_id"), col("x.m").as("m"), col("x.semb").as("semb"))
+        val centsAll = broadcast(
+          pqCodebookRows(emb, M, SUB, K, IT).toDF("m", "centroid", "cemb")
+            .select(col("m"), col("centroid"),
+              col("cemb").cast("array<float>").as("cemb")))
+        // encode: one assignment shuffle + one pivot to the wide code row
+        val assigned = subRows(emb).join(centsAll, "m")
+          .select(col("vec_id"), col("m"), col("centroid"),
+            cosineNative(col("semb"), col("cemb")).as("ccos"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(max_by(col("centroid"),
+            struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"))
+        val codes = assigned.groupBy(col("vec_id"))
+          .pivot("m", 0 until M).agg(first(col("centroid")))
+          .select(col("vec_id") +: (0 until M).map(m => col(s"$m").as(s"c$m")): _*)
+        // one LUT relation (qid, m, code, dot, norm2), broadcast once and
+        // reused by all four ADC joins (ReusedExchange)
+        val lutAll = broadcast(subRows(emb.filter(col("vec_id") < 10))
+          .withColumnRenamed("vec_id", "qid")
+          .join(centsAll, "m")
+          .select(col("qid"), col("m"), col("centroid"),
+            dot(col("semb"), col("cemb")).as("dm"),
+            dot(col("cemb"), col("cemb")).as("nm")))
+        val qn = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"),
+            sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
+        val scored = (0 until M).foldLeft(
+          qn.crossJoin(codes.filter(col("vec_id") >= 10)
+            .withColumnRenamed("vec_id", "nid"))) { (acc, m) =>
+          acc.join(
+            lutAll.filter(col("m") === m)
+              .select(col("qid"), col("centroid").as(s"c$m"),
+                col("dm").as(s"d$m"), col("nm").as(s"n$m")),
+            Seq("qid", s"c$m"))
+        }
+        val cands = scored.select(col("qid"), col("nid"),
+          ((col("d0") + col("d1") + col("d2") + col("d3"))
+            / (col("qn") * sqrt(col("n0") + col("n1") + col("n2") + col("n3"))))
+            .as("cos"))
+        val truth = cosineTopK(emb, col("vec_id") < 10, 5)
+          .select(col("qid"), col("nid"))
+        recallTail(truth, cands)
       })
   )
 
@@ -848,6 +994,59 @@ object Similarity {
   /** Shared recall@5 assembly: rank `cands` per query, count hits
     * against `truth`, attach candidate volume; left joins keep a row
     * per query even at zero recall or zero candidates. */
+  /** Joint per-subspace k-means for PQ: bit-identical to running
+    * [[kmeansCentroids]] once per subspace (assignment and DECIMAL
+    * means are independent per `m`, and the oracle mirrors them as M
+    * separate CTE chains), but ONE corpus pass per iteration trains
+    * all M codebooks — the subspace id rides the exploded rows, so M
+    * trainings cost the driver round-trips of one. Model traffic per
+    * iteration is M·K·SUB floats. */
+  private def pqCodebookRows(emb: DataFrame, nSub: Int, subDim: Int,
+      k: Int, iters: Int): Seq[(Int, Long, Seq[Float])] = {
+    val spark = emb.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val subRows = emb.select(col("vec_id"),
+      explode(array((0 until nSub).map(m =>
+        struct(lit(m).as("m"),
+          slice(col("embedding"), m * subDim + 1, subDim).as("semb"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.semb").as("semb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[(Int, Long, Seq[Float])] = emb.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+        .collect().sortBy(_._1).toSeq
+        .flatMap { case (id, e) =>
+          (0 until nSub).map(m => (m, id, e.slice(m * subDim, (m + 1) * subDim)))
+        }
+      for (_ <- 1 to iters) {
+        val centsDf = broadcast(cents.toDF("m", "centroid", "cemb")
+          .select(col("m"), col("centroid"),
+            col("cemb").cast("array<float>").as("cemb")))
+        val assigned = subRows.join(centsDf, "m")
+          .select(col("vec_id"), col("m"), col("semb"), col("centroid"),
+            cosineNative(col("semb"), col("cemb")).as("ccos"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(max_by(col("centroid"),
+            struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"),
+            first(col("semb")).as("semb"))
+        val meanRows = assigned
+          .select(col("m"), col("centroid"), posexplode(col("semb")).as(Seq("d", "v")))
+          .groupBy(col("m"), col("centroid"), col("d"))
+          .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
+            count(lit(1))).cast("float").as("vr"))
+          .as[(Int, Long, Int, Float)].collect()
+        val means = meanRows.groupBy(r => (r._1, r._2)).map { case (key, rows) =>
+          key -> rows.sortBy(_._3).map(_._4).toSeq
+        }
+        cents = cents.map { case (m, cid, old) =>
+          (m, cid, means.getOrElse((m, cid), old))
+        }
+      }
+      cents
+    } finally subRows.unpersist(blocking = false)
+  }
+
   private def recallTail(truth0: DataFrame, cands0: DataFrame): DataFrame = {
     // both inputs feed two consumers each (rank+stats, semi+base) —
     // materialize the expensive upstream (candidate scoring / brute

@@ -265,6 +265,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pq recall: ADC scores the whole corpus and recall is a valid ratio") {
+    val rows = SparkEntry.queries("sim_pq_recall")(spark, sf).collect()
+    val corpus = sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      // PQ compresses vectors, it does not prune candidates: every
+      // non-query vector is ADC-scored for every query
+      assert(r.getAs[Long]("n_cands") == corpus - 10)
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(r.getAs[Long]("n_hit") == math.round(recall * 5))
+    }
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
