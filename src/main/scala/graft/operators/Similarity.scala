@@ -841,6 +841,109 @@ object Similarity {
         val truth = cosineTopK(emb, col("vec_id") < 10, 5)
           .select(col("qid"), col("nid"))
         recallTail(truth, cands)
+      }),
+
+    // Scalar (int8) quantization recall — the cheap end of the vector
+    // compression family next to PQ: the entire "codebook" is one
+    // global (min, scale) pair per dimension (64 rows of model state,
+    // no training), each dimension grids uniformly into 256 levels, so
+    // a vector stores as 64 bytes (4× under float32). Unlike PQ there
+    // is no per-candidate table lookup: dequantization is a fused
+    // elementwise expression (mn + code·scale) in the scan projection
+    // and search is plain cosine against the reconstructed array.
+    // Every step (float min/max, /255, floor(x+0.5), mn + sc·code,
+    // float round-trip) is an IEEE-exact-mirrorable primitive, so the
+    // oracle rebuilds the reconstruction bit-for-bit. All candidates
+    // are scored (n_cands = |corpus|): recall@5 vs brute-force truth
+    // isolates pure 8-bit quantization loss, the number that decides
+    // whether the 4× memory cut is free on a given corpus.
+    QueryDef(
+      "sim_sq8_recall",
+      Some("""
+        WITH stats AS (
+          SELECT t.d,
+                 CAST(MIN(e.embedding[t.d + 1]) AS DOUBLE) AS mn,
+                 (CAST(MAX(e.embedding[t.d + 1]) AS DOUBLE)
+                  - CAST(MIN(e.embedding[t.d + 1]) AS DOUBLE)) / 255.0 AS sc
+          FROM embeddings e, range(0, 64) t(d)
+          GROUP BY t.d),
+        rec AS (
+          SELECT e.vec_id,
+                 list(CAST(CASE WHEN s.sc = 0 THEN s.mn
+                        ELSE s.mn + s.sc * LEAST(255.0, GREATEST(0.0,
+                          FLOOR((CAST(e.embedding[s.d + 1] AS DOUBLE) - s.mn) / s.sc + 0.5)))
+                      END AS REAL) ORDER BY s.d) AS remb
+          FROM embeddings e, stats s
+          WHERE e.vec_id >= 10
+          GROUP BY e.vec_id),
+        cands AS (
+          SELECT q.vec_id AS qid, r.vec_id AS nid,
+                 list_cosine_similarity(q.embedding::DOUBLE[], r.remb::DOUBLE[]) AS cos
+          FROM embeddings q CROSS JOIN rec r
+          WHERE q.vec_id < 10),
+        truth AS (
+          SELECT qid, nid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+            WHERE q.vec_id < 10)
+          WHERE rank <= 5),
+        ann AS (
+          SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+            FROM cands)
+          WHERE rank <= 5),
+        st AS (SELECT qid, COUNT(*) AS n_cands FROM cands GROUP BY qid),
+        hits AS (
+          SELECT t.qid, COUNT(a.nid) AS n_hit
+          FROM truth t LEFT JOIN ann a ON a.qid = t.qid AND a.nid = t.nid
+          GROUP BY t.qid)
+        SELECT CAST(h.qid AS BIGINT) AS qid,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(h.n_hit AS DOUBLE) / 5 AS recall,
+               CAST(COALESCE(s.n_cands, 0) AS BIGINT) AS n_cands
+        FROM hits h LEFT JOIN st s ON s.qid = h.qid
+        ORDER BY qid
+      """.trim),
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = embeddings(s, d).localCheckpoint()
+        // the whole model: 64 (mn, scale) pairs — one aggregate job,
+        // then folded into the dequantize expression as literals (no
+        // join in the scoring pass)
+        val st = emb.select(posexplode(col("embedding")).as(Seq("d", "v")))
+          .groupBy(col("d"))
+          .agg(min(col("v")).cast("double").as("mn"),
+            max(col("v")).cast("double").as("mx"))
+          .orderBy(col("d"))
+          .collect()
+        val mnA = array(st.map(r => lit(r.getDouble(1))): _*)
+        val scA = array(st.map(r => lit((r.getDouble(2) - r.getDouble(1)) / 255.0)): _*)
+        // quantize-then-dequantize fused per element; the int8 code is
+        // the floor(...) term — materializing it separately would just
+        // add a pass, the reconstruction error is what recall measures
+        def dequant(e: Column): Column = transform(e, (x, i) => {
+          val m = element_at(mnA, i + 1)
+          val sc = element_at(scA, i + 1)
+          when(sc === 0.0, m).otherwise(
+            m + sc * least(lit(255.0), greatest(lit(0.0),
+              floor((x.cast("double") - m) / sc + 0.5))))
+            .cast("float")
+        })
+        val rec = emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), dequant(col("embedding")).as("remb"))
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val cands = rec.crossJoin(broadcast(q))
+          .select(col("qid"), col("nid"),
+            cosineNative(col("qemb"), col("remb")).as("cos"))
+        val truth = cosineTopK(emb, col("vec_id") < 10, 5)
+          .select(col("qid"), col("nid"))
+        recallTail(truth, cands)
       })
   )
 

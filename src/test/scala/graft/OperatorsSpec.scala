@@ -279,6 +279,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sq8 recall: every candidate scored, quantization near-lossless here") {
+    val rows = SparkEntry.queries("sim_sq8_recall")(spark, sf).collect()
+    val corpus = sources.Tables.embeddings(spark, sf).count()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cands") == corpus - 10)
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // measured 1.0 on this corpus (256 uniform levels per dim resolve
+    // the neighbor gaps); assert with slack so the spec pins "int8 is
+    // cheap compression, not a ranking change" without being brittle
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    assert(mean >= 0.8, s"sq8 mean recall degraded: $mean")
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
