@@ -392,6 +392,55 @@ object Graph {
             col("cn").as("common_neighbors"))
           .orderBy(col("common_neighbors").desc, col("u"), col("v"))
           .limit(20)
+      }),
+
+    // Synchronous label propagation (3 rounds) — community detection
+    // as pure integer relabeling: every node starts as its own label
+    // and each round adopts the most frequent label among neighbors
+    // (ties → smallest label), so the whole computation is two
+    // node-keyed hash shuffles per round (neighbor-label join, then
+    // count+argmax) with one (node, label) row of state per node and
+    // nothing driver-side. No floats anywhere — the oracle unrolls the
+    // identical rounds. Fixed rounds (like gx_pagerank/gx_kcore) keep
+    // the oracle mirrorable; production LPA runs the same loop to a
+    // change-count fixpoint. Output is the community-size histogram —
+    // the shape a curation pipeline reads to decide cluster sampling.
+    QueryDef(
+      "gx_lpa", {
+        def round(i: Int): String = s"""l$i AS (
+          SELECT node, lbl FROM (
+            SELECT e.src AS node, p.lbl,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.src
+                     ORDER BY COUNT(*) DESC, p.lbl) AS rn
+            FROM e JOIN l${i - 1} p ON e.dst = p.node
+            GROUP BY e.src, p.lbl)
+          WHERE rn = 1)"""
+        Some(s"""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e0 AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM
+                 (SELECT u FROM e0 UNION ALL SELECT v FROM e0) t(u)),
+        ${(1 to 3).map(round).mkString(",\n        ")}
+        SELECT CAST(lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM l3 GROUP BY lbl ORDER BY size DESC, community
+      """.trim)
+      },
+      (s, d) => {
+        val e = canonicalEdges(lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"),
+            (col("l_partkey") % 29989).as("b")))
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .union(e.select(col("v").as("src"), col("u").as("dst")))
+        labelPropagation(sym, rounds = 3)
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("community"))
       }))
 
   /** Multi-source BFS over a SYMMETRIC (u, v) edge list: hop distance
@@ -411,6 +460,32 @@ object Graph {
         .localCheckpoint()
     }
     dist
+  }
+
+  /** Synchronous label propagation over a SYMMETRIC (src, dst) edge
+    * list: `rounds` iterations of "adopt the most frequent neighbor
+    * label, ties to the smallest". Shuffle discipline mirrors
+    * [[pagerank]]: the edge list is hash-partitioned ONCE by `dst`
+    * (the per-round join key) and cached, each round is that
+    * co-partitioned join plus a map-side-combined count and an argmax
+    * aggregate, and the label table is checkpointed per round so round
+    * i's plan doesn't embed round i-1 twice. State is one (node,
+    * label) row per node — nothing is broadcast or collected. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.repartition(col("dst")).persist()
+    var lbl = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      lbl = e
+        .join(lbl.select(col("node").as("dst"), col("lbl")).hint("shuffle_hash"), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    lbl
   }
 
   /** Fixed-round k-core peel over a SYMMETRIC (u, v) edge list: each

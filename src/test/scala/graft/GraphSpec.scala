@@ -56,6 +56,33 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Long]("nodes") == 8L)
   }
 
+  test("label propagation absorbs a star and keeps components separate") {
+    import spark.implicits._
+    // star around 1 (center label wins every leaf: each leaf's only
+    // neighbor is 1) plus a far-away 2-clique that must keep its own
+    // community — labels never cross a component boundary
+    val e0 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)).toDF("u", "v")
+    val sym = e0.select($"u".as("src"), $"v".as("dst"))
+      .union(e0.select($"v".as("src"), $"u".as("dst")))
+    val lbl = Graph.labelPropagation(sym, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(2L, 3L, 4L).forall(n => lbl(n) == 1L))
+    assert(Set(lbl(10L), lbl(11L)).subsetOf(Set(10L, 11L)))
+    // every node keeps exactly one label
+    assert(lbl.size == 6)
+  }
+
+  test("lpa community sizes partition the node set") {
+    import spark.implicits._
+    val out = SparkEntry.queries("gx_lpa")(spark, sf).collect()
+    val nodes = sources.Tables.lineitem(spark, sf)
+      .select((col("l_orderkey") % 29989).as("a"), (col("l_partkey") % 29989).as("b"))
+      .filter($"a" =!= $"b")
+      .select(explode(array($"a", $"b")).as("n")).distinct().count()
+    assert(out.map(_.getAs[Long]("size")).sum == nodes)
+    assert(out.length > 1)
+  }
+
   test("triangle count is orientation/duplicate/self-loop insensitive") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
