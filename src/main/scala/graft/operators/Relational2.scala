@@ -3,6 +3,7 @@ package graft.operators
 import graft.QueryDef
 import graft.det._
 import graft.sources.Tables._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -717,6 +718,131 @@ object Relational2 {
             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
               .as("revenue"))
           .orderBy(col("ship_month"))
+      }),
+
+    // Cross-table data-quality audit (Deequ-style constraint suite) —
+    // the gate a curation pipeline runs before training data ships:
+    // referential integrity (orphan FKs as left-anti joins — at scale
+    // these are key-partitioned shuffles AQE can skew-split; the dim
+    // sides it measures small it broadcasts on its own), primary-key
+    // uniqueness (count vs distinct), and single-pass per-table
+    // range/null checks (ONE conditional aggregate per table exploded
+    // into constraint rows — not one scan per constraint). Output is
+    // one row per named check with violation count, denominator, and
+    // exact-division rate; integer counts end-to-end so the oracle is
+    // arithmetic-free.
+    QueryDef(
+      "dq_integrity",
+      Some("""
+        WITH li AS (
+          SELECT COUNT(*) AS total,
+                 SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS qty_nonpos,
+                 SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS disc_range,
+                 SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS ok_null
+          FROM lineitem),
+        ord AS (
+          SELECT COUNT(*) AS total,
+                 SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS price_nonpos,
+                 SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_null,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dup
+          FROM orders),
+        cust AS (
+          SELECT COUNT(*) AS total,
+                 COUNT(*) - COUNT(DISTINCT c_custkey) AS pk_dup
+          FROM customer),
+        all_checks AS (
+          SELECT 'lineitem_quantity_nonpositive' AS check_name, qty_nonpos AS violations, total FROM li
+          UNION ALL SELECT 'lineitem_discount_out_of_range', disc_range, total FROM li
+          UNION ALL SELECT 'lineitem_orderkey_null', ok_null, total FROM li
+          UNION ALL SELECT 'orders_totalprice_nonpositive', price_nonpos, total FROM ord
+          UNION ALL SELECT 'orders_custkey_null', ck_null, total FROM ord
+          UNION ALL SELECT 'orders_orderkey_unique', pk_dup, total FROM ord
+          UNION ALL SELECT 'customer_custkey_unique', pk_dup, total FROM cust
+          UNION ALL SELECT 'lineitem_orderkey_fk',
+            (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_orderkey IS NULL),
+            (SELECT total FROM li)
+          UNION ALL SELECT 'lineitem_partkey_fk',
+            (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+             WHERE p.p_partkey IS NULL),
+            (SELECT total FROM li)
+          UNION ALL SELECT 'lineitem_suppkey_fk',
+            (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             WHERE s.s_suppkey IS NULL),
+            (SELECT total FROM li)
+          UNION ALL SELECT 'orders_custkey_fk',
+            (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             WHERE c.c_custkey IS NULL),
+            (SELECT total FROM ord)
+          UNION ALL SELECT 'lineitem_ship_before_order',
+            (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_shipdate < o.o_orderdate),
+            (SELECT total FROM li))
+        SELECT check_name,
+               CAST(violations AS BIGINT) AS violations,
+               CAST(total AS BIGINT) AS total,
+               CAST(violations AS DOUBLE) / total AS viol_rate
+        FROM all_checks
+        ORDER BY check_name
+      """.trim),
+      (s, d) => {
+        val li = lineitem(s, d)
+        val ord = orders(s, d)
+        val cust = customer(s, d)
+        def row(name: String, viol: Column, total: Column) =
+          struct(lit(name).as("check_name"), viol.cast("long").as("violations"),
+            total.cast("long").as("total"))
+        // one conditional aggregate per table → explode to check rows
+        val liRows = li.agg(count(lit(1)).as("total"),
+            sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("qty_nonpos"),
+            sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("disc_range"),
+            sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("ok_null"))
+          .select(explode(array(
+            row("lineitem_quantity_nonpositive", col("qty_nonpos"), col("total")),
+            row("lineitem_discount_out_of_range", col("disc_range"), col("total")),
+            row("lineitem_orderkey_null", col("ok_null"), col("total")))).as("r"))
+        val ordRows = ord.agg(count(lit(1)).as("total"),
+            sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("price_nonpos"),
+            sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("ck_null"),
+            (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_dup"))
+          .select(explode(array(
+            row("orders_totalprice_nonpositive", col("price_nonpos"), col("total")),
+            row("orders_custkey_null", col("ck_null"), col("total")),
+            row("orders_orderkey_unique", col("pk_dup"), col("total")))).as("r"))
+        val custRows = cust
+          .agg(count(lit(1)).as("total"),
+            (count(lit(1)) - countDistinct(col("c_custkey"))).as("pk_dup"))
+          .select(explode(array(
+            row("customer_custkey_unique", col("pk_dup"), col("total")))).as("r"))
+        // referential checks: left-anti join + count, denominator from
+        // the fact side's own count (crossJoin of two 1-row aggs)
+        def fk(name: String, fact: DataFrame, key: Column, dim: DataFrame,
+            dimKey: Column): DataFrame = {
+          val viol = fact.select(key.as("k"))
+            .join(dim.select(dimKey.as("k")), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("violations"))
+          val tot = fact.agg(count(lit(1)).as("total"))
+          viol.crossJoin(tot)
+            .select(row(name, col("violations"), col("total")).as("r"))
+        }
+        val shipBefore = li.select(col("l_orderkey"), col("l_shipdate"))
+          .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+            .as("violations"))
+          .crossJoin(li.agg(count(lit(1)).as("total")))
+          .select(row("lineitem_ship_before_order", col("violations"), col("total")).as("r"))
+        Seq(liRows, ordRows, custRows,
+            fk("lineitem_orderkey_fk", li, col("l_orderkey"), ord, col("o_orderkey")),
+            fk("lineitem_partkey_fk", li, col("l_partkey"), part(s, d), col("p_partkey")),
+            fk("lineitem_suppkey_fk", li, col("l_suppkey"), supplier(s, d), col("s_suppkey")),
+            fk("orders_custkey_fk", ord, col("o_custkey"), cust, col("c_custkey")),
+            shipBefore)
+          .reduce(_ unionByName _)
+          .select(col("r.check_name").as("check_name"),
+            col("r.violations").as("violations"), col("r.total").as("total"),
+            (col("r.violations").cast("double") / col("r.total")).as("viol_rate"))
+          .orderBy(col("check_name"))
       })
   )
 

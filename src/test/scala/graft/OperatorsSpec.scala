@@ -295,6 +295,22 @@ class OperatorsSpec extends SparkSpec {
     assert(mean >= 0.8, s"sq8 mean recall degraded: $mean")
   }
 
+  test("dq audit: referential integrity holds, date-order check fires") {
+    val rows = SparkEntry.queries("dq_integrity")(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("violations"), r.getAs[Long]("total"))).toMap
+    assert(rows.size == 12)
+    // generator guarantees: FKs and PKs are clean
+    Seq("lineitem_orderkey_fk", "lineitem_partkey_fk", "lineitem_suppkey_fk",
+      "orders_custkey_fk", "orders_orderkey_unique", "customer_custkey_unique")
+      .foreach(c => assert(rows(c)._1 == 0L, s"$c should be clean"))
+    // generator draws ship dates independently of order dates — the
+    // date-order constraint must actually fire (a check that can
+    // never fail verifies nothing)
+    val (viol, tot) = rows("lineitem_ship_before_order")
+    assert(viol > 0 && viol < tot)
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
