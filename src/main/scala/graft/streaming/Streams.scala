@@ -288,4 +288,19 @@ object Streams {
           Iterator.single(TokCount(tok, n))
       }
   }
+
+  /** Streaming exact dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps one state row per key only
+    * until the watermark passes that key's first-seen event time plus
+    * the delay, then evicts it — the contract a 100 TB/day ingest
+    * needs (plain `dropDuplicates` on a stream never evicts and the
+    * state store grows without bound). The tradeoff it buys: a
+    * duplicate arriving AFTER its key's state expired is re-emitted.
+    * StreamingWithinWatermarkSpec pins both sides — suppression inside
+    * the delay, re-emission after expiry — across a checkpointed
+    * restart. */
+  def dedupWithinWatermark(events: DataFrame, delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("k")
 }
