@@ -394,6 +394,64 @@ object Graph {
           .limit(20)
       }),
 
+    // Resource-allocation link prediction — common-neighbors with the
+    // degree weighting that makes it competitive (Zhou et al. 2009):
+    // score(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z), so a shared hub says
+    // almost nothing while a shared degree-2 node says a lot. Same
+    // wedge self-join as gx_common_neighbors (Σ deg² bound, hub-cap at
+    // web scale) plus one degree join on the middle node; the 1/deg
+    // contributions sum through DECIMAL(28,12) exactly like PageRank's,
+    // so the score is partitioning-independent and oracle-mirrorable.
+    QueryDef(
+      "gx_resource_alloc",
+      Some("""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        adj AS (SELECT u AS m, v AS n FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT m, COUNT(*) AS deg FROM adj GROUP BY m),
+        wed AS (
+          SELECT a1.n AS x, a2.n AS y,
+                 CAST(SUM(CAST(1.0 / d.deg AS DECIMAL(28,12))) AS DOUBLE) AS ra,
+                 COUNT(*) AS cn
+          FROM adj a1
+          JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+          JOIN deg d ON d.m = a1.m
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT w.x, w.y, w.ra, w.cn
+          FROM wed w LEFT JOIN e ON e.u = w.x AND e.v = w.y
+          WHERE e.u IS NULL)
+        SELECT CAST(x AS BIGINT) AS u, CAST(y AS BIGINT) AS v,
+               ra, CAST(cn AS BIGINT) AS common_neighbors
+        FROM cand
+        ORDER BY ra DESC, x, y
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        val e = canonicalEdges(lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"),
+            (col("l_partkey") % 29989).as("b")))
+        val adj = e.select(col("u").as("m"), col("v").as("n"))
+          .union(e.select(col("v").as("m"), col("u").as("n")))
+        val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+        val wed = adj.as("a1")
+          .join(adj.as("a2"), col("a1.m") === col("a2.m") && col("a1.n") < col("a2.n"))
+          .join(deg.select(col("m").as("dm"), col("deg")), col("dm") === col("a1.m"))
+          .groupBy(col("a1.n").as("x"), col("a2.n").as("y"))
+          .agg(sum((lit(1.0) / col("deg")).cast(DecimalType(28, 12)))
+            .cast("double").as("ra"),
+            count(lit(1)).as("cn"))
+        wed
+          .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_anti")
+          .select(col("x").as("u"), col("y").as("v"), col("ra"),
+            col("cn").as("common_neighbors"))
+          .orderBy(col("ra").desc, col("u"), col("v"))
+          .limit(20)
+      }),
+
     // Synchronous label propagation (3 rounds) — community detection
     // as pure integer relabeling: every node starts as its own label
     // and each round adopts the most frequent label among neighbors
