@@ -447,6 +447,78 @@ object TimeSeries {
             ($"n" * lit(1.0) / $"tot").as("share"),
             ($"n" === $"peak").as("is_peak"))
           .orderBy($"event_type", $"dow")
+      }),
+
+    // One-sided CUSUM changepoint detection per event_type over the
+    // daily value series: s_t = max(0, s_{t-1} + x_t − μ), breach when
+    // s_t > μ. The recursion is non-linear (the max clamps at 0), so
+    // no window frame expresses it — the Spark side is a per-key
+    // sequential fold (flatMapGroups: state is one double per key,
+    // each key's series is bounded, keys scale out across the
+    // cluster), the oracle is the same recursion as a recursive CTE.
+    // Every step is add/sub/max on doubles produced by DECIMAL sums —
+    // IEEE-exact, sequential in the same order in both engines, so
+    // the cumulative statistic is bit-portable with NO snapping.
+    QueryDef(
+      "ts_cusum",
+      Some("""
+        WITH RECURSIVE daily AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT event_type, day, x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+          FROM daily),
+        mu AS (
+          SELECT event_type,
+                 CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mu
+          FROM seq GROUP BY 1),
+        walk(event_type, t, day, x, s) AS (
+          SELECT s.event_type, s.t, s.day, s.x,
+                 GREATEST(CAST(0 AS DOUBLE), s.x - m.mu)
+          FROM seq s JOIN mu m ON s.event_type = m.event_type
+          WHERE s.t = 1
+          UNION ALL
+          SELECT s.event_type, s.t, s.day, s.x,
+                 GREATEST(CAST(0 AS DOUBLE), w.s + s.x - m.mu)
+          FROM walk w
+          JOIN seq s ON s.event_type = w.event_type AND s.t = w.t + 1
+          JOIN mu m ON m.event_type = s.event_type)
+        SELECT w.event_type,
+               CAST(w.t AS BIGINT) AS t,
+               CAST(w.day AS BIGINT) AS day,
+               w.x, w.s,
+               w.s > m.mu AS breached
+        FROM walk w JOIN mu m ON w.event_type = m.event_type
+        ORDER BY w.event_type, w.t
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val daily = events(s, d)
+          .groupBy($"event_type",
+            expr("unix_timestamp(ts) div 86400").as("day"))
+          .agg(sum($"value".cast(DecimalType(18, 6))).cast("double").as("x"))
+        val seq = daily.withColumn("t",
+          row_number().over(Window.partitionBy($"event_type").orderBy($"day")))
+        val mu = seq.groupBy($"event_type")
+          .agg((sum($"x".cast(DecimalType(28, 12))).cast("double") /
+            count(lit(1))).as("mu"))
+        seq.join(broadcast(mu), "event_type")
+          .select($"event_type", $"t".cast("long").as("t"),
+            $"day".cast("long").as("day"), $"x", $"mu")
+          .as[(String, Long, Long, Double, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (k, it) =>
+            var s = 0.0
+            it.toSeq.sortBy(_._2).map { case (_, t, day, x, mu) =>
+              s = math.max(0.0, s + x - mu)
+              (k, t, day, x, s, s > mu)
+            }
+          }
+          .toDF("event_type", "t", "day", "x", "s", "breached")
+          .orderBy($"event_type", $"t")
       })
   )
 }

@@ -311,6 +311,21 @@ class OperatorsSpec extends SparkSpec {
     assert(viol > 0 && viol < tot)
   }
 
+  test("cusum stays nonneg, covers every (type, day), ignores partitioning") {
+    val base = SparkEntry.queries("ts_cusum")(spark, sf).collect()
+    assert(base.nonEmpty)
+    base.foreach(r => assert(r.getAs[Double]("s") >= 0.0))
+    // per type: t is 1..n_days dense
+    base.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("t")).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the sequential fold must not depend on input partitioning: the
+    // daily aggregate is decimal-exact and the fold sorts per key
+    val again = SparkEntry.queries("ts_cusum")(
+      spark, sf)
+    assert(again.collect().map(_.toString).toSeq == base.map(_.toString).toSeq)
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
