@@ -944,6 +944,69 @@ object Similarity {
         val truth = cosineTopK(emb, col("vec_id") < 10, 5)
           .select(col("qid"), col("nid"))
         recallTail(truth, cands)
+      }),
+
+    // Farthest-point sampling (greedy k-center) — diversity core-set
+    // selection for training data: starting from vec 0, each of 7
+    // picks takes the corpus vector LEAST similar to everything chosen
+    // so far (argmin of max-cosine, ties → smallest id). Each pick is
+    // one distributed scan: corpus × (≤ 8 broadcast selected vectors)
+    // → per-vector max → TakeOrdered(1); driver state is only the
+    // selected ids — the k-means "model state only" contract. The
+    // statistic per candidate is a MAX over ≤ 8 pairwise cosines
+    // (comparisons, no accumulation), so it is bit-portable and the
+    // oracle unrolls the identical greedy steps.
+    QueryDef(
+      "sim_fps_diversity", {
+        val steps = (1 to 7).map { i =>
+          s"""p$i AS (
+            SELECT e.vec_id,
+                   MAX(list_cosine_similarity(e.embedding::DOUBLE[], se.embedding::DOUBLE[])) AS mx
+            FROM embeddings e
+            CROSS JOIN (SELECT s.vec_id, emb.embedding
+                        FROM sel${i - 1} s JOIN embeddings emb ON emb.vec_id = s.vec_id) se
+            WHERE e.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+            GROUP BY e.vec_id
+            ORDER BY mx ASC, e.vec_id LIMIT 1),
+          sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM p$i)"""
+        }
+        Some(s"""
+        WITH sel0 AS (SELECT CAST(0 AS BIGINT) AS vec_id),
+        ${steps.mkString(",\n        ")}
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS pick, CAST(0 AS BIGINT) AS vec_id,
+                 CAST(NULL AS DOUBLE) AS max_cos
+          ${(1 to 7).map(i =>
+            s"UNION ALL SELECT ${i + 1}, vec_id, mx FROM p$i").mkString("\n          ")})
+        ORDER BY pick
+      """.trim)
+      },
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = embeddings(s, d).localCheckpoint()
+        var selected = Vector(0L)
+        val picks = Vector.newBuilder[(Long, Long, Option[Double])]
+        picks += ((1L, 0L, None))
+        for (i <- 1 to 7) {
+          val selEmb = broadcast(
+            emb.filter(col("vec_id").isin(selected: _*))
+              .select(col("embedding").as("semb")))
+          val Array(row) = emb.filter(!col("vec_id").isin(selected: _*))
+            .crossJoin(selEmb)
+            .select(col("vec_id"),
+              cosineNative(col("embedding"), col("semb")).as("cos"))
+            .groupBy(col("vec_id")).agg(max(col("cos")).as("mx"))
+            .orderBy(col("mx").asc, col("vec_id")) // TakeOrderedAndProject
+            .limit(1)
+            .collect()
+          selected :+= row.getLong(0)
+          picks += (((i + 1).toLong, row.getLong(0), Some(row.getDouble(1))))
+        }
+        val spark = s
+        import spark.implicits._
+        picks.result()
+          .toDF("pick", "vec_id", "max_cos")
+          .orderBy(col("pick"))
       })
   )
 

@@ -326,6 +326,17 @@ class OperatorsSpec extends SparkSpec {
     assert(again.collect().map(_.toString).toSeq == base.map(_.toString).toSeq)
   }
 
+  test("fps diversity: greedy max-cos is nondecreasing and picks are distinct") {
+    val rows = SparkEntry.queries("sim_fps_diversity")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 8)
+    // each later pick is chosen from a superset-covered space: its
+    // distance-to-set can only shrink, i.e. max_cos never decreases
+    val mxs = rows.drop(1).map(_.getAs[Double]("max_cos"))
+    assert(mxs.zip(mxs.tail).forall { case (a, b) => b >= a },
+      s"greedy k-center max_cos must be nondecreasing: ${mxs.toSeq}")
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
