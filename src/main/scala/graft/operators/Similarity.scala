@@ -1007,6 +1007,108 @@ object Similarity {
         picks.result()
           .toDF("pick", "vec_id", "max_cos")
           .orderBy(col("pick"))
+      }),
+
+    // Maximal-marginal-relevance re-ranking — the retrieval-side
+    // diversity op: from each query's top-10 cosine candidates,
+    // greedily pick 3 maximizing 0.5·relevance − 0.5·max-sim-to-
+    // already-picked (ties → smallest id). Unlike sim_fps_diversity
+    // the greedy loop is FULLY declarative: 3 unrolled rounds, each
+    // one qid-keyed join (sim-to-selected max) + one per-qid
+    // row_number argmax — no driver state at all, every round a flat
+    // shuffle on qid that scales with query volume. Candidate
+    // pairwise sims are computed once on the 10-per-query set (cost
+    // |Q|·100, independent of corpus size). Scores are 2-term
+    // affine combos of cosines → bit-portable.
+    QueryDef(
+      "rag_mmr", {
+        def round(i: Int): String = {
+          val prev = s"sel${i - 1}"
+          s"""mx$i AS (
+            SELECT s.qid, s.i AS nid, MAX(s.sim) AS mx
+            FROM sims s JOIN $prev p ON p.qid = s.qid AND p.nid = s.j
+            GROUP BY s.qid, s.i),
+          sc$i AS (
+            SELECT c.qid, c.nid,
+                   0.5 * c.rel - 0.5 * COALESCE(m.mx, CAST(0 AS DOUBLE)) AS score
+            FROM cands c
+            LEFT JOIN mx$i m ON m.qid = c.qid AND m.nid = c.nid
+            WHERE NOT EXISTS (
+              SELECT 1 FROM $prev p WHERE p.qid = c.qid AND p.nid = c.nid)),
+          p$i AS (
+            SELECT qid, nid, score FROM (
+              SELECT qid, nid, score,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rn
+              FROM sc$i)
+            WHERE rn = 1),
+          sel$i AS (SELECT qid, nid FROM sel${i - 1} UNION ALL SELECT qid, nid FROM p$i)"""
+        }
+        Some(s"""
+        WITH ranked AS (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS rel,
+                 c.embedding AS nemb,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+          WHERE q.vec_id < 10),
+        cands AS (SELECT qid, nid, rel, nemb FROM ranked WHERE rn <= 10),
+        sims AS (
+          SELECT a.qid, a.nid AS i, b.nid AS j,
+                 list_cosine_similarity(a.nemb::DOUBLE[], b.nemb::DOUBLE[]) AS sim
+          FROM cands a JOIN cands b ON a.qid = b.qid AND a.nid <> b.nid),
+        sel0 AS (SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid WHERE FALSE),
+        ${(1 to 3).map(round).mkString(",\n        ")}
+        SELECT * FROM (
+          ${(1 to 3).map(i =>
+            s"SELECT CAST(qid AS BIGINT) AS qid, CAST($i AS BIGINT) AS pick, CAST(nid AS BIGINT) AS nid, score FROM p$i")
+            .mkString("\n          UNION ALL ")})
+        ORDER BY qid, pick
+      """.trim)
+      },
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = embeddings(s, d).localCheckpoint()
+        val q = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+        val w = Window.partitionBy(col("qid")).orderBy(desc("rel"), asc("nid"))
+        val cands = emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+          .crossJoin(broadcast(q))
+          .select(col("qid"), col("nid"),
+            cosineNative(col("qemb"), col("nemb")).as("rel"), col("nemb"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).drop("rn")
+          .localCheckpoint()
+        val sims = cands.select(col("qid"), col("nid").as("i"), col("nemb").as("ea"))
+          .join(cands.select(col("qid"), col("nid").as("j"), col("nemb").as("eb")), "qid")
+          .filter(col("i") =!= col("j"))
+          .select(col("qid"), col("i"), col("j"),
+            cosineNative(col("ea"), col("eb")).as("sim"))
+          .localCheckpoint()
+        var sel = cands.select(col("qid"), col("nid")).filter(lit(false))
+        val picks = (1 to 3).map { i =>
+          val simToSel = sims
+            .join(sel.select(col("qid"), col("nid").as("j")), Seq("qid", "j"))
+            .groupBy(col("qid"), col("i").as("nid")).agg(max(col("sim")).as("mx"))
+          val remaining = cands
+            .join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+          val wp = Window.partitionBy(col("qid")).orderBy(desc("score"), asc("nid"))
+          val p = remaining
+            .join(simToSel, Seq("qid", "nid"), "left")
+            .select(col("qid"), col("nid"),
+              (lit(0.5) * col("rel") - lit(0.5) * coalesce(col("mx"), lit(0.0)))
+                .as("score"))
+            .withColumn("rn", row_number().over(wp))
+            .filter(col("rn") === 1)
+            .select(col("qid"), col("nid"), col("score"))
+            .localCheckpoint()
+          sel = sel.union(p.select(col("qid"), col("nid")))
+          p.select(col("qid"), lit(i.toLong).as("pick"), col("nid"), col("score"))
+        }
+        picks.reduce(_ union _).orderBy(col("qid"), col("pick"))
       })
   )
 

@@ -337,6 +337,23 @@ class OperatorsSpec extends SparkSpec {
       s"greedy k-center max_cos must be nondecreasing: ${mxs.toSeq}")
   }
 
+  test("mmr rerank: 3 distinct picks per query, first pick is the top-1 hit") {
+    val rows = SparkEntry.queries("rag_mmr")(spark, sf).collect()
+    assert(rows.length == 30)
+    // with no picks yet there is no redundancy term, so pick 1 must be
+    // the plain cosine top-1 (note: scores are NOT monotone across
+    // picks in general — a negative cosine to the selected set acts as
+    // a diversity bonus, which is exactly MMR's point)
+    val top1 = operators.Similarity
+      .cosineTopK(sources.Tables.embeddings(spark, sf), col("vec_id") < 10, 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("nid")).distinct.length == 3, s"qid $q")
+      val first = rs.sortBy(_.getAs[Long]("pick")).head.getAs[Long]("nid")
+      assert(first == top1(q), s"qid $q: pick1 $first != top1 ${top1(q)}")
+    }
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
