@@ -464,8 +464,110 @@ object Graph {
     // change-count fixpoint. Output is the community-size histogram —
     // the shape a curation pipeline reads to decide cluster sampling.
     QueryDef(
-      "gx_lpa", {
-        def round(i: Int): String = s"""l$i AS (
+      "gx_lpa",
+      Some(s"""
+        WITH $lpaSqlCtes
+        SELECT CAST(lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM l3 GROUP BY lbl ORDER BY size DESC, community
+      """.trim),
+      (s, d) => {
+        labelPropagation(cooccurSym(s, d), rounds = 3)
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("community"))
+      }),
+
+    // Modularity of the LPA partition — the number that says whether
+    // the communities are real structure or noise: Q = Σ_c [L_c/m −
+    // (D_c/2m)²]. Computed as EXACT integer arithmetic with the
+    // common denominator 4m²: each community contributes the integer
+    // numerator 4·m·L_c − D_c², summed as BIGINT, with ONE double
+    // division at the end — no float accumulation anywhere, so the
+    // score is partitioning-independent and bit-portable. Dataflow:
+    // intra-edge counts (two label joins on the canonical edge list),
+    // per-community degree sums, one aggregate — no driver state.
+    QueryDef(
+      "gx_modularity",
+      Some(s"""
+        WITH $lpaSqlCtes,
+        m AS (SELECT COUNT(*) AS m FROM e0),
+        deg AS (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) t
+          GROUP BY node),
+        dsum AS (
+          SELECT l.lbl AS community, SUM(d.deg) AS dc
+          FROM l3 l JOIN deg d ON d.node = l.node
+          GROUP BY l.lbl),
+        intra AS (
+          SELECT lu.lbl AS community, COUNT(*) AS lc
+          FROM e0
+          JOIN l3 lu ON lu.node = e0.u
+          JOIN l3 lv ON lv.node = e0.v
+          WHERE lu.lbl = lv.lbl
+          GROUP BY lu.lbl),
+        terms AS (
+          SELECT d.community,
+                 COALESCE(i.lc, 0) AS lc, d.dc,
+                 4 * m.m * COALESCE(i.lc, 0) - d.dc * d.dc AS num
+          FROM dsum d LEFT JOIN intra i ON i.community = d.community
+          CROSS JOIN m)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(m.m AS BIGINT) AS edges,
+               CAST(SUM(num) AS DOUBLE) / (4.0 * m.m * m.m) AS q_modularity
+        FROM terms CROSS JOIN m
+        GROUP BY m.m
+      """.trim),
+      (s, d) => {
+        val sym = cooccurSym(s, d)
+        modularity(sym, labelPropagation(sym, rounds = 3))
+      }))
+
+  /** Modularity Q of a node→label partition over a SYMMETRIC edge
+    * list, via exact integer numerators on the common denominator 4m²
+    * (one double division at the end — no float accumulation). */
+  def modularity(sym: DataFrame, labels0: DataFrame): DataFrame = {
+    val e0 = sym.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    val labels = labels0.localCheckpoint()
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val m = e0.agg(count(lit(1)).as("m"))
+    val dsum = labels.join(deg, "node")
+      .groupBy(col("lbl").as("community")).agg(sum(col("deg")).as("dc"))
+    val intra = e0
+      .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community")).agg(count(lit(1)).as("lc"))
+    dsum.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"),
+        (lit(4) * col("m") * coalesce(col("lc"), lit(0L))
+          - col("dc") * col("dc")).as("num"),
+        col("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("num")).as("snum"))
+      .select(col("n_communities"),
+        col("m").cast("long").as("edges"),
+        (col("snum").cast("double") / (lit(4.0) * col("m") * col("m")))
+          .as("q_modularity"))
+  }
+
+  /** The hashed (order, part) co-occurrence graph shared by the
+    * community queries, as a SYMMETRIC (src, dst) edge list. */
+  private def cooccurSym(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val e = canonicalEdges(lineitem(s, d)
+      .select((col("l_orderkey") % 29989).as("a"),
+        (col("l_partkey") % 29989).as("b")))
+    e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  /** Shared oracle CTEs: co-occurrence graph (`e0` canonical, `e`
+    * symmetric) + 3 unrolled LPA rounds ending in `l3(node, lbl)`. */
+  private def lpaSqlCtes: String = {
+    def round(i: Int): String = s"""l$i AS (
           SELECT node, lbl FROM (
             SELECT e.src AS node, p.lbl,
                    ROW_NUMBER() OVER (
@@ -474,8 +576,7 @@ object Graph {
             FROM e JOIN l${i - 1} p ON e.dst = p.node
             GROUP BY e.src, p.lbl)
           WHERE rn = 1)"""
-        Some(s"""
-        WITH raw AS (
+    s"""raw AS (
           SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
         e0 AS (
           SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
@@ -483,23 +584,8 @@ object Graph {
         e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
         l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM
                  (SELECT u FROM e0 UNION ALL SELECT v FROM e0) t(u)),
-        ${(1 to 3).map(round).mkString(",\n        ")}
-        SELECT CAST(lbl AS BIGINT) AS community,
-               CAST(COUNT(*) AS BIGINT) AS size
-        FROM l3 GROUP BY lbl ORDER BY size DESC, community
-      """.trim)
-      },
-      (s, d) => {
-        val e = canonicalEdges(lineitem(s, d)
-          .select((col("l_orderkey") % 29989).as("a"),
-            (col("l_partkey") % 29989).as("b")))
-        val sym = e.select(col("u").as("src"), col("v").as("dst"))
-          .union(e.select(col("v").as("src"), col("u").as("dst")))
-        labelPropagation(sym, rounds = 3)
-          .groupBy(col("lbl").as("community"))
-          .agg(count(lit(1)).as("size"))
-          .orderBy(col("size").desc, col("community"))
-      }))
+        ${(1 to 3).map(round).mkString(",\n        ")}"""
+  }
 
   /** Multi-source BFS over a SYMMETRIC (u, v) edge list: hop distance
     * (≤ maxHops) from the seed node set via distributed min-merge

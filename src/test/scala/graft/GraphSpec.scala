@@ -83,6 +83,25 @@ class GraphSpec extends SparkSpec {
     assert(out.length > 1)
   }
 
+  test("modularity: high for planted cliques, near zero for the hashed graph") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge: LPA absorbs each clique into
+    // one label and modularity must report strong structure
+    val cl = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)) ++
+      (for (i <- 11L to 14L; j <- 11L to 14L if i < j) yield (i, j)) :+ (4L, 11L)
+    val e0 = cl.toDF("u", "v")
+    val sym = e0.select($"u".as("src"), $"v".as("dst"))
+      .union(e0.select($"v".as("src"), $"u".as("dst")))
+    val q = Graph.modularity(sym, Graph.labelPropagation(sym, rounds = 3))
+      .collect().head
+    assert(q.getAs[Long]("edges") == 13L)
+    assert(q.getAs[Double]("q_modularity") > 0.3,
+      s"planted cliques should score high: $q")
+    // the lineitem co-occurrence graph is hash-folded ≈ random: |Q| small
+    val rand = SparkEntry.queries("gx_modularity")(spark, sf).collect().head
+    assert(math.abs(rand.getAs[Double]("q_modularity")) < 0.05)
+  }
+
   test("triangle count is orientation/duplicate/self-loop insensitive") {
     import spark.implicits._
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
