@@ -862,6 +862,47 @@ object Pipeline {
           .select($"source", $"n_docs", $"thr", $"n_kept",
             ($"n_kept" * lit(1.0) / $"n_docs").as("kept_frac"))
           .orderBy($"source")
+      }),
+
+    // Weighted systematic sampling — draw ~50 documents with
+    // probability proportional to token count WITHOUT any randomness:
+    // walk the doc_id-ordered token axis and take every document whose
+    // cumulative token count crosses a multiple of W/50. Equivalent to
+    // PPS systematic sampling with a fixed origin; all integer
+    // arithmetic (the stratum index is (cum·50) div W), so it is exactly
+    // mirrorable — no pow/log weighted-reservoir keys, which aren't
+    // bit-portable across engines. The running sum is the range-sharded
+    // globalRunningSum (per-shard offsets, no single-partition window);
+    // a doc longer than W/50 crosses several strata but is emitted once
+    // (true PPS would emit multiplicity — stratum jumps expose it).
+    QueryDef(
+      "pl_importance_sample",
+      Some(s"""
+        WITH $scoredSql,
+        run AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM scored),
+        tot AS (SELECT SUM(n_tokens) AS tw FROM scored)
+        SELECT doc_id,
+               n_tokens,
+               CAST(cum AS BIGINT) AS cum_tokens,
+               CAST((cum * 50) // tw AS BIGINT) AS stratum
+        FROM run CROSS JOIN tot
+        WHERE (cum * 50) // tw > ((cum - n_tokens) * 50) // tw
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val toks = qualityScored(documents(s, d)).select($"doc_id", $"n_tokens")
+        val tot = toks.agg(sum($"n_tokens").as("tw"))
+        globalRunningSum(toks, Seq($"doc_id"), col("n_tokens"))
+          .crossJoin(broadcast(tot))
+          .filter(expr("(run_sum * 50) div tw") >
+            expr("((run_sum - n_tokens) * 50) div tw"))
+          .select($"doc_id", $"n_tokens", $"run_sum".as("cum_tokens"),
+            expr("(run_sum * 50) div tw").as("stratum"))
+          .orderBy($"doc_id")
       })
   )
 

@@ -354,6 +354,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("importance sample: ~50 PPS picks, strata increase, long docs favored") {
+    val rows = SparkEntry.queries("pl_importance_sample")(spark, sf).collect()
+    assert(rows.length >= 45 && rows.length <= 50)
+    val strata = rows.map(_.getAs[Long]("stratum"))
+    assert(strata.zip(strata.tail).forall { case (a, b) => b > a })
+    // probability ∝ tokens ⇒ the sample's mean doc length must exceed
+    // the corpus mean (size-biased sampling)
+    val sampleMean = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / rows.length
+    val corpusMean = sources.Tables.documents(spark, sf)
+      .select(avg(size(split(col("text"), " ")))).collect().head.getDouble(0)
+    assert(sampleMean > corpusMean, s"$sampleMean !> $corpusMean")
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
