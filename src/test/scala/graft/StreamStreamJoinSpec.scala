@@ -173,4 +173,86 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(batch.exists(_._2 == -999L))
     assert(batch.exists(_._2 != -999L))
   }
+
+  test("full-outer stream-stream join emits both sides' unmatched rows") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_ssjf_in").toString
+    val out = Files.createTempDirectory("graft_ssjf_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssjf_ckpt").toString
+
+    val ev = sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", unix_timestamp($"ts").as("tse"), $"event_id",
+        $"event_type")
+    val rows = ev.as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._2, r._3))
+    // dual sentinels, same rationale as the left-outer case: both
+    // sides' watermarks must pass every real row's eviction timer
+    val far = rows.map(_._2).max + 86400L
+    val sentinels = Array((-1L, far, -1L, "click"), (-1L, far, -2L, "purchase"))
+
+    def append(batchNo: Int, chunk: Array[(Long, Long, Long, String)]): Unit =
+      CommitLog.append(in, batchNo, chunk.map { r =>
+        (r._3, r._3.toString, s"${r._1}:${r._2}:${r._3}:${r._4}")
+      })
+
+    def run(): Unit = {
+      val base = spark.readStream.format("commit-log").load(in)
+        .select(split($"value", ":").as("f"))
+        .select(
+          $"f".getItem(0).cast("long").as("user_id"),
+          timestamp_seconds($"f".getItem(1).cast("long")).as("ts"),
+          $"f".getItem(2).cast("long").as("event_id"),
+          $"f".getItem(3).as("event_type"))
+      val clicks = base.filter($"event_type" === "click")
+        .select($"user_id".as("cuser"), $"ts".as("cts"), $"event_id".as("click_id"))
+        .withWatermark("cts", "10 minutes")
+      val purchases = base.filter($"event_type" === "purchase")
+        .select($"user_id".as("puser"), $"ts".as("pts"), $"event_id".as("purchase_id"))
+        .withWatermark("pts", "10 minutes")
+      val joined = clicks.join(purchases,
+        expr("cuser = puser AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR"),
+        "full_outer")
+      val q = joined
+        .select(coalesce($"click_id", -$"purchase_id").cast("string").as("key"),
+          concat_ws(":", coalesce($"click_id", lit(-999L)),
+            coalesce($"purchase_id", lit(-999L))).as("value"))
+        .writeStream.format("commit-log")
+        .option("path", out).option("partitions", "2")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(180000) finally q.stop()
+    }
+
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    append(0, half1); run()
+    append(1, half2); run()
+    append(2, sentinels); run()
+
+    val streamed = spark.read.format("commit-log").load(out)
+      .select(split($"value", ":").getItem(0).cast("long").as("click_id"),
+        split($"value", ":").getItem(1).cast("long").as("purchase_id"))
+      .as[(Long, Long)].collect()
+      .filter(r => r._1 != -1L && r._2 != -2L) // sentinel rows themselves
+      .toSet
+
+    val batch = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cuser"), $"tse".as("cts"), $"event_id".as("click_id"))
+      .join(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("puser"), $"tse".as("pts"), $"event_id".as("purchase_id")),
+        expr("cuser = puser AND pts >= cts AND pts <= cts + 3600"),
+        "full_outer")
+      .select(coalesce($"click_id", lit(-999L)).as("click_id"),
+        coalesce($"purchase_id", lit(-999L)).as("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    // all three row classes really occur: matched, click-only, purchase-only
+    assert(batch.exists(r => r._1 != -999L && r._2 != -999L))
+    assert(batch.exists(r => r._2 == -999L))
+    assert(batch.exists(r => r._1 == -999L))
+  }
 }
