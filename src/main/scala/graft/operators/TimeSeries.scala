@@ -346,6 +346,82 @@ object TimeSeries {
           .orderBy($"user_id", $"bucket")
       }),
 
+    // Gap repair by LINEAR interpolation — the ffill twin for signals
+    // where holding the last value biases downstream stats: each
+    // missing hour gets pv + (nv − pv)·(t − tp)/(tn − tp) from its
+    // bracketing observations (edges fall back to bfill/ffill). The
+    // bracketing values come from two IGNORE NULLS window scans over
+    // the same grid join as ts_resample_ffill — no extra shuffle vs
+    // ffill. The interpolation is 5 IEEE-exact double ops on
+    // DECIMAL-derived values in identical order → bit-portable.
+    QueryDef(
+      "ts_linear_interp",
+      Some(s"""
+        WITH vals AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket,
+                 ${sqlSum("value")} AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+                   FROM vals GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds),
+        joined AS (
+          SELECT g.user_id, g.bucket, v.v, (v.v IS NULL) AS gap_filled
+          FROM grid g LEFT JOIN vals v
+            ON g.user_id = v.user_id AND g.bucket = v.bucket),
+        brk AS (
+          SELECT user_id, bucket, v, gap_filled,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS pb,
+                 first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+          FROM joined)
+        SELECT user_id, bucket,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) * (bucket - pb) / (nb - pb) END AS v_interp,
+               gap_filled
+        FROM brk
+        ORDER BY user_id, bucket
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val vals = events(s, d)
+          .groupBy($"user_id",
+            floor(unix_timestamp($"ts") / 3600).cast("long").as("bucket"))
+          .agg(dsum($"value").as("v"))
+        val grid = vals.groupBy($"user_id")
+          .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+          .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
+        val wp = Window.partitionBy($"user_id").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy($"user_id").orderBy($"bucket")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsBucket = when($"v".isNotNull, $"bucket")
+        grid.join(vals, Seq("user_id", "bucket"), "left")
+          .select($"user_id", $"bucket", $"v", $"v".isNull.as("gap_filled"),
+            last($"v", ignoreNulls = true).over(wp).as("pv"),
+            last(obsBucket, ignoreNulls = true).over(wp).as("pb"),
+            first($"v", ignoreNulls = true).over(wn).as("nv"),
+            first(obsBucket, ignoreNulls = true).over(wn).as("nb"))
+          .select($"user_id", $"bucket",
+            when($"v".isNotNull, $"v")
+              .when($"pv".isNull, $"nv")
+              .when($"nv".isNull, $"pv")
+              .otherwise($"pv" + ($"nv" - $"pv") * ($"bucket" - $"pb") / ($"nb" - $"pb"))
+              .as("v_interp"),
+            $"gap_filled")
+          .orderBy($"user_id", $"bucket")
+      }),
+
     // Lagged cross-correlation between the daily click and purchase
     // count series — the does-one-signal-lead-the-other diagnostic
     // (promo→purchase lag estimation). Same determinism rules as

@@ -367,6 +367,29 @@ class OperatorsSpec extends SparkSpec {
     assert(sampleMean > corpusMean, s"$sampleMean !> $corpusMean")
   }
 
+  test("linear interp: gap values lie inside the bracketing envelope") {
+    val rows = SparkEntry.queries("ts_linear_interp")(spark, sf).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    assert(rows.exists(_.getAs[Boolean]("gap_filled")))
+    byUser.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getAs[Long]("bucket"))
+      val obs = seq.filter(!_.getAs[Boolean]("gap_filled"))
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Double]("v_interp"))
+      seq.filter(_.getAs[Boolean]("gap_filled")).foreach { g =>
+        val b = g.getAs[Long]("bucket")
+        val before = obs.filter(_._1 < b).lastOption
+        val after = obs.find(_._1 > b)
+        (before, after) match {
+          case (Some((_, pv)), Some((_, nv))) =>
+            val lo = math.min(pv, nv) - 1e-9; val hi = math.max(pv, nv) + 1e-9
+            val v = g.getAs[Double]("v_interp")
+            assert(v >= lo && v <= hi, s"bucket $b: $v outside [$lo,$hi]")
+          case _ => // edge gaps fall back to ffill/bfill — by construction
+        }
+      }
+    }
+  }
+
   test("csv and orc round-trips preserve row count") {
     // q37/q38's oracle hash-match proves VALUE fidelity; this pins the
     // sink/source row contract at spec speed.
