@@ -797,6 +797,72 @@ object TextAnalysis {
               lit(ipRe), lit("<IP>")),
               lit(phoneRe), lit("<PHONE>")).as("redacted"))
           .orderBy($"doc_id")
+      }),
+
+    // Bigram next-token prediction — the smallest possible language
+    // model, evaluated the way LMs are: train argmax-follower tables
+    // on 90% of docs (doc_id % 10 ≠ 0), score next-token accuracy on
+    // the held-out 10%. Everything is integer counts + string argmax
+    // (ties → lexicographically smallest next) and one exact division
+    // at the end — no log-probs, so the whole evaluation is
+    // bit-portable. Bigrams explode row-local; the model is one
+    // (prev → next) row per distinct context, hash-joined to the test
+    // bigrams — at 100 TB the model table shuffles on `prev` like any
+    // vocabulary-sized dimension.
+    QueryDef(
+      "ta_bigram_predict",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        bg AS (
+          SELECT doc_id, tk[i] AS prev, tk[i + 1] AS next
+          FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+        model AS (
+          SELECT prev, next AS pred FROM (
+            SELECT prev, next, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY prev ORDER BY COUNT(*) DESC, next) AS rn
+            FROM bg WHERE doc_id % 10 <> 0
+            GROUP BY prev, next)
+          WHERE rn = 1),
+        test AS (
+          SELECT b.prev, b.next, m.pred
+          FROM bg b LEFT JOIN model m ON m.prev = b.prev
+          WHERE b.doc_id % 10 = 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(pred) AS BIGINT) AS n_covered,
+               CAST(COUNT(CASE WHEN pred = next THEN 1 END) AS BIGINT) AS n_correct,
+               COUNT(CASE WHEN pred = next THEN 1 END) * 1.0 / COUNT(*) AS acc,
+               COUNT(CASE WHEN pred = next THEN 1 END) * 1.0 / COUNT(pred) AS acc_covered
+        FROM test
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val bg = documents(s, d)
+          .select($"doc_id", split($"text", " ").as("tk"))
+          // guard: sequence(0, size-2) DESCENDS for size < 2 and would
+          // hit index 0; the oracle's range(1, len) is empty there
+          .filter(size($"tk") >= 2)
+          .select($"doc_id", explode(transform(
+            sequence(lit(0), size($"tk") - 2),
+            i => struct(element_at($"tk", i + 1).as("prev"),
+              element_at($"tk", i + 2).as("next")))).as("p"))
+          .select($"doc_id", $"p.prev".as("prev"), $"p.next".as("next"))
+          .localCheckpoint()
+        val w = Window.partitionBy($"prev").orderBy(desc("c"), asc("next"))
+        val model = bg.filter($"doc_id" % 10 =!= 0)
+          .groupBy($"prev", $"next").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"prev", $"next".as("pred"))
+        bg.filter($"doc_id" % 10 === 0)
+          .join(model, Seq("prev"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            count($"pred").as("n_covered"),
+            count(when($"pred" === $"next", 1)).as("n_correct"))
+          .select($"n_pairs", $"n_covered", $"n_correct",
+            ($"n_correct" * lit(1.0) / $"n_pairs").as("acc"),
+            ($"n_correct" * lit(1.0) / $"n_covered").as("acc_covered"))
       })
   )
 
