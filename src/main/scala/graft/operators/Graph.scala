@@ -478,6 +478,63 @@ object Graph {
           .orderBy(col("size").desc, col("community"))
       }),
 
+    // Degree assortativity — do hubs attach to hubs (r > 0) or to the
+    // periphery (r < 0)? Pearson correlation of (deg(src), deg(dst))
+    // over the SYMMETRIC edge list: one degree aggregate, one
+    // edge-degree join per endpoint, then five BIGINT moment sums
+    // (each fits: Σjk ≤ 2m·degmax²) — the final Pearson formula runs
+    // on the exact integer values in DOUBLE (identical op order both
+    // engines; only n·Σjk would overflow BIGINT, and it happens after
+    // the exact sums, in double, deterministically). sqrt is IEEE
+    // correctly-rounded → bit-portable.
+    QueryDef(
+      "gx_assortativity",
+      Some("""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e0 AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        e AS (SELECT u AS src, v AS dst FROM e0 UNION ALL SELECT v, u FROM e0),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY src),
+        jk AS (
+          SELECT du.deg AS j, dv.deg AS k
+          FROM e
+          JOIN deg du ON du.node = e.src
+          JOIN deg dv ON dv.node = e.dst),
+        mom AS (
+          SELECT COUNT(*) AS n,
+                 SUM(j * k) AS sjk, SUM(j) AS sj, SUM(k) AS sk,
+                 SUM(j * j) AS sjj, SUM(k * k) AS skk
+          FROM jk)
+        SELECT CAST(n AS BIGINT) AS n_directed_edges,
+               (CAST(n AS DOUBLE) * sjk - CAST(sj AS DOUBLE) * sk)
+                 / (sqrt(CAST(n AS DOUBLE) * sjj - CAST(sj AS DOUBLE) * sj)
+                    * sqrt(CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk))
+                 AS r_assortativity
+        FROM mom
+      """.trim),
+      (s, d) => {
+        val sym = cooccurSym(s, d)
+        val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        val jk = sym
+          .join(deg.select(col("node").as("src"), col("deg").as("j")), "src")
+          .join(deg.select(col("node").as("dst"), col("deg").as("k")), "dst")
+        jk.agg(count(lit(1)).as("n"),
+            sum(col("j") * col("k")).as("sjk"),
+            sum(col("j")).as("sj"), sum(col("k")).as("sk"),
+            sum(col("j") * col("j")).as("sjj"),
+            sum(col("k") * col("k")).as("skk"))
+          .select(col("n").cast("long").as("n_directed_edges"),
+            ((col("n").cast("double") * col("sjk")
+              - col("sj").cast("double") * col("sk"))
+              / (sqrt(col("n").cast("double") * col("sjj")
+                  - col("sj").cast("double") * col("sj"))
+                * sqrt(col("n").cast("double") * col("skk")
+                  - col("sk").cast("double") * col("sk"))))
+              .as("r_assortativity"))
+      }),
+
     // Modularity of the LPA partition — the number that says whether
     // the communities are real structure or noise: Q = Σ_c [L_c/m −
     // (D_c/2m)²]. Computed as EXACT integer arithmetic with the
