@@ -863,6 +863,62 @@ object TextAnalysis {
           .select($"n_pairs", $"n_covered", $"n_correct",
             ($"n_correct" * lit(1.0) / $"n_pairs").as("acc"),
             ($"n_correct" * lit(1.0) / $"n_covered").as("acc_covered"))
+      }),
+
+    // Per-document keyword extraction by tf-idf — the document-side
+    // twin of rag_tfidf_topk (which scores a fixed query's terms):
+    // every non-stopword token ≥ 3 chars scores tf·N/df (raw-ratio
+    // idf — ln() does not round identically across engines, the
+    // documented rag_bm25 lesson) and each doc keeps its top 3
+    // (ties → lexicographic). One row-local explode, one df
+    // aggregate, one doc-keyed window top-k: the df table is
+    // vocabulary-sized and shuffles on token like any dimension.
+    QueryDef(
+      "ta_keywords_tfidf", {
+        val sw = graft.functions.TextFunctions.englishStopwords.toSeq.sorted
+          .map(w => s"'$w'").mkString(", ")
+        Some(s"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        ok AS (
+          SELECT doc_id, tok FROM toks
+          WHERE length(tok) >= 3 AND NOT list_contains([$sw], tok)),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ok GROUP BY 1, 2),
+        df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 CAST(tf.tf AS DOUBLE) * n.n / df.df AS score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf AS DOUBLE) * n.n / df.df DESC, tf.tok) AS rnk
+          FROM tf JOIN df USING (tok) CROSS JOIN n)
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, tok AS keyword, score
+        FROM scored WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+      """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val sw = graft.functions.TextFunctions.englishStopwords.toSeq.sorted
+        val docs = documents(s, d)
+        val n = docs.agg(count(lit(1)).as("n"))
+        val tf = docs
+          .select($"doc_id", explode(split($"text", " ")).as("tok"))
+          .filter(length($"tok") >= 3 &&
+            !array_contains(array(sw.map(lit): _*), $"tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy($"doc_id").orderBy(desc("score"), asc("tok"))
+        tf.join(df, "tok")
+          .crossJoin(broadcast(n))
+          .select($"doc_id", $"tok",
+            ($"tf".cast("double") * $"n" / $"df").as("score"))
+          .withColumn("rnk", row_number().over(w))
+          .filter($"rnk" <= 3)
+          .select($"doc_id", $"rnk".cast("long").as("rnk"),
+            $"tok".as("keyword"), $"score")
+          .orderBy($"doc_id", $"rnk")
       })
   )
 
