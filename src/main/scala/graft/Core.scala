@@ -31,15 +31,31 @@ object sources {
     def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
     def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-    /** events.parquet stores TIMESTAMP(NANOS) which Spark cannot represent;
-      * with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
-      * long of epoch-nanos, which we normalize to a microsecond
-      * TimestampType (integer division — no double precision loss).
+    /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) (which
+      * Spark can only read as epoch-nanos LONG under
+      * `spark.sql.legacy.parquet.nanosAsLong=true`) or TIMESTAMP_NTZ(µs),
+      * depending on the generator version. Both normalize to the same
+      * microsecond TimestampType: integer division for the nanos long (no
+      * double precision loss), and a cast for NTZ — exact under the UTC
+      * session timezone every entry point pins, and matching DuckDB's
+      * naive-timestamp reading of the same file.
       */
     def events(s: SparkSession, d: String): DataFrame = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      normalizeEventTs(t(s, d, "events"))
     }
+
+    /** Normalize the `ts` column of an events-shaped frame (batch or
+      * stream) to microsecond TimestampType regardless of how the file
+      * shipped it. */
+    def normalizeEventTs(raw: DataFrame): DataFrame =
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ — same wall clock, UTC session tz
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     /** Compute-heavy per-row tables (tokenization, shingling, vector
       * math) are rebalanced to the session's parallelism when the scan
       * yields fewer splits — a sub-megabyte shuffle here buys 32×

@@ -50,8 +50,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events-000.parquet"))
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = sources.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .select($"ts", $"event_type", $"value")
     val q = Streams.tumblingCounts(stream).writeStream
       .format("memory").queryName("replay_test").outputMode("complete").start()
