@@ -126,7 +126,19 @@ object Bench {
     val resMap = results.map { case (k, v, _) => k -> v }.toMap
     val qs = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"plans_fp":"$plansFp","full":"docs/bench_full.json","sf":"$sfDir"}""")
+    // Per-query fps for the regression-watch set go in the stdout line
+    // itself (the full 180-entry map is in docs/bench_full.json — the
+    // ~2000-char stdout tail can't hold it): these are the rows whose
+    // round-over-round swings need a mechanical plan-changed-vs-noise
+    // verdict.
+    val watch = Seq(
+      "pl_corpus_curation", "dd_exact_documents", "q32_recursive_cte",
+      "sim_cosine_topk", "ts_linear_interp", "gx_common_neighbors",
+      "gx_resource_alloc", "dd_lsh_tuning")
+    val fpMap = results.map { case (k, _, fp) => k -> fp }.toMap
+    val wfps = watch.flatMap(k => fpMap.get(k).map(fp => s"\"$k\":\"$fp\""))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"plans_fp":"$plansFp","plans_watch":$wfps,"full":"docs/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

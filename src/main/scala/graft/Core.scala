@@ -47,14 +47,26 @@ object sources {
 
     /** Normalize the `ts` column of an events-shaped frame (batch or
       * stream) to microsecond TimestampType regardless of how the file
-      * shipped it. */
+      * shipped it. The NTZ→TIMESTAMP cast is only exact when the session
+      * timezone is UTC, and any OTHER ts type means a generator change
+      * this normalization was never audited against — both are hard
+      * errors here rather than silently shifted/reinterpreted data.
+      */
     def normalizeEventTs(raw: DataFrame): DataFrame =
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         case org.apache.spark.sql.types.TimestampType => raw
-        case _ => // TIMESTAMP_NTZ — same wall clock, UTC session tz
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ; the cast to TIMESTAMP is only " +
+              s"wall-clock-exact under a UTC session timezone, got '$tz'")
           raw.withColumn("ts", col("ts").cast("timestamp"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unexpected type $other — refusing to guess an " +
+              "epoch interpretation; audit the generator encoding first")
       }
     /** Compute-heavy per-row tables (tokenization, shingling, vector
       * math) are rebalanced to the session's parallelism when the scan

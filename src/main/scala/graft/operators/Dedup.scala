@@ -849,11 +849,16 @@ object Dedup {
           .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
           .distinct()
 
-        // The deduped pairs stream through FOUR broadcast joins — both
-        // signature vectors (|docs|·8 ints; the stricter configs are
-        // boolean expressions over them, the oracle's one-joined-table
-        // shape) and both shingle arrays (exact verify) — one linear
-        // pipeline into ONE aggregate, nothing materialized twice.
+        // The deduped pairs pick up both signature vectors via
+        // broadcast (8 ints/doc — the one small artifact; the stricter
+        // configs are boolean expressions over them, the oracle's
+        // one-joined-table shape) and both shingle arrays via
+        // SHUFFLED doc_id equi-joins: the per-doc shingle arrays ARE
+        // the corpus, and broadcasting them caps the operator at the
+        // 8 GB broadcast ceiling long before 100 TB. Shuffle cost is
+        // ∝ |candidates| + |corpus| rows hashed on doc_id — the same
+        // distributed-verify shape as jaccardForPairs — then one
+        // linear pipeline into ONE aggregate.
         def bandEq(rows: Int) = (0 until 8 / rows).map { b =>
           ((b * rows) until ((b + 1) * rows))
             .map(h => col(s"xi$h") === col(s"yj$h")).reduce(_ && _)
@@ -865,8 +870,8 @@ object Dedup {
         graft.functions.GraftFunctions.register(s)
         val jc = cand
           .join(broadcast(sx), "i").join(broadcast(sy), "j")
-          .join(broadcast(arrs.select(col("doc_id").as("i"), col("shs").as("sha"))), "i")
-          .join(broadcast(arrs.select(col("doc_id").as("j"), col("shs").as("shb"))), "j")
+          .join(arrs.select(col("doc_id").as("i"), col("shs").as("sha")), "i")
+          .join(arrs.select(col("doc_id").as("j"), col("shs").as("shb")), "j")
           .select(col("i"), col("j"),
             bandEq(2).as("c4x2"), bandEq(4).as("c2x4"), bandEq(8).as("c1x8"),
             call_function("jaccard_sim", col("sha"), col("shb")).as("jac"))

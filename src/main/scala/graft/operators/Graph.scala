@@ -348,10 +348,16 @@ object Graph {
 
     // Common-neighbor link prediction — the classic "who should be
     // connected next" score: for every non-adjacent pair at distance
-    // 2, count shared neighbors; top 20. One wedge self-join on the
-    // middle node (cost Σ deg² — the same bound every wedge-based
-    // metric carries; at web scale you cap hub degree first), one
-    // count aggregate, an anti-join against the existing edges, and a
+    // 2, count shared neighbors via middle nodes of degree ≤ 64; top
+    // 20. The wedge self-join is Σ deg² over the MIDDLE node, so one
+    // uncapped hub at web scale explodes a single join key — the
+    // degree cap is therefore part of the metric's definition here
+    // (the standard scale move: a shared hub carries near-zero signal
+    // anyway, which is exactly the observation resource-allocation
+    // weighting formalizes), mirrored identically in the oracle.
+    // With the cap the join is bounded by Σ min(deg,64)² ≤ 64·Σdeg =
+    // 128·|E| — linear in edges, no skewed key. Then one count
+    // aggregate, an anti-join against the existing edges, and a
     // TakeOrderedAndProject top-k — never a global sort.
     QueryDef(
       "gx_common_neighbors",
@@ -362,9 +368,13 @@ object Graph {
           SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
           FROM raw WHERE a <> b),
         adj AS (SELECT u AS m, v AS n FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT m, COUNT(*) AS deg FROM adj GROUP BY m),
+        mid AS (
+          SELECT a.m, a.n FROM adj a JOIN deg d ON d.m = a.m
+          WHERE d.deg <= 64),
         wed AS (
           SELECT a1.n AS x, a2.n AS y, COUNT(*) AS cn
-          FROM adj a1 JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+          FROM mid a1 JOIN mid a2 ON a1.m = a2.m AND a1.n < a2.n
           GROUP BY 1, 2),
         cand AS (
           SELECT w.x, w.y, w.cn
@@ -382,13 +392,32 @@ object Graph {
             (col("l_partkey") % 29989).as("b")))
         val adj = e.select(col("u").as("m"), col("v").as("n"))
           .union(e.select(col("v").as("m"), col("u").as("n")))
-        val wed = adj.as("a1")
-          .join(adj.as("a2"), col("a1.m") === col("a2.m") && col("a1.n") < col("a2.n"))
-          .groupBy(col("a1.n").as("x"), col("a2.n").as("y"))
-          .agg(count(lit(1)).as("cn"))
+        // Wedges come from per-middle-node sorted neighbor ARRAYS, not
+        // an adj⋈adj self-join: the degree cap is a semi-join BEFORE
+        // collect_list (so no task ever materializes a hub's array),
+        // the join's output partitioning is reused by the groupBy (one
+        // exchange of |adj| rows), and the Σ min(deg,64)² pair stream
+        // is generated inside whole-stage codegen. Each (x<y) pair
+        // packs into ONE long (node ids < 29989 < 2^15), so the big
+        // exchange hashes/sorts a single 8-byte key instead of a
+        // two-column row — and the anti-join against e equi-joins on
+        // the same packed key.
+        val lowDeg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= 64).select(col("m"))
+        val nbrs = adj.join(lowDeg, Seq("m"))
+          .groupBy(col("m")).agg(sort_array(collect_list(col("n"))).as("ns"))
+        val pairs = nbrs.select(explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)),
+            |            y -> shiftleft(bigint(x), 15) + bigint(y))))""".stripMargin))
+          .as("pack"))
+        val wed = pairs.groupBy(col("pack")).agg(count(lit(1)).as("cn"))
+        val ePack = e.select(
+          (shiftleft(col("u").cast("long"), 15) + col("v")).as("pack"))
         wed
-          .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_anti")
-          .select(col("x").as("u"), col("y").as("v"),
+          .join(ePack, Seq("pack"), "left_anti")
+          .select(shiftright(col("pack"), 15).as("u"),
+            col("pack").bitwiseAND(lit(32767L)).as("v"),
             col("cn").as("common_neighbors"))
           .orderBy(col("common_neighbors").desc, col("u"), col("v"))
           .limit(20)
@@ -397,9 +426,13 @@ object Graph {
     // Resource-allocation link prediction — common-neighbors with the
     // degree weighting that makes it competitive (Zhou et al. 2009):
     // score(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z), so a shared hub says
-    // almost nothing while a shared degree-2 node says a lot. Same
-    // wedge self-join as gx_common_neighbors (Σ deg² bound, hub-cap at
-    // web scale) plus one degree join on the middle node; the 1/deg
+    // almost nothing while a shared degree-2 node says a lot — which
+    // is also why the same middle-node degree cap (≤ 64) as
+    // gx_common_neighbors costs almost no score mass: the dropped
+    // hubs contribute ≤ 1/64 each. The capped wedge join is bounded
+    // by 64·Σdeg = 128·|E| (linear, no skewed key); the cap filter is
+    // mirrored in the oracle, and the weights stay the TRUE 1/deg
+    // (cap bounds candidates, not the degree used); the 1/deg
     // contributions sum through DECIMAL(28,12) exactly like PageRank's,
     // so the score is partitioning-independent and oracle-mirrorable.
     QueryDef(
@@ -412,12 +445,15 @@ object Graph {
           FROM raw WHERE a <> b),
         adj AS (SELECT u AS m, v AS n FROM e UNION ALL SELECT v, u FROM e),
         deg AS (SELECT m, COUNT(*) AS deg FROM adj GROUP BY m),
+        mid AS (
+          SELECT a.m, a.n FROM adj a JOIN deg d ON d.m = a.m
+          WHERE d.deg <= 64),
         wed AS (
           SELECT a1.n AS x, a2.n AS y,
                  CAST(SUM(CAST(1.0 / d.deg AS DECIMAL(28,12))) AS DOUBLE) AS ra,
                  COUNT(*) AS cn
-          FROM adj a1
-          JOIN adj a2 ON a1.m = a2.m AND a1.n < a2.n
+          FROM mid a1
+          JOIN mid a2 ON a1.m = a2.m AND a1.n < a2.n
           JOIN deg d ON d.m = a1.m
           GROUP BY 1, 2),
         cand AS (
@@ -436,18 +472,41 @@ object Graph {
             (col("l_partkey") % 29989).as("b")))
         val adj = e.select(col("u").as("m"), col("v").as("n"))
           .union(e.select(col("v").as("m"), col("u").as("n")))
-        val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
-        val wed = adj.as("a1")
-          .join(adj.as("a2"), col("a1.m") === col("a2.m") && col("a1.n") < col("a2.n"))
-          .join(deg.select(col("m").as("dm"), col("deg")), col("dm") === col("a1.m"))
-          .groupBy(col("a1.n").as("x"), col("a2.n").as("y"))
-          .agg(sum((lit(1.0) / col("deg")).cast(DecimalType(28, 12)))
-            .cast("double").as("ra"),
+        // Same capped array-wedge shape as gx_common_neighbors (cap
+        // semi-join before collect_list, codegen pair stream, packed
+        // long pair key). For a KEPT middle node the collected array IS
+        // its full neighborhood, so the true 1/deg weight is just
+        // 1/size(ns) — the per-wedge degree join disappears entirely.
+        val lowDeg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") <= 64).select(col("m"))
+        val nbrs = adj.join(lowDeg, Seq("m"))
+          .groupBy(col("m")).agg(sort_array(collect_list(col("n"))).as("ns"))
+        // The oracle's DECIMAL(28,12) weight is a 12-fraction-digit
+        // fixed-point number — carried here as exact LONG micro-units
+        // (w·10¹²) so the 25M-row hot aggregate sums primitive longs
+        // instead of boxed decimals; the decimal rounding itself
+        // happens once per MIDDLE node (29k rows), identically to the
+        // oracle. Per-pair sums are ≤ 64·10¹² ≪ 2⁵³, so the final
+        // long→double→÷10¹² is one correctly-rounded division — the
+        // same double the oracle's decimal-sum→double cast yields.
+        val pairs = nbrs.select(
+          ((lit(1.0) / size(col("ns"))).cast(DecimalType(28, 12)) *
+            lit(1000000000000L)).cast("long").as("w"),
+          explode(expr(
+            """flatten(transform(ns, (x, i) ->
+              |  transform(slice(ns, i + 2, size(ns)),
+              |            y -> shiftleft(bigint(x), 15) + bigint(y))))""".stripMargin))
+            .as("pack"))
+        val wed = pairs.groupBy(col("pack"))
+          .agg((sum(col("w")).cast("double") / lit(1e12)).as("ra"),
             count(lit(1)).as("cn"))
+        val ePack = e.select(
+          (shiftleft(col("u").cast("long"), 15) + col("v")).as("pack"))
         wed
-          .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_anti")
-          .select(col("x").as("u"), col("y").as("v"), col("ra"),
-            col("cn").as("common_neighbors"))
+          .join(ePack, Seq("pack"), "left_anti")
+          .select(shiftright(col("pack"), 15).as("u"),
+            col("pack").bitwiseAND(lit(32767L)).as("v"),
+            col("ra"), col("cn").as("common_neighbors"))
           .orderBy(col("ra").desc, col("u"), col("v"))
           .limit(20)
       }),

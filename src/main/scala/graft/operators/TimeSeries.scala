@@ -352,8 +352,15 @@ object TimeSeries {
     // bracketing observations (edges fall back to bfill/ffill). The
     // bracketing values come from two IGNORE NULLS window scans over
     // the same grid join as ts_resample_ffill — no extra shuffle vs
-    // ffill. The interpolation is 5 IEEE-exact double ops on
-    // DECIMAL-derived values in identical order → bit-portable.
+    // ffill. The "next" side deliberately avoids a
+    // [CURRENT ROW, UNBOUNDED FOLLOWING] frame: Spark's
+    // UnboundedFollowingWindowFunctionFrame re-scans to the partition
+    // end for EVERY row (O(n²) per user); a running frame over the
+    // DESCENDING bucket order computes the same nearest-following
+    // observation incrementally in O(n) — same partition key, so the
+    // planner reuses one exchange and only adds a sort. The
+    // interpolation is 5 IEEE-exact double ops on DECIMAL-derived
+    // values in identical order → bit-portable.
     QueryDef(
       "ts_linear_interp",
       Some(s"""
@@ -403,15 +410,15 @@ object TimeSeries {
           .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
         val wp = Window.partitionBy($"user_id").orderBy($"bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy($"user_id").orderBy($"bucket")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wn = Window.partitionBy($"user_id").orderBy($"bucket".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val obsBucket = when($"v".isNotNull, $"bucket")
         grid.join(vals, Seq("user_id", "bucket"), "left")
           .select($"user_id", $"bucket", $"v", $"v".isNull.as("gap_filled"),
             last($"v", ignoreNulls = true).over(wp).as("pv"),
             last(obsBucket, ignoreNulls = true).over(wp).as("pb"),
-            first($"v", ignoreNulls = true).over(wn).as("nv"),
-            first(obsBucket, ignoreNulls = true).over(wn).as("nb"))
+            last($"v", ignoreNulls = true).over(wn).as("nv"),
+            last(obsBucket, ignoreNulls = true).over(wn).as("nb"))
           .select($"user_id", $"bucket",
             when($"v".isNotNull, $"v")
               .when($"pv".isNull, $"nv")
