@@ -137,6 +137,51 @@ object CommitLog {
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
   }
 
+  /** Idempotent epoch write for `foreachBatch` sinks: hash-partition
+    * the rows by key across `nPartitions` log partitions and write ONE
+    * segment per (epoch, log partition) FROM THE EXECUTORS — temp file
+    * then atomic move, exactly like the streaming sink's commit. The
+    * segment name embeds the epoch id, which Structured Streaming
+    * keeps stable across batch replays, so a restarted query re-running
+    * a committed epoch finds the destination already present and skips
+    * it — end-to-end exactly-once without a driver collect.
+    *
+    * `rows` must have `key`/`value` string columns; `ts` (long micros)
+    * is optional and defaults to 0. */
+  def writeEpoch(dir: String, nPartitions: Int, epochId: Long,
+      rows: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.Row
+    val withTs =
+      if (rows.columns.contains("ts")) rows else rows.withColumn("ts", lit(0L))
+    withTs
+      .select(col("ts").cast("long"), col("key").cast("string"),
+        col("value").cast("string"))
+      .repartition(nPartitions, col("key"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val text = it.map { r =>
+          encodeLine(r.getLong(0), r.getString(1), r.getString(2))
+        }.mkString("", "\n", "\n")
+        if (text != "\n") {
+          val dst = partitionDir(dir, pid).resolve(f"seg-e$epochId%012d.log")
+          if (!Files.exists(dst)) {
+            Files.createDirectories(dst.getParent)
+            val tmp = Files.createTempFile(dst.getParent, ".tmp-", ".log")
+            Files.write(tmp, text.getBytes(UTF_8),
+              StandardOpenOption.TRUNCATE_EXISTING, StandardOpenOption.WRITE)
+            try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // a concurrent attempt (task retry) committed first — keep its file
+              case _: java.nio.file.FileAlreadyExistsException =>
+                Files.deleteIfExists(tmp)
+            }
+          }
+        }
+        ()
+      }
+  }
+
   /** Iterate one partition's records in `[from, until)` offset range,
     * streaming each segment and closing it when exhausted. */
   def readRange(dir: String, pid: Int, from: Long, until: Long): Iterator[(Long, Long, String, String)] = {

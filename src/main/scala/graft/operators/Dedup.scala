@@ -136,6 +136,77 @@ object Dedup {
         call_function("jaccard_sim", col("sha"), col("shb")).as("jac"))
   }
 
+  /** The dedup-index artifacts an ingest pipeline maintains between
+    * batches: exact fingerprints, the MinHash band table (8 bands of 2
+    * hashes — the high-recall generator, see [[lshCandidates]]), and
+    * the per-doc shingle arrays for exact verification. All three are
+    * plain tables: at cluster scale they live as parquet/Delta
+    * artifacts keyed by doc id, appended to as batches are admitted,
+    * and every ingest cycle joins the incoming batch against them —
+    * never against the raw 100 TB corpus. */
+  final case class DedupIndex(fps: DataFrame, bands: DataFrame, arrs: DataFrame)
+
+  /** One band row per (doc, band): the LSH bucket key a pair must share
+    * to become a candidate. */
+  private def explodeBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band_no"),
+          col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_no").as("band_no"),
+        col("band.ba").as("ba"), col("band.bb").as("bb"))
+
+  /** Build the index artifacts from the existing corpus (`doc_id`,
+    * `text`). Each artifact is one scan + (for bands) one groupBy —
+    * run once, persisted, then reused by every ingest cycle. */
+  def buildIndex(indexDocs: DataFrame): DedupIndex = DedupIndex(
+    fps = indexDocs.select(md5(col("text")).as("fp")).distinct(),
+    bands = explodeBands(minhashSignatures(shingles(indexDocs)))
+      .select(col("doc_id").as("j"), col("band_no"), col("ba"), col("bb")),
+    arrs = shingleArrays(indexDocs).select(col("doc_id").as("j"), col("shs").as("shb")))
+
+  /** Admission verdict for an incoming batch against an existing index
+    * — the production ingestion flow behind `dd_incremental` and the
+    * streaming twin [[graft.streaming.Streams.incrementalAdmit]]. Two
+    * layers, exactly as a crawl pipeline runs them: (1) exact — md5
+    * semi-join against the index fingerprints; (2) near — 8-band
+    * MinHash candidates restricted to batch×index band collisions,
+    * distributed exact Jaccard verify ≥ `minJac`, best match per batch
+    * doc by (jac desc, index id). Cost ∝ |batch|·bands + |candidates|,
+    * independent of index² — the property that lets the same flow run
+    * against a 100 TB index every ingest cycle. Output is one verdict
+    * row per batch doc: keep ⇔ neither layer fired. */
+  def admitAgainstIndex(batch: DataFrame, index: DedupIndex,
+      minJac: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(batch.sparkSession)
+    val bBands = explodeBands(minhashSignatures(shingles(batch)))
+      .select(col("doc_id").as("i"), col("band_no"), col("ba"), col("bb"))
+    val cand = bBands.join(index.bands, Seq("band_no", "ba", "bb"))
+      .select(col("i"), col("j")).distinct()
+    val bArrs = shingleArrays(batch).select(col("doc_id").as("i"), col("shs").as("sha"))
+    val verified = cand.join(bArrs, "i").join(index.arrs, "j")
+      .select(col("i"), col("j"),
+        call_function("jaccard_sim", col("sha"), col("shb")).as("jac"))
+      .filter(col("jac") >= minJac)
+    val w = Window.partitionBy(col("i")).orderBy(col("jac").desc, col("j"))
+    val best = verified.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("i").as("doc_id"), col("j").as("near_dup_of"), col("jac"))
+    val exactIds = batch
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(index.fps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_hit"))
+    batch.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
+        col("near_dup_of"), col("jac"),
+        (!coalesce(col("exact_hit"), lit(false)) && col("near_dup_of").isNull).as("keep"))
+  }
+
   /** [[jaccardForPairs]] over a broadcast bitset signature table — same
     * results, popcount loop instead of per-pair string-set intersection.
     * SMALL-CORPUS BASELINE ONLY (collects every shingle array to the
@@ -622,40 +693,9 @@ object Dedup {
       """.trim)
       },
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = documents(s, d)
         val isBatch = col("doc_id") % 5 === 0
-        val sigs = minhashSignatures(shingles(docs))
-        val bands = sigs.select(col("doc_id"),
-          explode(array((0 until 8).map { b =>
-            struct(lit(b).as("band_no"),
-              col(s"mh${2 * b}").as("ba"), col(s"mh${2 * b + 1}").as("bb"))
-          }: _*)).as("band"))
-          .select(col("doc_id"), col("band.band_no").as("band_no"),
-            col("band.ba").as("ba"), col("band.bb").as("bb"))
-        val cand = bands.filter(isBatch)
-          .select(col("doc_id").as("i"), col("band_no"), col("ba"), col("bb"))
-          .join(bands.filter(!isBatch)
-            .select(col("doc_id").as("j"), col("band_no"), col("ba"), col("bb")),
-            Seq("band_no", "ba", "bb"))
-          .select(col("i"), col("j")).distinct()
-        val verified = jaccardForPairs(docs, cand).filter(col("jac") >= 0.7)
-        val w = Window.partitionBy(col("i")).orderBy(col("jac").desc, col("j"))
-        val best = verified.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("i").as("doc_id"), col("j").as("near_dup_of"), col("jac"))
-        val exactIds = docs.filter(isBatch)
-          .select(col("doc_id"), md5(col("text")).as("fp"))
-          .join(docs.filter(!isBatch).select(md5(col("text")).as("fp")).distinct(),
-            Seq("fp"), "left_semi")
-          .select(col("doc_id"), lit(true).as("exact_hit"))
-        docs.filter(isBatch).select(col("doc_id"))
-          .join(exactIds, Seq("doc_id"), "left")
-          .join(best, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("exact_hit"), lit(false)).as("exact_dup"),
-            col("near_dup_of"), col("jac"),
-            (!coalesce(col("exact_hit"), lit(false)) && col("near_dup_of").isNull).as("keep"))
+        admitAgainstIndex(docs.filter(isBatch), buildIndex(docs.filter(!isBatch)))
           .orderBy(col("doc_id"))
       }),
 

@@ -289,6 +289,47 @@ object Streams {
       }
   }
 
+  /** The streaming ingest loop behind `dd_incremental`: a document
+    * stream (`doc_id`, `text`) is admitted micro-batch by micro-batch
+    * against a STATIC dedup index ([[graft.operators.Dedup.DedupIndex]]
+    * — exact fingerprints + MinHash band table + shingle arrays, the
+    * artifacts a 100 TB corpus maintains as tables), via the exact
+    * same batch operator ([[graft.operators.Dedup.admitAgainstIndex]]),
+    * and each batch's verdicts land on a commit-log topic through an
+    * executor-side idempotent epoch write
+    * ([[graft.io.CommitLog.writeEpoch]]).
+    *
+    * Because every batch doc is compared ONLY against the index (never
+    * batch×batch), each doc's verdict is independent of batch slicing,
+    * arrival order, and restarts — the stream output converges exactly
+    * to the batch twin `admitAgainstIndex(allDocs, index)`, which
+    * StreamingIncrementalDedupSpec pins across a mid-stream restart.
+    * `foreachBatch` + epoch-keyed segments is the standard Spark shape
+    * for "run the batch operator incrementally with exactly-once
+    * output": a replayed epoch finds its segment already committed and
+    * is a no-op. */
+  def incrementalAdmit(
+      docs: DataFrame,
+      index: graft.operators.Dedup.DedupIndex,
+      outDir: String,
+      checkpoint: String,
+      nLogPartitions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val verdict = graft.operators.Dedup.admitAgainstIndex(batch, index)
+        val payload = verdict.select(
+          col("doc_id").cast("string").as("key"),
+          concat_ws("|",
+            col("exact_dup").cast("string"),
+            coalesce(col("near_dup_of").cast("string"), lit("-")),
+            coalesce(col("jac").cast("string"), lit("-")),
+            col("keep").cast("string")).as("value"))
+        graft.io.CommitLog.writeEpoch(outDir, nLogPartitions, epochId, payload)
+      }
+      .start()
+
   /** Streaming exact dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps one state row per key only
     * until the watermark passes that key's first-seen event time plus
