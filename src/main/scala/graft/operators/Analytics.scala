@@ -706,5 +706,205 @@ object Analytics {
             $"vs".cast("double").as("value_sum"),
             ($"vs".cast("double") / $"tot".cast("double")).as("value_share"))
           .orderBy($"decile")
+      }),
+
+    // Kaplan-Meier life table — survival analysis over user lifetimes:
+    // lifetime = days between a user's first and last event; a user
+    // whose last event is within 1 day of the observation-window end
+    // is CENSORED (still alive as far as the data shows), everyone
+    // else is a churn event. Per distinct churn lifetime t: the risk
+    // set n(t) = users with lifetime ≥ t (censored users leave the
+    // risk set at their censoring time — the defining KM property),
+    // churned d(t), hazard d(t)/n(t). The risk set comes from ONE
+    // descending running sum over the per-day aggregate (O(n)
+    // incremental frame — never a per-row rescan), the day table is
+    // bounded by the dataset's span in days, and the only floating
+    // point is one integer-valued double division per row. The
+    // cumulative survival PRODUCT is deliberately not emitted:
+    // Π(1 − d/n) has no exact distributed form (exp-sum-log is not
+    // bit-reproducible across libms); consumers fold the hazard
+    // column, which is the sufficient statistic.
+    QueryDef(
+      "ev_lifetable",
+      Some("""
+        WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events),
+        u AS (SELECT user_id, MIN(tse) AS first_ts, MAX(tse) AS last_ts
+              FROM e GROUP BY user_id),
+        w AS (SELECT MAX(last_ts) AS wend FROM u),
+        lt AS (
+          SELECT (last_ts - first_ts) // 86400 AS life_days,
+                 last_ts <= (SELECT wend FROM w) - 86400 AS churned
+          FROM u),
+        d AS (
+          SELECT life_days AS t,
+                 COUNT(*) FILTER (WHERE churned) AS d_churn,
+                 COUNT(*) AS d_all
+          FROM lt GROUP BY 1),
+        r AS (
+          SELECT t, d_churn,
+                 SUM(d_all) OVER (ORDER BY t DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_risk
+          FROM d)
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d_churn AS BIGINT) AS churned,
+               CAST(d_churn AS DOUBLE) / n_risk AS hazard
+        FROM r WHERE d_churn > 0
+        ORDER BY t_days
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val u = events(s, d)
+          .select($"user_id", unix_timestamp($"ts").as("tse"))
+          .groupBy($"user_id")
+          .agg(min($"tse").as("first_ts"), max($"tse").as("last_ts"))
+        val w = u.agg(max($"last_ts").as("wend"))
+        val lt = u.crossJoin(broadcast(w))
+          .select(expr("(last_ts - first_ts) div 86400").as("life_days"),
+            ($"last_ts" <= $"wend" - 86400L).as("churned"))
+        val byDay = lt.groupBy($"life_days".as("t"))
+          .agg(count(when($"churned", 1)).as("d_churn"),
+            count(lit(1)).as("d_all"))
+        val riskW = Window.orderBy($"t".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDay
+          .withColumn("n_risk", sum($"d_all").over(riskW))
+          .filter($"d_churn" > 0)
+          .select($"t".as("t_days"), $"n_risk", $"d_churn".as("churned"),
+            ($"d_churn".cast("double") / $"n_risk").as("hazard"))
+          .orderBy($"t_days")
+      }),
+
+    // Cohort LTV curves — the revenue-side twin of ev_retention: users
+    // cohorted by first-activity week, purchase revenue accumulated by
+    // cohort age in weeks. Weekly revenue sums are exact DECIMAL at
+    // the (cohort, age) grain; the cumulative curve is a running sum
+    // of those exact decimals (ascending running frame — O(n)
+    // incremental); LTV-per-user divides by the cohort's user count in
+    // one final double division per row. Partitioned by cohort, the
+    // window state is one row per (cohort, age) — bounded by the
+    // span in weeks squared, never by users or events.
+    QueryDef(
+      "ev_cohort_ltv",
+      Some("""
+        WITH e AS (SELECT user_id, event_type, value,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events),
+        u AS (SELECT user_id, MIN(tse) // 604800 AS cohort_week FROM e GROUP BY user_id),
+        cs AS (SELECT cohort_week, COUNT(*) AS n_users FROM u GROUP BY 1),
+        p AS (
+          SELECT u.cohort_week,
+                 e.tse // 604800 - u.cohort_week AS age_weeks,
+                 e.value
+          FROM e JOIN u ON e.user_id = u.user_id
+          WHERE e.event_type = 'purchase'),
+        wk AS (
+          SELECT cohort_week, age_weeks,
+                 SUM(CAST(value AS DECIMAL(18,2))) AS rev
+          FROM p GROUP BY 1, 2),
+        cum AS (
+          SELECT cohort_week, age_weeks,
+                 SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_rev
+          FROM wk)
+        SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+               CAST(c.age_weeks AS BIGINT) AS age_weeks,
+               CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+               CAST(c.cum_rev AS DOUBLE) / cs.n_users AS ltv_per_user,
+               CAST(cs.n_users AS BIGINT) AS n_users
+        FROM cum c JOIN cs ON c.cohort_week = cs.cohort_week
+        ORDER BY cohort_week, age_weeks
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val e = events(s, d)
+          .select($"user_id", $"event_type", $"value",
+            unix_timestamp($"ts").as("tse"))
+        val u = e.groupBy($"user_id")
+          .agg(expr("min(tse) div 604800").as("cohort_week"))
+        val cs = u.groupBy($"cohort_week").agg(count(lit(1)).as("n_users"))
+        val wk = e.filter($"event_type" === "purchase")
+          .join(u, "user_id")
+          .select($"cohort_week",
+            (expr("tse div 604800") - $"cohort_week").as("age_weeks"), $"value")
+          .groupBy($"cohort_week", $"age_weeks")
+          .agg(sum($"value".cast("decimal(18,2)")).as("rev"))
+        val cumW = Window.partitionBy($"cohort_week").orderBy($"age_weeks")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wk.withColumn("cum_rev", sum($"rev").over(cumW))
+          .join(broadcast(cs), "cohort_week")
+          .select($"cohort_week", $"age_weeks",
+            $"cum_rev".cast("double").as("cum_revenue"),
+            ($"cum_rev".cast("double") / $"n_users").as("ltv_per_user"),
+            $"n_users")
+          .orderBy($"cohort_week", $"age_weeks")
+      }),
+
+    // Overlapping-interval merge — the classic "time actually covered"
+    // operator (session stitching, machine-uptime, ad-exposure): each
+    // event opens an interval [tse, tse + floor(value·60)s]; per user,
+    // intervals that touch are merged by the cumulative-max sweep —
+    // an interval starts a NEW group iff its start exceeds the running
+    // max of all previous ends. Both windows are ascending running
+    // frames over (user, start, end, id) — O(n) incremental, state is
+    // one value per user — then one groupBy per merged run. All
+    // integer arithmetic; floor() before the cast because DuckDB's
+    // BIGINT cast rounds while Spark's truncates.
+    QueryDef(
+      "ev_interval_merge",
+      Some("""
+        WITH iv AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   + CAST(floor(value * 60) AS BIGINT) AS e
+          FROM events),
+        m AS (
+          SELECT user_id, s, e,
+                 MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max,
+                 event_id
+          FROM iv),
+        g AS (
+          SELECT user_id, s, e,
+                 SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM m),
+        mg AS (
+          SELECT user_id, grp, MIN(s) AS gs, MAX(e) AS ge
+          FROM g GROUP BY 1, 2)
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(ge - gs) AS BIGINT) AS covered_seconds,
+               CAST(MAX(ge - gs) AS BIGINT) AS longest_seconds
+        FROM mg GROUP BY user_id
+        ORDER BY user_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val iv = events(s, d)
+          .select($"user_id", $"event_id",
+            unix_timestamp($"ts").as("s"),
+            (unix_timestamp($"ts") + floor($"value" * 60).cast("long")).as("e"))
+        val ord = Seq($"s", $"e", $"event_id")
+        val prevW = Window.partitionBy($"user_id").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val runW = Window.partitionBy($"user_id").orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        iv
+          .withColumn("prev_max", max($"e").over(prevW))
+          .withColumn("grp", sum(
+            when($"prev_max".isNull || $"s" > $"prev_max", 1).otherwise(0))
+            .over(runW))
+          .groupBy($"user_id", $"grp")
+          .agg(min($"s").as("gs"), max($"e").as("ge"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum($"ge" - $"gs").as("covered_seconds"),
+            max($"ge" - $"gs").as("longest_seconds"))
+          .orderBy($"user_id")
       }))
 }

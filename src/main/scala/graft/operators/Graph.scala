@@ -511,6 +511,82 @@ object Graph {
           .limit(20)
       }),
 
+    // Jaccard link prediction — the third classic score, normalizing
+    // shared neighbors by neighborhood size: |N(x)∩N(y)| / |N(x)∪N(y)|
+    // = cn / (deg(x) + deg(y) − cn). The intersection count reuses the
+    // SAME capped array-wedge stream as gx_common_neighbors (bounded by
+    // 128·|E|, no skewed key); the degrees in the denominator stay the
+    // TRUE degrees (the cap bounds candidate generation, not the
+    // metric's normalizer), joined from the O(|V|)-row degree table.
+    // Arithmetic is one integer-valued double division — no logs, no
+    // double accumulation — so the score is bit-identical across
+    // engines and partitionings. (Adamic-Adar's 1/ln(deg) weight is
+    // deliberately NOT offered: ln is not IEEE-correctly-rounded and
+    // differs between libms, which would break reproducible curation
+    // runs; resource-allocation's rational 1/deg weighting covers the
+    // same "discount shared hubs" signal deterministically.)
+    QueryDef(
+      "gx_jaccard_linkpred",
+      Some("""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        adj AS (SELECT u AS m, v AS n FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT m, COUNT(*) AS deg FROM adj GROUP BY m),
+        mid AS (
+          SELECT a.m, a.n FROM adj a JOIN deg d ON d.m = a.m
+          WHERE d.deg <= 64),
+        wed AS (
+          SELECT a1.n AS x, a2.n AS y, COUNT(*) AS cn
+          FROM mid a1 JOIN mid a2 ON a1.m = a2.m AND a1.n < a2.n
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT w.x, w.y, w.cn
+          FROM wed w LEFT JOIN e ON e.u = w.x AND e.v = w.y
+          WHERE e.u IS NULL)
+        SELECT CAST(c.x AS BIGINT) AS u, CAST(c.y AS BIGINT) AS v,
+               CAST(c.cn AS DOUBLE) / (dx.deg + dy.deg - c.cn) AS jaccard,
+               CAST(c.cn AS BIGINT) AS common_neighbors
+        FROM cand c
+        JOIN deg dx ON dx.m = c.x
+        JOIN deg dy ON dy.m = c.y
+        ORDER BY jaccard DESC, u, v
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        val e = canonicalEdges(lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"),
+            (col("l_partkey") % 29989).as("b")))
+        val adj = e.select(col("u").as("m"), col("v").as("n"))
+          .union(e.select(col("v").as("m"), col("u").as("n")))
+        val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+        val lowDeg = deg.filter(col("deg") <= 64).select(col("m"))
+        val nbrs = adj.join(lowDeg, Seq("m"))
+          .groupBy(col("m")).agg(sort_array(collect_list(col("n"))).as("ns"))
+        val pairs = nbrs.select(explode(expr(
+          """flatten(transform(ns, (x, i) ->
+            |  transform(slice(ns, i + 2, size(ns)),
+            |            y -> shiftleft(bigint(x), 15) + bigint(y))))""".stripMargin))
+          .as("pack"))
+        val wed = pairs.groupBy(col("pack")).agg(count(lit(1)).as("cn"))
+        val ePack = e.select(
+          (shiftleft(col("u").cast("long"), 15) + col("v")).as("pack"))
+        // deg is O(|V|) rows — broadcast both denominator joins
+        wed
+          .join(ePack, Seq("pack"), "left_anti")
+          .select(shiftright(col("pack"), 15).as("u"),
+            col("pack").bitwiseAND(lit(32767L)).as("v"), col("cn"))
+          .join(broadcast(deg.select(col("m").as("u"), col("deg").as("dx"))), Seq("u"))
+          .join(broadcast(deg.select(col("m").as("v"), col("deg").as("dy"))), Seq("v"))
+          .select(col("u"), col("v"),
+            (col("cn").cast("double") / (col("dx") + col("dy") - col("cn"))).as("jaccard"),
+            col("cn").as("common_neighbors"))
+          .orderBy(col("jaccard").desc, col("u"), col("v"))
+          .limit(20)
+      }),
+
     // Synchronous label propagation (3 rounds) — community detection
     // as pure integer relabeling: every node starts as its own label
     // and each round adopts the most frequent label among neighbors

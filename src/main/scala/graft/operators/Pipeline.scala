@@ -903,6 +903,84 @@ object Pipeline {
           .select($"doc_id", $"n_tokens", $"run_sum".as("cum_tokens"),
             expr("(run_sum * 50) div tw").as("stratum"))
           .orderBy($"doc_id")
+      }),
+
+    // Z-order layout audit — the data-skipping statistic behind
+    // multi-dimensional clustering (Delta/Iceberg OPTIMIZE ZORDER):
+    // interleave the bits of two 10-bit dimensions into one z-value,
+    // split the curve into 64 equal z-ranges ("files"), and measure
+    // the per-file min-max span of EACH dimension — the exact numbers
+    // a scan planner uses to skip files. The row-major linear layout
+    // is audited side by side: it bounds the leading dimension only,
+    // so its trailing-dimension span stays ~full-range while z-order
+    // bounds both — the quantified reason a 100 TB table z-orders its
+    // sort key. Pure integer bit arithmetic (shifts, masks, adds) in
+    // an identical expression tree on both engines, one groupBy per
+    // layout, two final integer-valued double divisions per row.
+    QueryDef(
+      "pl_zorder_layout", {
+        def sqlInterleave(x: String, y: String): String =
+          (0 until 10).map(b =>
+            s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})")
+            .mkString(" + ")
+        Some(s"""
+        WITH pts AS (
+          SELECT l_orderkey % 1024 AS x, l_partkey % 1024 AS y FROM lineitem),
+        zf AS (
+          SELECT (${sqlInterleave("x", "y")}) >> 14 AS f, x, y FROM pts),
+        lf AS (
+          SELECT ((x << 10) + y) >> 14 AS f, x, y FROM pts),
+        za AS (
+          SELECT f, COUNT(*) AS n, MAX(x) - MIN(x) AS xs, MAX(y) - MIN(y) AS ys
+          FROM zf GROUP BY f),
+        la AS (
+          SELECT f, COUNT(*) AS n, MAX(x) - MIN(x) AS xs, MAX(y) - MIN(y) AS ys
+          FROM lf GROUP BY f)
+        SELECT layout,
+               CAST(n_files AS BIGINT) AS n_files,
+               avg_x_span, avg_y_span,
+               CAST(max_x_span AS BIGINT) AS max_x_span,
+               CAST(max_y_span AS BIGINT) AS max_y_span
+        FROM (
+          SELECT 'linear' AS layout, COUNT(*) AS n_files,
+                 CAST(SUM(xs) AS DOUBLE) / COUNT(*) AS avg_x_span,
+                 CAST(SUM(ys) AS DOUBLE) / COUNT(*) AS avg_y_span,
+                 MAX(xs) AS max_x_span, MAX(ys) AS max_y_span
+          FROM la
+          UNION ALL
+          SELECT 'zorder', COUNT(*),
+                 CAST(SUM(xs) AS DOUBLE) / COUNT(*),
+                 CAST(SUM(ys) AS DOUBLE) / COUNT(*),
+                 MAX(xs), MAX(ys)
+          FROM za)
+        ORDER BY layout
+      """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        def interleave(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (0 until 10).map { b =>
+            shiftleft(shiftright(x, b).bitwiseAND(lit(1)), 2 * b) +
+              shiftleft(shiftright(y, b).bitwiseAND(lit(1)), 2 * b + 1)
+          }.reduceLeft(_ + _)
+        val pts = lineitem(s, d)
+          .select(($"l_orderkey" % 1024).as("x"), ($"l_partkey" % 1024).as("y"))
+        def audit(file: org.apache.spark.sql.Column, name: String) = {
+          val perFile = pts
+            .select(file.as("f"), $"x", $"y")
+            .groupBy($"f")
+            .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+          perFile.agg(count(lit(1)).as("n_files"),
+            (sum($"xs").cast("double") / count(lit(1))).as("avg_x_span"),
+            (sum($"ys").cast("double") / count(lit(1))).as("avg_y_span"),
+            max($"xs").as("max_x_span"), max($"ys").as("max_y_span"))
+            .select(lit(name).as("layout"), $"n_files", $"avg_x_span",
+              $"avg_y_span", $"max_x_span", $"max_y_span")
+        }
+        audit(shiftright(interleave($"x", $"y"), 14), "zorder")
+          .unionByName(audit(shiftright(shiftleft($"x", 10) + $"y", 14), "linear"))
+          .orderBy($"layout")
       })
   )
 

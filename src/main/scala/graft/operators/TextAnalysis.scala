@@ -919,6 +919,82 @@ object TextAnalysis {
           .select($"doc_id", $"rnk".cast("long").as("rnk"),
             $"tok".as("keyword"), $"score")
           .orderBy($"doc_id", $"rnk")
+      }),
+
+    // Per-source distribution drift — Hellinger distance between each
+    // source's unigram distribution and the whole-corpus distribution:
+    // the mixture-monitoring statistic a curation pipeline tracks to
+    // catch a crawl source drifting (H ∈ [0,1], 0 = identical).
+    // H² = ½ Σ_t (√p_t − √q_t)², split into the tokens PRESENT in the
+    // source (per-token term, decimal-summed) plus the absent mass
+    // Σ_{t∉src} q_t = 1 − Σ_{t∈src} q_t (exact integer sums, one
+    // division). Hellinger is chosen over KL/JS deliberately: sqrt and
+    // division are IEEE-correctly-rounded so the statistic is
+    // bit-reproducible across engines and partitionings, while
+    // ln-based divergences are libm-dependent. Dataflow: one token
+    // count at (source, tok) grain, a groupBy rollup to each side's
+    // totals, a tok-keyed join of per-source counts to corpus counts
+    // (both O(vocab)), decimal term sums — no corpus-squared anything.
+    QueryDef(
+      "ta_hellinger_drift",
+      Some("""
+        WITH t AS (
+          SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        ct AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+        st AS (SELECT source, SUM(c) AS ns FROM ct GROUP BY 1),
+        gt AS (SELECT tok, SUM(c) AS cg FROM ct GROUP BY 1),
+        tot AS (SELECT SUM(cg) AS n FROM gt),
+        terms AS (
+          SELECT ct.source,
+                 CAST((sqrt(ct.c * 1.0 / st.ns) - sqrt(gt.cg * 1.0 / tot.n))
+                      * (sqrt(ct.c * 1.0 / st.ns) - sqrt(gt.cg * 1.0 / tot.n))
+                      AS DECIMAL(28,12)) AS term,
+                 gt.cg AS cg
+          FROM ct
+          JOIN st ON ct.source = st.source
+          JOIN gt ON ct.tok = gt.tok
+          CROSS JOIN tot),
+        agg AS (
+          SELECT source,
+                 CAST(SUM(term) AS DOUBLE) AS termsum,
+                 SUM(cg) AS present_cg
+          FROM terms GROUP BY source)
+        SELECT a.source,
+               CAST(st.ns AS BIGINT) AS n_tokens,
+               sqrt((a.termsum + (1 - a.present_cg * 1.0 / tot.n)) / 2) AS hellinger
+        FROM agg a JOIN st ON a.source = st.source CROSS JOIN tot
+        ORDER BY a.source
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        // ct feeds three subtrees (itself, per-source totals, corpus
+        // totals) — persist so documents is tokenized once, not thrice
+        val ct = documents(s, d)
+          .select($"source", explode(split($"text", " ")).as("tok"))
+          .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+          .persist()
+        val st = ct.groupBy($"source").agg(sum($"c").as("ns"))
+        val gt = ct.groupBy($"tok").agg(sum($"c").as("cg"))
+        val tot = gt.agg(sum($"cg").as("n"))
+        val diff = sqrt($"c".cast("double") / $"ns") -
+          sqrt($"cg".cast("double") / $"n")
+        val agg = ct
+          .join(broadcast(st), "source")
+          .join(gt, "tok")
+          .crossJoin(broadcast(tot))
+          .select($"source",
+            ((diff * diff).cast(DecimalType(28, 12))).as("term"), $"cg")
+          .groupBy($"source")
+          .agg(sum($"term").cast("double").as("termsum"),
+            sum($"cg").as("present_cg"))
+        agg
+          .join(broadcast(st), "source")
+          .crossJoin(broadcast(tot))
+          .select($"source", $"ns".as("n_tokens"),
+            sqrt(($"termsum" + (lit(1) - $"present_cg".cast("double") / $"n")) / 2)
+              .as("hellinger"))
+          .orderBy($"source")
       })
   )
 

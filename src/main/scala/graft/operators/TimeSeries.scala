@@ -602,6 +602,62 @@ object TimeSeries {
           }
           .toDF("event_type", "t", "day", "x", "s", "breached")
           .orderBy($"event_type", $"t")
+      }),
+
+    // Classical trend/seasonal decomposition (the moving-average core
+    // of STL): hourly value sums → trend = centered 25-hour moving
+    // average (full windows only) → detrended = y − trend → seasonal
+    // profile = per hour-of-day mean of the detrended series. Output
+    // is the 24-row seasonal profile — the statistic a forecasting or
+    // anomaly pipeline consumes. Plans like it must at 100×: the
+    // hourly rollup is one hash aggregate (map-side combined); the
+    // centered window runs over the BOUNDED hourly grid (rows =
+    // dataset span in hours, not events), so the single window
+    // partition is a deliberate, documented bound, and both the
+    // window sum and the final per-hour means route through DECIMAL
+    // so no double ever accumulates. Windows are ROW-centered: the
+    // grid may have holes, and both engines see the identical row
+    // sequence, which keeps the oracle exact.
+    QueryDef(
+      "ts_decompose",
+      Some("""
+        WITH hourly AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+                 SUM(CAST(value AS DECIMAL(18,6))) AS ydec
+          FROM events GROUP BY 1),
+        tr AS (
+          SELECT hb, ydec,
+                 SUM(ydec) OVER (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wsum,
+                 COUNT(*) OVER (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wcnt
+          FROM hourly),
+        detr AS (
+          SELECT hb % 24 AS hod,
+                 CAST(ydec AS DOUBLE) - CAST(wsum AS DOUBLE) / 25.0 AS dv
+          FROM tr WHERE wcnt = 25)
+        SELECT CAST(hod AS BIGINT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(CAST(dv AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
+        FROM detr GROUP BY hod
+        ORDER BY hour_of_day
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val hourly = events(s, d)
+          .groupBy(expr("unix_timestamp(ts) div 3600").as("hb"))
+          .agg(sum($"value".cast(DecimalType(18, 6))).as("ydec"))
+        val cw = Window.orderBy($"hb").rowsBetween(-12, 12)
+        hourly
+          .withColumn("wsum", sum($"ydec").over(cw))
+          .withColumn("wcnt", count(lit(1)).over(cw))
+          .filter($"wcnt" === 25)
+          .select(($"hb" % 24).as("hod"),
+            ($"ydec".cast("double") - $"wsum".cast("double") / 25.0).as("dv"))
+          .groupBy($"hod")
+          .agg(count(lit(1)).as("n_hours"),
+            (sum($"dv".cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).as("seasonal"))
+          .select($"hod".cast("long").as("hour_of_day"), $"n_hours", $"seasonal")
+          .orderBy($"hour_of_day")
       })
   )
 }
