@@ -254,7 +254,164 @@ object SimpleRag {
           .select(col("doc_id"),
             phraseCountUdf(col("text"), lit("table"), lit("hash")).as("n_occ"))
           .filter(col("n_occ") > 0)
-          .orderBy(col("doc_id")))
+          .orderBy(col("doc_id"))),
+
+    // Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    // (Cormack et al., SIGIR'09): fuse the keyword-hit, TF-IDF and
+    // BM25 rankers by RRF(d) = Σ_r 1/(60 + rank_r(d)) over each
+    // ranker's top-20. Rank positions, not scores, so incomparable
+    // score scales fuse cleanly — and the arithmetic is three
+    // IEEE-exact divisions summed in a fixed written order, fully
+    // bit-portable (no decimal routing even needed). Each ranker's
+    // candidate list is a TakeOrderedAndProject top-20; the rank
+    // window then runs over 20 rows by construction, so the
+    // "global" row_number is bounded, never corpus-sized. The
+    // fusion itself is three broadcast joins of 20-row tables.
+    QueryDef(
+      "rag_rrf_fusion", {
+        val kws = getKeywords(cleanString(harnessQuery))
+        val terms = kws.distinct
+        val vals = terms.map(t => s"('${t.replace("'", "''")}')").mkString(", ")
+        Some(s"""
+          WITH kw20 AS (
+            SELECT doc_id, score FROM (
+              SELECT doc_id,
+                     CAST(${sqlKeywordScore(sqlClean("text"), kws)} AS BIGINT) AS score
+              FROM documents)
+            ORDER BY score DESC, doc_id LIMIT 20),
+          kwr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM kw20),
+          toks AS (SELECT doc_id, string_split(${sqlClean("text")}, ' ') AS tk FROM documents),
+          tfm AS (
+            SELECT doc_id, term, len(list_filter(tk, x -> x = term)) AS tf
+            FROM toks, (VALUES $vals) t(term)),
+          pos AS (SELECT doc_id, term, tf FROM tfm WHERE tf > 0),
+          dfs AS (SELECT term, COUNT(*) AS df FROM pos GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n FROM documents),
+          ti20 AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(CAST(pos.tf AS DOUBLE) * n.n / dfs.df AS DECIMAL(18,6))) AS DOUBLE) AS score
+            FROM pos JOIN dfs USING (term) CROSS JOIN n
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20),
+          tir AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM ti20),
+          bd AS (
+            SELECT doc_id, tk, CAST(len(list_filter(tk, x -> x <> '')) AS BIGINT) AS dl
+            FROM toks),
+          btf AS (
+            SELECT doc_id, dl, term, CAST(len(list_filter(tk, x -> x = term)) AS BIGINT) AS tf
+            FROM bd, (VALUES $vals) t(term)),
+          bpos AS (SELECT doc_id, dl, term, tf FROM btf WHERE tf > 0),
+          bdfs AS (SELECT term, COUNT(*) AS df FROM bpos GROUP BY 1),
+          bstats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM bd),
+          bm20 AS (
+            SELECT doc_id,
+                   CAST(SUM(CAST(
+                     (bpos.tf * CAST(2.2 AS DOUBLE)
+                       / (bpos.tf + CAST(1.2 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                             + (CAST(0.75 AS DOUBLE) * bpos.dl) / (bstats.tot / bstats.n))))
+                     * (bstats.n / bdfs.df)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS score
+            FROM bpos JOIN bdfs USING (term) CROSS JOIN bstats
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20),
+          bmr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM bm20),
+          cand AS (
+            SELECT doc_id FROM kwr UNION
+            SELECT doc_id FROM tir UNION
+            SELECT doc_id FROM bmr)
+          SELECT c.doc_id,
+                 COALESCE(1.0 / (60 + k.rnk), CAST(0 AS DOUBLE))
+                   + COALESCE(1.0 / (60 + t.rnk), CAST(0 AS DOUBLE))
+                   + COALESCE(1.0 / (60 + b.rnk), CAST(0 AS DOUBLE)) AS rrf,
+                 CAST(k.rnk AS BIGINT) AS kw_rank,
+                 CAST(t.rnk AS BIGINT) AS tfidf_rank,
+                 CAST(b.rnk AS BIGINT) AS bm25_rank
+          FROM cand c
+          LEFT JOIN kwr k ON c.doc_id = k.doc_id
+          LEFT JOIN tir t ON c.doc_id = t.doc_id
+          LEFT JOIN bmr b ON c.doc_id = b.doc_id
+          ORDER BY rrf DESC, c.doc_id LIMIT 10
+        """.trim)
+      },
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d)
+        val kws = getKeywords(cleanString(harnessQuery))
+        val terms = kws.distinct
+        // rank window over an already-top-20 set: 20 rows, bounded
+        def ranked(top20: DataFrame): DataFrame =
+          top20.withColumn("rnk",
+            row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+            .select(col("doc_id"), col("rnk"))
+        val kwr = ranked(docs
+          .select(col("doc_id"),
+            keywordScore(cleanText(col("text")), kws).cast("long").as("score"))
+          .orderBy(desc("score"), asc("doc_id")).limit(20))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val tf = docs
+          .select(col("doc_id"), split(cleanText(col("text")), " ").as("tk"))
+          .select(col("doc_id"), explode(array(terms.map { t =>
+            struct(lit(t).as("term"),
+              size(filter(col("tk"), x => x === lit(t))).cast("long").as("tf"))
+          }: _*)).as("s"))
+          .select(col("doc_id"), col("s.term").as("term"), col("s.tf").as("tf"))
+          .filter(col("tf") > 0)
+        val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val tir = ranked(tf.join(broadcast(dfs), "term")
+          .crossJoin(broadcast(n))
+          .groupBy(col("doc_id"))
+          .agg(graft.det.dsum(
+            col("tf").cast("double") * col("n_docs") / col("df"), scale = 6).as("score"))
+          .orderBy(desc("score"), asc("doc_id")).limit(20))
+        val withDl = docs
+          .select(col("doc_id"), split(cleanText(col("text")), " ").as("tk"))
+          .withColumn("dl",
+            size(filter(col("tk"), x => x =!= lit(""))).cast("long"))
+        val bstats = withDl.agg(
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_toks"))
+        val btf = withDl
+          .select(col("doc_id"), col("dl"), explode(array(terms.map { t =>
+            struct(lit(t).as("term"),
+              size(filter(col("tk"), x => x === lit(t))).cast("long").as("tf"))
+          }: _*)).as("s"))
+          .select(col("doc_id"), col("dl"),
+            col("s.term").as("term"), col("s.tf").as("tf"))
+          .filter(col("tf") > 0)
+        val bdfs = btf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val bmr = ranked(btf.join(broadcast(bdfs), "term")
+          .crossJoin(broadcast(bstats))
+          .groupBy(col("doc_id"))
+          .agg(graft.det.dsum(
+            (col("tf") * lit(2.2)
+              / (col("tf") + lit(1.2)
+                 * (lit(0.25)
+                    + (lit(0.75) * col("dl")) / (col("tot_toks") / col("n_docs")))))
+            * (col("n_docs") / col("df")), scale = 6).as("score"))
+          .orderBy(desc("score"), asc("doc_id")).limit(20))
+        val cand = kwr.select(col("doc_id"))
+          .union(tir.select(col("doc_id")))
+          .union(bmr.select(col("doc_id"))).distinct()
+        cand
+          .join(broadcast(kwr.select(col("doc_id"), col("rnk").as("kw_rank"))), Seq("doc_id"), "left")
+          .join(broadcast(tir.select(col("doc_id"), col("rnk").as("tfidf_rank"))), Seq("doc_id"), "left")
+          .join(broadcast(bmr.select(col("doc_id"), col("rnk").as("bm25_rank"))), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(lit(1.0) / (lit(60) + col("kw_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("tfidf_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0))).as("rrf"),
+            col("kw_rank").cast("long").as("kw_rank"),
+            col("tfidf_rank").cast("long").as("tfidf_rank"),
+            col("bm25_rank").cast("long").as("bm25_rank"))
+          .orderBy(desc("rrf"), asc("doc_id"))
+          .limit(10)
+      })
   )
 
   /** Adjacent-bigram occurrence counter, single-pass (mirrors the
