@@ -71,6 +71,55 @@ object Graph {
     pr.select(col("node"), col("pr"))
   }
 
+  /** Fixed-iteration HITS over the DIRECTED customer→supplier purchase
+    * graph: authority(s) = Σ_{c→s} hub(c), hub(c) = Σ_{c→s}
+    * authority(s), L1-normalized each half-step. Same dataflow
+    * discipline as [[pagerank]] — but HITS joins edges on BOTH
+    * endpoints across a round, so the edge list is persisted TWICE,
+    * hash-partitioned by each join key (eC by c, eS by s); every
+    * half-step is then a co-partitioned shuffled hash join + one
+    * map-side-combined DECIMAL aggregate, the normalizer is a 1-row
+    * broadcast, and scores are checkpointed per half-step. L1 (not L2)
+    * normalization is deliberate: the total is an exact DECIMAL sum
+    * and each score is ONE double division — bit-portable, where an
+    * L2 norm would sum squared doubles. */
+  def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val eC = edges.repartition(col("c")).persist()
+    val eS = edges.repartition(col("s")).persist()
+    var h = eC.select(col("c")).distinct()
+      .select(col("c"), lit(1.0).as("h")).localCheckpoint()
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = eC.join(h.hint("shuffle_hash"), "c")
+        .groupBy(col("s"))
+        .agg(sum(col("h").cast(DecimalType(28, 12))).cast("double").as("a"))
+      val at = ar.agg(sum(col("a").cast(DecimalType(28, 12))).cast("double").as("t"))
+      a = ar.crossJoin(broadcast(at))
+        .select(col("s"), (col("a") / col("t")).as("a")).localCheckpoint()
+      val hr = eS.join(a.hint("shuffle_hash"), "s")
+        .groupBy(col("c"))
+        .agg(sum(col("a").cast(DecimalType(28, 12))).cast("double").as("h"))
+      val ht = hr.agg(sum(col("h").cast(DecimalType(28, 12))).cast("double").as("t"))
+      h = hr.crossJoin(broadcast(ht))
+        .select(col("c"), (col("h") / col("t")).as("h")).localCheckpoint()
+    }
+    (h, a)
+  }
+
+  private def sqlHitsIter(i: Int): String = {
+    val prev = s"h${i - 1}"
+    s"""ar$i AS (
+         SELECT e.s, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS a
+         FROM e JOIN $prev h ON e.c = h.c GROUP BY e.s),
+       at$i AS (SELECT CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) AS t FROM ar$i),
+       a$i AS (SELECT s, a / t.t AS a FROM ar$i CROSS JOIN at$i t),
+       hr$i AS (
+         SELECT e.c, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS h
+         FROM e JOIN a$i a ON e.s = a.s GROUP BY e.c),
+       ht$i AS (SELECT CAST(SUM(CAST(h AS DECIMAL(28,12))) AS DOUBLE) AS t FROM hr$i),
+       h$i AS (SELECT c, h / t.t AS h FROM hr$i CROSS JOIN ht$i t)"""
+  }
+
   private def sqlIter(i: Int): String = {
     val prev = if (i == 1) "p0" else s"p${i - 1}"
     s"""c$i AS (
@@ -224,6 +273,46 @@ object Graph {
           .select(col("node").cast("bigint").as("node"), col("pr"))
       }),
 
+    // HITS hubs & authorities (3 fixed iterations, L1-normalized) over
+    // the DIRECTED customer→supplier purchase graph — the natural
+    // companion to gx_pagerank on a bipartite buy graph: authorities =
+    // suppliers that well-connected customers buy from, hubs =
+    // customers that buy from authoritative suppliers. See [[hits]]
+    // for the shuffle discipline; the oracle unrolls the identical
+    // half-steps (decimal sums, one division per score per step).
+    QueryDef(
+      "gx_hits",
+      Some(s"""
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        h0 AS (SELECT DISTINCT c, CAST(1 AS DOUBLE) AS h FROM e),
+        ${(1 to iters).map(sqlHitsIter).mkString(",\n")}
+        SELECT role, node, score FROM (
+          SELECT 'authority' AS role, CAST(s AS BIGINT) AS node, a AS score
+          FROM a$iters ORDER BY a DESC, s LIMIT 10)
+        UNION ALL
+        SELECT role, node, score FROM (
+          SELECT 'hub' AS role, CAST(c AS BIGINT) AS node, h AS score
+          FROM h$iters ORDER BY h DESC, c LIMIT 10)
+        ORDER BY role, score DESC, node
+      """.trim),
+      (s, d) => {
+        val e = orders(s, d)
+          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+        val (h, a) = hits(e, iters)
+        val aut = a.orderBy(col("a").desc, col("s")).limit(10)
+          .select(lit("authority").as("role"),
+            col("s").cast("bigint").as("node"), col("a").as("score"))
+        val hub = h.orderBy(col("h").desc, col("c")).limit(10)
+          .select(lit("hub").as("role"),
+            col("c").cast("bigint").as("node"), col("h").as("score"))
+        aut.unionByName(hub)
+          .orderBy(col("role"), col("score").desc, col("node"))
+      }),
+
     // General connected components as a first-class graph query — the
     // same alternating large-star/small-star fixpoint that powers
     // dd_dup_clusters ([[Dedup.ccLabels]]), here over a deterministic
@@ -305,6 +394,58 @@ object Graph {
         val seeds = sym.select(col("u").as("node")).distinct()
           .filter(col("node") % 11 === 3)
         bfs(sym, seeds, maxHops = 4).orderBy(col("node"))
+      }),
+
+    // Bounded-radius closeness centrality from the same deterministic
+    // seed set: per seed, BFS distances within 4 hops tracked per
+    // (seed, node) pair ([[bfsPerSeed]]), then closeness =
+    // (reached − 1) / Σdist — the Eppstein-Wang estimator shape, where
+    // the seed sample is the budget knob and the radius bounds the
+    // per-seed state. One integer-valued double division per seed; the
+    // oracle's recursive CTE carries the seed through the same capped
+    // expansion and takes the same per-(seed, node) MIN.
+    QueryDef(
+      "gx_closeness",
+      Some("""
+        WITH RECURSIVE e0 AS (
+          SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b FROM lineitem
+          WHERE l_quantity = 1 AND (l_partkey * 31 + l_suppkey) % 17 = 0),
+        edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        walk(seed, node, dist) AS (
+          SELECT node, node, 0 FROM nodes WHERE node % 11 = 3
+          UNION
+          SELECT w.seed, e.b, w.dist + 1
+          FROM walk w JOIN edges e ON e.a = w.node
+          WHERE w.dist < 4),
+        d AS (
+          SELECT seed, node, MIN(dist) AS dist
+          FROM walk GROUP BY seed, node)
+        SELECT CAST(seed AS BIGINT) AS seed,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+               CAST(SUM(dist) AS BIGINT) AS sum_dist,
+               CASE WHEN SUM(dist) > 0
+                    THEN CAST(COUNT(*) - 1 AS DOUBLE) / SUM(dist) END AS closeness
+        FROM d GROUP BY seed
+        ORDER BY seed
+      """.trim),
+      (s, d) => {
+        val e0 = lineitem(s, d)
+          .filter(col("l_quantity") === 1 &&
+            (col("l_partkey") * 31 + col("l_suppkey")) % 17 === 0)
+          .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+          .distinct()
+        val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).persist()
+        val seeds = sym.select(col("u").as("node")).distinct()
+          .filter(col("node") % 11 === 3)
+        bfsPerSeed(sym, seeds, maxHops = 4)
+          .groupBy(col("seed"))
+          .agg((count(lit(1)) - 1).as("n_reached"),
+            sum(col("dist")).as("sum_dist"))
+          .select(col("seed"), col("n_reached"), col("sum_dist"),
+            when(col("sum_dist") > 0,
+              col("n_reached").cast("double") / col("sum_dist")).as("closeness"))
+          .orderBy(col("seed"))
       }),
 
     // k-core peeling (k=2, 4 fixed rounds — fixed like gx_pagerank's
@@ -796,6 +937,29 @@ object Graph {
         .select(col("v").as("node"), (col("dist") + 1).as("dist"))
       dist = dist.union(step)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Per-seed BFS: like [[bfs]] but distances are tracked per (seed,
+    * node) pair, so each seed's full distance vector survives the
+    * min-merge. Same dataflow discipline — frontier ⋈ edges → union →
+    * keyed min, hash-shuffled, no driver-side frontier — with state
+    * |seeds| × |radius-ball| rows, which is why closeness is always
+    * computed from a bounded seed SAMPLE at scale (Eppstein-Wang): the
+    * seed set is the budget knob, the per-seed cost is the same
+    * min-merge as single-source. */
+  def bfsPerSeed(sym: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var dist = seeds
+      .select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val step = sym
+        .join(dist.select(col("seed"), col("node").as("u"), col("dist")), "u")
+        .select(col("seed"), col("v").as("node"), (col("dist") + 1).as("dist"))
+      dist = dist.union(step)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
     }
     dist
