@@ -720,6 +720,44 @@ object Relational2 {
           .orderBy(col("ship_month"))
       }),
 
+    // Semi-structured VARIANT column (Spark 4's native semi-structured
+    // type): the JSON props column is parsed ONCE into a VariantType
+    // value and fields are extracted with typed `variant_get` paths —
+    // the shredded binary representation a lakehouse stores instead of
+    // re-parsing JSON strings per access (q14 shows the string-path
+    // formulation this supersedes). A missing path through
+    // `try_variant_get` is NULL, counted as the absent-field audit.
+    // DuckDB's JSON extraction is the oracle; all extracted values are
+    // integers so the comparison is arithmetic-free.
+    QueryDef(
+      "q39_variant_props",
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+               CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_distinct,
+               CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max,
+               CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.absent') IS NULL) AS BIGINT) AS n_missing_absent
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        events(s, d)
+          .select($"event_type", parse_json($"props").as("v"))
+          .select($"event_type",
+            variant_get($"v", "$.k", "bigint").as("k"),
+            try_variant_get($"v", "$.absent", "string").as("absent"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"k").as("k_sum"),
+            countDistinct($"k").as("k_distinct"),
+            max($"k").as("k_max"),
+            count(when($"absent".isNull, 1)).as("n_missing_absent"))
+          .orderBy($"event_type")
+      }),
+
     // Cross-table data-quality audit (Deequ-style constraint suite) —
     // the gate a curation pipeline runs before training data ships:
     // referential integrity (orphan FKs as left-anti joins — at scale
