@@ -620,8 +620,82 @@ object TimeSeries {
     // sequence, which keeps the oracle exact.
     QueryDef(
       "ts_decompose",
-      Some("""
-        WITH hourly AS (
+      Some(s"""
+        WITH $sqlStlCtes
+        SELECT CAST(hod AS BIGINT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(CAST(dv AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
+        FROM detr GROUP BY hod
+        ORDER BY hour_of_day
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        detrendedHourly(s, d)
+          .groupBy($"hod")
+          .agg(count(lit(1)).as("n_hours"),
+            (sum($"dv".cast(DecimalType(28, 12))).cast("double") /
+              count(lit(1))).as("seasonal"))
+          .select($"hod".cast("long").as("hour_of_day"), $"n_hours", $"seasonal")
+          .orderBy($"hour_of_day")
+      }),
+
+    // STL-residual anomaly detection — the composition the decompose
+    // exists for: residual = detrended − seasonal(hour-of-day), flag
+    // hours where |residual − mean| > 3σ. Mean and σ come from the
+    // DECIMAL-exact moment sums (Σr, Σr² per-term decimal-cast), so
+    // the threshold is the identical double in both engines; the flag
+    // comparison and the output rows follow deterministically. One
+    // extra join (24-row seasonal profile, broadcast) and one 1-row
+    // stats broadcast on top of the shared detrending dataflow.
+    QueryDef(
+      "ts_stl_anomaly",
+      Some(s"""
+        WITH $sqlStlCtes,
+        seas AS (
+          SELECT hod,
+                 CAST(SUM(CAST(dv AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
+          FROM detr GROUP BY hod),
+        resid AS (
+          SELECT d.hb, d.ydv, d.dv - s.seasonal AS r
+          FROM detr d JOIN seas s ON d.hod = s.hod),
+        stats AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(r * r AS DECIMAL(28,12))) AS DOUBLE) AS s2
+          FROM resid)
+        SELECT CAST(r.hb AS BIGINT) AS hour_bucket,
+               r.ydv AS hourly_value,
+               r.r AS residual
+        FROM resid r CROSS JOIN stats t
+        WHERE abs(r.r - t.s1 / t.n) > 3 * sqrt(t.s2 / t.n - (t.s1 / t.n) * (t.s1 / t.n))
+        ORDER BY hour_bucket
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val detr = detrendedHourly(s, d)
+        val seas = detr.groupBy($"hod")
+          .agg((sum($"dv".cast(DecimalType(28, 12))).cast("double") /
+            count(lit(1))).as("seasonal"))
+        val resid = detr.join(broadcast(seas), "hod")
+          .select($"hb", $"ydv", ($"dv" - $"seasonal").as("r"))
+        val stats = resid.agg(
+          count(lit(1)).as("n"),
+          sum($"r".cast(DecimalType(28, 12))).cast("double").as("s1"),
+          sum(($"r" * $"r").cast(DecimalType(28, 12))).cast("double").as("s2"))
+        resid.crossJoin(broadcast(stats))
+          .filter(abs($"r" - $"s1" / $"n") >
+            lit(3) * sqrt($"s2" / $"n" - ($"s1" / $"n") * ($"s1" / $"n")))
+          .select($"hb".cast("long").as("hour_bucket"),
+            $"ydv".as("hourly_value"), $"r".as("residual"))
+          .orderBy($"hour_bucket")
+      })
+  )
+
+  /** The shared DuckDB CTE chain for the STL-style queries: hourly
+    * DECIMAL value sums → centered 25-hour moving-average trend (full
+    * windows only) → `detr(hb, hod, ydv, dv)` with the detrended
+    * series. Mirrored exactly by [[detrendedHourly]]. */
+  private def sqlStlCtes: String = """hourly AS (
           SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
                  SUM(CAST(value AS DECIMAL(18,6))) AS ydec
           FROM events GROUP BY 1),
@@ -631,33 +705,28 @@ object TimeSeries {
                  COUNT(*) OVER (ORDER BY hb ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wcnt
           FROM hourly),
         detr AS (
-          SELECT hb % 24 AS hod,
+          SELECT hb, hb % 24 AS hod,
+                 CAST(ydec AS DOUBLE) AS ydv,
                  CAST(ydec AS DOUBLE) - CAST(wsum AS DOUBLE) / 25.0 AS dv
-          FROM tr WHERE wcnt = 25)
-        SELECT CAST(hod AS BIGINT) AS hour_of_day,
-               CAST(COUNT(*) AS BIGINT) AS n_hours,
-               CAST(SUM(CAST(dv AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
-        FROM detr GROUP BY hod
-        ORDER BY hour_of_day
-      """.trim),
-      (s, d) => {
-        import s.implicits._
-        val hourly = events(s, d)
-          .groupBy(expr("unix_timestamp(ts) div 3600").as("hb"))
-          .agg(sum($"value".cast(DecimalType(18, 6))).as("ydec"))
-        val cw = Window.orderBy($"hb").rowsBetween(-12, 12)
-        hourly
-          .withColumn("wsum", sum($"ydec").over(cw))
-          .withColumn("wcnt", count(lit(1)).over(cw))
-          .filter($"wcnt" === 25)
-          .select(($"hb" % 24).as("hod"),
-            ($"ydec".cast("double") - $"wsum".cast("double") / 25.0).as("dv"))
-          .groupBy($"hod")
-          .agg(count(lit(1)).as("n_hours"),
-            (sum($"dv".cast(DecimalType(28, 12))).cast("double") /
-              count(lit(1))).as("seasonal"))
-          .select($"hod".cast("long").as("hour_of_day"), $"n_hours", $"seasonal")
-          .orderBy($"hour_of_day")
-      })
-  )
+          FROM tr WHERE wcnt = 25)"""
+
+  /** Spark twin of [[sqlStlCtes]] — (hb, hod, ydv, dv). The centered
+    * window runs over the BOUNDED hourly grid (rows = dataset span in
+    * hours, not events), so the single window partition is a
+    * deliberate, documented bound; windows are ROW-centered (the grid
+    * may have holes, both engines see the identical row sequence). */
+  private def detrendedHourly(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val hourly = events(s, d)
+      .groupBy(expr("unix_timestamp(ts) div 3600").as("hb"))
+      .agg(sum($"value".cast(DecimalType(18, 6))).as("ydec"))
+    val cw = Window.orderBy($"hb").rowsBetween(-12, 12)
+    hourly
+      .withColumn("wsum", sum($"ydec").over(cw))
+      .withColumn("wcnt", count(lit(1)).over(cw))
+      .filter($"wcnt" === 25)
+      .select($"hb", ($"hb" % 24).as("hod"),
+        $"ydec".cast("double").as("ydv"),
+        ($"ydec".cast("double") - $"wsum".cast("double") / 25.0).as("dv"))
+  }
 }
