@@ -656,7 +656,8 @@ object TimeSeries {
                  CAST(SUM(CAST(dv AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS seasonal
           FROM detr GROUP BY hod),
         resid AS (
-          SELECT d.hb, d.ydv, d.dv - s.seasonal AS r
+          SELECT d.hb, d.ydv,
+                 floor((d.dv - s.seasonal) * 1000000 + 0.5) / 1000000 AS r
           FROM detr d JOIN seas s ON d.hod = s.hod),
         stats AS (
           SELECT COUNT(*) AS n,
@@ -676,8 +677,11 @@ object TimeSeries {
         val seas = detr.groupBy($"hod")
           .agg((sum($"dv".cast(DecimalType(28, 12))).cast("double") /
             count(lit(1))).as("seasonal"))
+        // r snapped to the 1e-6 grid like dv (see detrendedHourly): it
+        // and its square then cast to DECIMAL identically in both engines
         val resid = detr.join(broadcast(seas), "hod")
-          .select($"hb", $"ydv", ($"dv" - $"seasonal").as("r"))
+          .select($"hb", $"ydv",
+            (floor(($"dv" - $"seasonal") * 1e6 + 0.5) / 1e6).as("r"))
         val stats = resid.agg(
           count(lit(1)).as("n"),
           sum($"r".cast(DecimalType(28, 12))).cast("double").as("s1"),
@@ -707,14 +711,25 @@ object TimeSeries {
         detr AS (
           SELECT hb, hb % 24 AS hod,
                  CAST(ydec AS DOUBLE) AS ydv,
-                 CAST(ydec AS DOUBLE) - CAST(wsum AS DOUBLE) / 25.0 AS dv
+                 floor((CAST(ydec AS DOUBLE) - CAST(wsum AS DOUBLE) / 25.0)
+                       * 1000000 + 0.5) / 1000000 AS dv
           FROM tr WHERE wcnt = 25)"""
 
   /** Spark twin of [[sqlStlCtes]] — (hb, hod, ydv, dv). The centered
     * window runs over the BOUNDED hourly grid (rows = dataset span in
     * hours, not events), so the single window partition is a
     * deliberate, documented bound; windows are ROW-centered (the grid
-    * may have holes, both engines see the identical row sequence). */
+    * may have holes, both engines see the identical row sequence).
+    *
+    * dv is SNAPPED to the 1e-6 grid in pure IEEE ops
+    * (`floor(x·1e6 + 0.5)/1e6`) before anything casts it to DECIMAL:
+    * an arbitrary computed double can land within an ulp of a
+    * scale-12 decimal midpoint, where the two engines' double→DECIMAL
+    * roundings disagree (the round-4 lesson — it fired here at sf0.1
+    * with an 8.5e-14 seasonal drift). A grid point is 5e-13 from the
+    * nearest midpoint, far beyond double representation error, so the
+    * snapped value casts identically everywhere — and products of
+    * grid values land on the 1e-12 grid, exactly the cast scale. */
   private def detrendedHourly(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     val hourly = events(s, d)
@@ -727,6 +742,7 @@ object TimeSeries {
       .filter($"wcnt" === 25)
       .select($"hb", ($"hb" % 24).as("hod"),
         $"ydec".cast("double").as("ydv"),
-        ($"ydec".cast("double") - $"wsum".cast("double") / 25.0).as("dv"))
+        (floor(($"ydec".cast("double") - $"wsum".cast("double") / 25.0)
+          * 1e6 + 0.5) / 1e6).as("dv"))
   }
 }
