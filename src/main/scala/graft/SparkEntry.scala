@@ -29,7 +29,11 @@ object SparkEntry {
       operators.Analytics.defs ++
       operators.Skew.defs ++
       operators.Graph.defs ++
-      operators.Sketches.defs
+      operators.Sketches.defs ++
+      operators.CorpusStats.defs ++
+      operators.Trend.defs ++
+      operators.Curriculum.defs ++
+      operators.Relational3.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -858,6 +858,84 @@ object Graph {
       (s, d) => {
         val sym = cooccurSym(s, d)
         modularity(sym, labelPropagation(sym, rounds = 3))
+      }),
+
+    // Local clustering coefficient — per-node triangle density
+    // 2T(n)/(deg(n)·(deg(n)−1)), the standard "is this node's
+    // neighborhood a community or a hub-spoke" diagnostic. Triangle
+    // enumeration reuses the degree-ordered orientation (out-degree
+    // O(√m), wedge join Σ outdeg² ≤ m√m — the gx_triangles skew
+    // defense), then each closed triangle credits its three corners:
+    // one unioned explode + a hash count, nothing driver-side. The
+    // coefficient is exact-integer T and deg with ONE double division,
+    // so the score is bit-portable; top-20 under a (cc, T, node) total
+    // order. The oracle enumerates canonical u<v<w triples — the same
+    // set, without the orientation (scale is the oracle's privilege).
+    QueryDef(
+      "gx_clustering_coeff",
+      Some("""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        deg AS (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v FROM e) t
+          GROUP BY n),
+        tri AS (
+          SELECT x.u AS a, x.v AS b, y.v AS c
+          FROM e x
+          JOIN e y ON y.u = x.v
+          JOIN e z ON z.u = x.u AND z.v = y.v),
+        pn AS (
+          SELECT n, COUNT(*) AS t FROM (
+            SELECT a AS n FROM tri UNION ALL
+            SELECT b FROM tri UNION ALL
+            SELECT c FROM tri) q
+          GROUP BY n)
+        SELECT CAST(d.n AS BIGINT) AS node,
+               CAST(d.deg AS BIGINT) AS degree,
+               CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles,
+               CAST(2 * COALESCE(p.t, 0) AS DOUBLE) / (d.deg * (d.deg - 1)) AS local_cc
+        FROM deg d LEFT JOIN pn p ON p.n = d.n
+        WHERE d.deg >= 2
+        ORDER BY local_cc DESC, triangles DESC, node
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        val e = canonicalEdges(lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"),
+            (col("l_partkey") % 29989).as("b")))
+        val deg = degrees(e)
+        val oriented = e
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+          .select(
+            when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+              struct(col("u").as("src"), col("v").as("dst")))
+              .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
+          .select(col("o.src").as("src"), col("o.dst").as("dst"))
+          .persist()
+        val wedges = oriented.select(col("src"), col("dst").as("x"))
+          .join(oriented.select(col("src"), col("dst").as("y")), "src")
+          .filter(col("x") < col("y"))
+        val closed = wedges.join(
+          e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+          .persist()
+        val perNode = closed.select(col("src").as("n"))
+          .union(closed.select(col("x").as("n")))
+          .union(closed.select(col("y").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("t"))
+        deg.filter(col("deg") >= 2)
+          .join(perNode, Seq("n"), "left")
+          .select(col("n").cast("long").as("node"),
+            col("deg").cast("long").as("degree"),
+            coalesce(col("t"), lit(0L)).cast("long").as("triangles"),
+            ((lit(2) * coalesce(col("t"), lit(0L))).cast("double")
+              / (col("deg") * (col("deg") - 1))).as("local_cc"))
+          .orderBy(col("local_cc").desc, col("triangles").desc, col("node"))
+          .limit(20)
       }))
 
   /** Modularity Q of a node→label partition over a SYMMETRIC edge
