@@ -33,7 +33,10 @@ object SparkEntry {
       operators.CorpusStats.defs ++
       operators.Trend.defs ++
       operators.Curriculum.defs ++
-      operators.Relational3.defs
+      operators.Relational3.defs ++
+      operators.KnnGraph.defs ++
+      operators.Cdc.defs ++
+      operators.Changepoint.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
