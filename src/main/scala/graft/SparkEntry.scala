@@ -36,7 +36,9 @@ object SparkEntry {
       operators.Relational3.defs ++
       operators.KnnGraph.defs ++
       operators.Cdc.defs ++
-      operators.Changepoint.defs
+      operators.Changepoint.defs ++
+      operators.PrioritySample.defs ++
+      operators.Truss.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

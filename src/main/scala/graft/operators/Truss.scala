@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-round 3-truss peel over the hashed co-occurrence graph: each
+  * round computes per-edge triangle support and drops every edge in no
+  * triangle (support < k−2 = 1), the standard cohesive-subgraph
+  * refinement one notch stronger than k-core (Cohen 2008). Run to
+  * fixpoint the survivors are exactly the 3-truss; two unrolled rounds
+  * are reported here (support recounting after the first peel is what
+  * distinguishes a truss from a one-shot triangle filter).
+  *
+  * Scale shape per round: triangle enumeration reuses the
+  * degree-ordered orientation (wedge join Σ outdeg² ≤ m√m), support
+  * spreads by an inline 3-way edge explode + hash count, and the peel
+  * is one semi-join — all hash-partitioned, nothing driver-side. The
+  * oracle unrolls the identical two rounds over canonical u<v<w
+  * triples.
+  */
+object Truss {
+
+  /** One peel round: (surviving edges, edges-in, triangles). */
+  private def peel(e: DataFrame): (DataFrame, DataFrame) = {
+    val deg = Graph.degrees(e)
+    val oriented = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      .persist()
+    val tri = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), "src")
+      .filter(col("x") < col("y"))
+      .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+      .persist()
+    // each triangle (src < x < y after orientation-independent
+    // canonicalization below) supports its three edges; supports
+    // spread via ONE explode pass, canonicalized to (u < v)
+    val sup = tri.select(explode(array(
+        struct(least(col("src"), col("x")).as("u"), greatest(col("src"), col("x")).as("v")),
+        struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v")),
+        struct(least(col("src"), col("y")).as("u"), greatest(col("src"), col("y")).as("v"))))
+        .as("ed"))
+      .select(col("ed.u").as("u"), col("ed.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+    val kept = e.join(sup.filter(col("s") >= 1).select(col("u"), col("v")),
+      Seq("u", "v"), "left_semi")
+    // eager checkpoint between rounds: round 2 references the survivor
+    // set ~6 times (degrees ×2, orientation ×2, two semi-joins) and a
+    // lazily-cached plan re-embeds all of round 1 in each — the same
+    // lineage-truncation rule as the pagerank/BFS loops
+    (kept.localCheckpoint(), tri)
+  }
+
+  private def roundStats(round: Int, eIn: DataFrame, eOut: DataFrame,
+                         tri: DataFrame): DataFrame =
+    eIn.agg(count(lit(1)).as("edges_in"))
+      .crossJoin(eOut.agg(count(lit(1)).as("edges_kept")))
+      .crossJoin(tri.agg(count(lit(1)).as("triangles")))
+      .select(lit(round.toLong).as("round"), col("edges_in"),
+        col("edges_kept"), col("triangles"))
+
+  private val sqlRound = (i: Int) => s"""
+    tri$i AS (
+      SELECT x.u AS a, x.v AS b, y.v AS c
+      FROM e$i x JOIN e$i y ON y.u = x.v
+      JOIN e$i z ON z.u = x.u AND z.v = y.v),
+    sup$i AS (
+      SELECT u, v, COUNT(*) AS s FROM (
+        SELECT a AS u, b AS v FROM tri$i UNION ALL
+        SELECT b, c FROM tri$i UNION ALL
+        SELECT a, c FROM tri$i) q
+      GROUP BY u, v),
+    e${i + 1} AS (
+      SELECT e.u, e.v FROM e$i e
+      WHERE EXISTS (SELECT 1 FROM sup$i s
+                    WHERE s.u = e.u AND s.v = e.v AND s.s >= 1))"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "gx_ktruss",
+      Some(s"""
+        WITH raw AS (
+          SELECT l_orderkey % 29989 AS a, l_partkey % 29989 AS b FROM lineitem),
+        e0 AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        ${sqlRound(0)},
+        ${sqlRound(1)}
+        SELECT CAST(1 AS BIGINT) AS round,
+               CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS edges_in,
+               CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS edges_kept,
+               CAST((SELECT COUNT(*) FROM tri0) AS BIGINT) AS triangles
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e1) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM e2) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM tri1) AS BIGINT)
+        ORDER BY round
+      """.trim),
+      (s, d) => {
+        val e0 = Graph.canonicalEdges(lineitem(s, d)
+          .select((col("l_orderkey") % 29989).as("a"),
+            (col("l_partkey") % 29989).as("b")))
+        val (e1, tri0) = peel(e0)
+        val (e2, tri1) = peel(e1)
+        roundStats(1, e0, e1, tri0)
+          .unionByName(roundStats(2, e1, e2, tri1))
+          .select(col("round"), col("edges_in").cast("long").as("edges_in"),
+            col("edges_kept").cast("long").as("edges_kept"),
+            col("triangles").cast("long").as("triangles"))
+          .orderBy(col("round"))
+      }))
+}
