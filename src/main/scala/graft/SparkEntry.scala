@@ -38,7 +38,8 @@ object SparkEntry {
       operators.Cdc.defs ++
       operators.Changepoint.defs ++
       operators.PrioritySample.defs ++
-      operators.Truss.defs
+      operators.Truss.defs ++
+      operators.TrendTests.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

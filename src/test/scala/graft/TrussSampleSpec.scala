@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{PrioritySample, Truss}
+import org.apache.spark.sql.functions.abs
 
 /** Structural invariants of priority sampling and the truss peel. */
 class TrussSampleSpec extends SparkSpec {
@@ -26,5 +27,21 @@ class TrussSampleSpec extends SparkSpec {
     assert(r2.getAs[Long]("edges_kept") <= r2.getAs[Long]("edges_in"))
     // every kept edge was in >= 1 triangle, so 3*triangles >= kept edges
     assert(3 * r1.getAs[Long]("triangles") >= r1.getAs[Long]("edges_kept"))
+  }
+
+  test("mann-kendall: |S| <= n_pairs and tau = S/n_pairs") {
+    import spark.implicits._
+    val mk = q(graft.operators.TrendTests.defs, "ts_mann_kendall").cache()
+    assert(mk.count() > 0)
+    assert(mk.filter(abs($"mk_s") > $"n_pairs").count() == 0)
+    assert(mk.filter(abs($"mk_tau") > 1.0).count() == 0)
+  }
+
+  test("entropy rate: bits nonnegative, bounded by log2 of fan-out") {
+    import spark.implicits._
+    val er = q(graft.operators.TrendTests.defs, "ev_entropy_rate").cache()
+    assert(er.count() > 0)
+    assert(er.filter($"mean_bits" < 0).count() == 0)
+    assert(er.filter($"total_bits" < 0).count() == 0)
   }
 }
