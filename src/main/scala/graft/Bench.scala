@@ -67,6 +67,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // Per-query cache isolation: without it, persisted frames from
+      // every earlier query stay resident for the whole suite — at 200+
+      // queries that's an across-the-board +35-45% GC drag on LATER
+      // queries (measured round 5), and it makes the plan fingerprint
+      // cache-composition-sensitive (a new query that persists a shared
+      // frame flips sibling queries' fps without any code change). The
+      // clear runs BEFORE the warm run, so within a query the warm
+      // methodology is unchanged: warm run fills this query's caches,
+      // measured runs reuse them.
+      spark.catalog.clearCache()
       // the fingerprint's DataFrame doubles as the unmeasured warm run
       val df0 = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
       val fp = df0.map(fingerprint).getOrElse("err")

@@ -39,7 +39,10 @@ object SparkEntry {
       operators.Changepoint.defs ++
       operators.PrioritySample.defs ++
       operators.Truss.defs ++
-      operators.TrendTests.defs
+      operators.TrendTests.defs ++
+      operators.GrowthLag.defs ++
+      operators.Spectral.defs ++
+      operators.Robust.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
