@@ -42,7 +42,8 @@ object SparkEntry {
       operators.TrendTests.defs ++
       operators.GrowthLag.defs ++
       operators.Spectral.defs ++
-      operators.Robust.defs
+      operators.Robust.defs ++
+      operators.EvBands.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -22,6 +22,27 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Content-defined chunks of a (doc_id, text) frame: one row per
+    * chunk with its content hash and token length. Boundaries open at
+    * position 1 and wherever the token's portable hash ≡ 0 (mod 16) —
+    * content-addressed, so an insertion shifts only the chunks it
+    * touches. Exposed for the shift-tolerance property spec. */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("tok"))
+    val b = pos.withColumn("boundary",
+      when(col("i") === 1 || PortableHash.h32(col("tok")) % 16 === 0, 1).otherwise(0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("chunk_no", sum(col("boundary")).over(w))
+      .groupBy(col("doc_id"), col("chunk_no"))
+      .agg(sort_array(collect_list(struct(col("i"), col("tok")))).as("st"),
+        count(lit(1)).as("chunk_len"))
+      .select(col("doc_id"), col("chunk_no"), col("chunk_len"),
+        md5(array_join(transform(col("st"), x => x.getField("tok")), " ")).as("h"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dd_cdc_chunks",
@@ -59,20 +80,7 @@ object Cdc {
       """.trim),
       (s, d) => {
         import s.implicits._
-        val pos = documents(s, d)
-          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
-          .select($"doc_id", ($"p" + 1).as("i"), $"tok")
-        val b = pos.withColumn("boundary",
-          when($"i" === 1 || PortableHash.h32($"tok") % 16 === 0, 1).otherwise(0))
-        val w = Window.partitionBy($"doc_id").orderBy($"i")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val ch = b.withColumn("chunk_no", sum($"boundary").over(w))
-        val chunks = ch.groupBy($"doc_id", $"chunk_no")
-          .agg(sort_array(collect_list(struct($"i", $"tok"))).as("st"),
-            count(lit(1)).as("chunk_len"))
-          .select($"doc_id", $"chunk_no", $"chunk_len",
-            md5(array_join(transform($"st", x => x.getField("tok")), " ")).as("h"))
-        chunks.groupBy($"h")
+        cdcChunks(documents(s, d)).groupBy($"h")
           .agg(count(lit(1)).as("n_copies"),
             countDistinct($"doc_id").as("n_docs"),
             min($"doc_id").as("first_doc"),

@@ -33,4 +33,18 @@ class SpectralRobustSpec extends SparkSpec {
     assert(c.filter($"mean_sym_ratio" < 0 || $"mean_sym_ratio" > 1).count() == 0)
     assert(c.filter($"mean_dig_ratio" < 0 || $"mean_dig_ratio" > 1).count() == 0)
   }
+
+  test("session funnel: stage counts non-increasing") {
+    val rows = q(graft.operators.EvBands.defs, "ev_session_funnel").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sessions")).toMap
+    assert(rows("1_view") >= rows("2_click"))
+    assert(rows("2_click") >= rows("3_purchase"))
+  }
+
+  test("value bands: p50 <= p90 <= max per day") {
+    import spark.implicits._
+    val b = q(graft.operators.EvBands.defs, "ev_value_bands").cache()
+    assert(b.count() > 0)
+    assert(b.filter($"p50" > $"p90" || $"p90" > $"max_value").count() == 0)
+  }
 }
