@@ -84,40 +84,58 @@ object Graph {
     * and each score is ONE double division — bit-portable, where an
     * L2 norm would sum squared doubles. */
   def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    // eS derives from the CACHED eC, not from `edges`: the raw edge
+    // list is a fact-fact join + distinct, and two independent
+    // partitioned copies would each recompute it from scratch (the
+    // dominant cost of the whole query at sf0.1)
     val eC = edges.repartition(col("c")).persist()
-    val eS = edges.repartition(col("s")).persist()
+    val eS = eC.repartition(col("s")).persist()
+    // EXACT INTEGER recurrence, ONE normalization at the end: in exact
+    // arithmetic per-step L1 normalization only rescales by a scalar,
+    // so normalizing once after the last step yields the identical
+    // final scores — and the unnormalized chain is all integer-valued
+    // DECIMAL(38,0) sums (h0 = 1), bit-exact in both engines with NO
+    // float until the final division. Dropping the per-half-step
+    // normalizers also removes their double-reference on every
+    // aggregate (each intermediate is now consumed exactly once), so
+    // the loop lineage is LINEAR and needs no checkpoints: the whole
+    // 2·iters-join chain plans as one job (5.8s → measured ~2s at
+    // sf0.1). Only the two final frames (each read twice: total +
+    // output) are checkpointed.
     var h = eC.select(col("c")).distinct()
-      .select(col("c"), lit(1.0).as("h")).localCheckpoint()
+      .select(col("c"), lit(1L).cast(DecimalType(38, 0)).as("h"))
     var a: DataFrame = null
-    for (_ <- 1 to iters) {
-      val ar = eC.join(h.hint("shuffle_hash"), "c")
-        .groupBy(col("s"))
-        .agg(sum(col("h").cast(DecimalType(28, 12))).cast("double").as("a"))
-      val at = ar.agg(sum(col("a").cast(DecimalType(28, 12))).cast("double").as("t"))
-      a = ar.crossJoin(broadcast(at))
-        .select(col("s"), (col("a") / col("t")).as("a")).localCheckpoint()
-      val hr = eS.join(a.hint("shuffle_hash"), "s")
-        .groupBy(col("c"))
-        .agg(sum(col("a").cast(DecimalType(28, 12))).cast("double").as("h"))
-      val ht = hr.agg(sum(col("h").cast(DecimalType(28, 12))).cast("double").as("t"))
-      h = hr.crossJoin(broadcast(ht))
-        .select(col("c"), (col("h") / col("t")).as("h")).localCheckpoint()
+    for (i <- 1 to iters) {
+      a = eC.join(h.hint("shuffle_hash"), "c")
+        .groupBy(col("s")).agg(sum(col("h")).as("a"))
+      if (i < iters)
+        h = eS.join(a.hint("shuffle_hash"), "s")
+          .groupBy(col("c")).agg(sum(col("a")).as("h"))
     }
-    (h, a)
+    // checkpoint the LAST authority table first and derive the final
+    // hub half-step FROM the checkpoint: two independent checkpoints
+    // of a and h would each re-execute the whole join chain (h's plan
+    // references the un-checkpointed a) — measured 2× the loop cost
+    val af = a.localCheckpoint()
+    val hf = eS.join(af.hint("shuffle_hash"), "s")
+      .groupBy(col("c")).agg(sum(col("a")).as("h"))
+      .localCheckpoint()
+    val at = af.agg(sum(col("a")).as("t"))
+    val ht = hf.agg(sum(col("h")).as("t"))
+    (hf.crossJoin(broadcast(ht))
+      .select(col("c"), (col("h").cast("double") / col("t").cast("double")).as("h")),
+      af.crossJoin(broadcast(at))
+        .select(col("s"), (col("a").cast("double") / col("t").cast("double")).as("a")))
   }
 
   private def sqlHitsIter(i: Int): String = {
     val prev = s"h${i - 1}"
-    s"""ar$i AS (
-         SELECT e.s, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS a
+    s"""a$i AS (
+         SELECT e.s, SUM(h.h) AS a
          FROM e JOIN $prev h ON e.c = h.c GROUP BY e.s),
-       at$i AS (SELECT CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) AS t FROM ar$i),
-       a$i AS (SELECT s, a / t.t AS a FROM ar$i CROSS JOIN at$i t),
-       hr$i AS (
-         SELECT e.c, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS h
-         FROM e JOIN a$i a ON e.s = a.s GROUP BY e.c),
-       ht$i AS (SELECT CAST(SUM(CAST(h AS DECIMAL(28,12))) AS DOUBLE) AS t FROM hr$i),
-       h$i AS (SELECT c, h / t.t AS h FROM hr$i CROSS JOIN ht$i t)"""
+       h$i AS (
+         SELECT e.c, SUM(a.a) AS h
+         FROM e JOIN a$i a ON e.s = a.s GROUP BY e.c)"""
   }
 
   private def sqlIter(i: Int): String = {
@@ -286,15 +304,21 @@ object Graph {
         WITH e AS (
           SELECT DISTINCT o_custkey AS c, l_suppkey AS s
           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        h0 AS (SELECT DISTINCT c, CAST(1 AS DOUBLE) AS h FROM e),
-        ${(1 to iters).map(sqlHitsIter).mkString(",\n")}
+        h0 AS (SELECT DISTINCT c, CAST(1 AS BIGINT) AS h FROM e),
+        ${(1 to iters).map(sqlHitsIter).mkString(",\n")},
+        at AS (SELECT SUM(a) AS t FROM a$iters),
+        ht AS (SELECT SUM(h) AS t FROM h$iters),
+        an AS (SELECT s, CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS a
+               FROM a$iters CROSS JOIN at),
+        hn AS (SELECT c, CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS h
+               FROM h$iters CROSS JOIN ht)
         SELECT role, node, score FROM (
           SELECT 'authority' AS role, CAST(s AS BIGINT) AS node, a AS score
-          FROM a$iters ORDER BY a DESC, s LIMIT 10)
+          FROM an ORDER BY a DESC, s LIMIT 10)
         UNION ALL
         SELECT role, node, score FROM (
           SELECT 'hub' AS role, CAST(c AS BIGINT) AS node, h AS score
-          FROM h$iters ORDER BY h DESC, c LIMIT 10)
+          FROM hn ORDER BY h DESC, c LIMIT 10)
         ORDER BY role, score DESC, node
       """.trim),
       (s, d) => {
