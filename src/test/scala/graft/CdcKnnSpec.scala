@@ -65,4 +65,15 @@ class CdcKnnSpec extends SparkSpec {
     assert(r.getAs[Long]("n_users") > 0)
     assert(g >= -1e-9 && g <= 1.0)
   }
+
+  test("ivf knn graph: recall row internally consistent") {
+    val r = q(KnnGraph.defs, "sim_knn_graph_recall").collect().head
+    val (ne, ni, ns) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_ivf"),
+      r.getAs[Long]("n_shared"))
+    assert(ns <= ne && ns <= ni)
+    val rec = r.getAs[Double]("edge_recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    // the multi-probe candidate set must recover a usable majority
+    assert(rec > 0.5, s"IVF knn-graph recall collapsed: $rec")
+  }
 }
