@@ -43,7 +43,8 @@ object SparkEntry {
       operators.GrowthLag.defs ++
       operators.Spectral.defs ++
       operators.Robust.defs ++
-      operators.EvBands.defs
+      operators.EvBands.defs ++
+      operators.Mixture2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
