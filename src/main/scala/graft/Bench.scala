@@ -144,7 +144,8 @@ object Bench {
     val watch = Seq(
       "pl_corpus_curation", "dd_exact_documents", "q32_recursive_cte",
       "sim_cosine_topk", "ts_linear_interp", "gx_common_neighbors",
-      "gx_resource_alloc", "dd_lsh_tuning")
+      "gx_resource_alloc", "dd_lsh_tuning", "gx_hits", "gx_modularity",
+      "pl_curation_v3", "gx_ktruss")
     val fpMap = results.map { case (k, _, fp) => k -> fp }.toMap
     val wfps = watch.flatMap(k => fpMap.get(k).map(fp => s"\"$k\":\"$fp\""))
       .mkString("{", ",", "}")

@@ -44,7 +44,8 @@ object SparkEntry {
       operators.Spectral.defs ++
       operators.Robust.defs ++
       operators.EvBands.defs ++
-      operators.Mixture2.defs
+      operators.Mixture2.defs ++
+      operators.RichClub.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

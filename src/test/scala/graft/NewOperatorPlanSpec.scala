@@ -41,14 +41,18 @@ class NewOperatorPlanSpec extends SparkSpec {
 
   test("hits ends in two top-k reads of the checkpointed score tables") {
     val plan = executedPlan("gx_hits")
-    // the iterations live behind per-half-step localCheckpoints, so the
-    // final plan must be exactly: two TakeOrderedAndProject heads over
-    // the checkpointed hub/authority RDDs, a union, and the
-    // presentation sort — no aggregate, join, or exchange re-derives
-    // any iteration work at read time
+    // the integer recurrence lives behind the two final localCheckpoints;
+    // the read-time plan is exactly: per side, a keyless total sum over
+    // the checkpointed RDD, a 1-row broadcast normalize, and a
+    // TakeOrderedAndProject head — then union + presentation sort. No
+    // keyed aggregate and no shuffled join may re-derive iteration work.
     val topK = plan.linesIterator.count(_.contains("TakeOrderedAndProject"))
     assert(topK == 2, s"expected 2 top-k heads, got $topK:\n$plan")
-    assert(!plan.contains("Join"), s"unexpected join after the checkpoints:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"unexpected shuffled join after the checkpoints:\n$plan")
+    val keyedAggs = plan.linesIterator
+      .count(l => l.contains("HashAggregate(keys=[") && !l.contains("HashAggregate(keys=[]"))
+    assert(keyedAggs == 0, s"keyed aggregate re-derives iteration work:\n$plan")
   }
 
   test("z-order audit joins nothing — two aggregation passes and a union") {
