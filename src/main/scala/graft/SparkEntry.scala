@@ -45,7 +45,15 @@ object SparkEntry {
       operators.Robust.defs ++
       operators.EvBands.defs ++
       operators.Mixture2.defs ++
-      operators.RichClub.defs
+      operators.RichClub.defs ++
+      operators.Relational4.defs ++
+      operators.Experiments.defs ++
+      operators.Semdedup.defs ++
+      operators.Ppr.defs ++
+      operators.Drift.defs ++
+      operators.Lm.defs ++
+      operators.Acf.defs ++
+      operators.Ood.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -274,6 +274,22 @@ object Streams {
       }
   }
 
+  /** Streaming experiment monitor — the live side of ev_ab_test: exact
+    * per-variant purchase-value moments (n, Σv, Σv²) as DECIMAL state.
+    * Sums of decimals are a commutative monoid, so Update-mode
+    * emissions converge to the batch moments under ANY batch slicing,
+    * and the Welch t derived from the final emission equals the batch
+    * statistic bit-for-bit. Assignment is the deterministic
+    * `user_id % 2` hash bucket; state is two rows. */
+  def abMoments(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10)).as("dv"),
+        (col("value") * col("value"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 10)).as("dv2"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("dv")).as("sv"), sum(col("dv2")).as("sv2"))
+
   final case class TokCount(tok: String, n: Long)
 
   def tokenCounts(docs: DataFrame): Dataset[TokCount] = {
