@@ -87,5 +87,48 @@ object Lm {
             sum($"seen_bg").cast("long").as("n_seen_bigram"),
             sum($"bits").cast("long").as("total_bits"),
             (sum($"bits").cast("double") / count(lit(1))).as("bits_per_token"))
+      }),
+
+    // Tokenizer fertility per (source, lang) — BPE tokens per
+    // whitespace word under the 50-merge in-engine tokenizer
+    // (ta_bpe_merges). Fertility is the number multilingual-corpus
+    // teams watch per source: a vocabulary trained on one domain
+    // over-segments every other (fertility ≫ 1 ⇒ that source pays
+    // more compute per word and the mixture under-weights it in
+    // effective tokens). Same trained-segmentation broadcast join as
+    // ta_bpe_apply, rolled up to the datasheet grain instead of
+    // per-document.
+    QueryDef(
+      "ta_bpe_fertility",
+      Some(s"""
+        WITH ${TextAnalysis.sqlBpeCtes(50)},
+        seg AS (
+          SELECT word,
+                 CAST(len(string_split(trim(seq, chr(1)), chr(1) || chr(1))) AS BIGINT) AS n_sym
+          FROM s50),
+        tok AS (
+          SELECT source, lang, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+        SELECT t.source, t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(g.n_sym) AS BIGINT) AS n_bpe_tokens,
+               (SUM(g.n_sym) * 1.0 / COUNT(*)) AS fertility
+        FROM tok t JOIN seg g ON t.word = g.word
+        GROUP BY t.source, t.lang
+        ORDER BY t.source, t.lang
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val seg = TextAnalysis.bpeTrainFull(TextAnalysis.bpeVocab(s, d), 50).segments
+        val segDf = broadcast(seg.toDF("word", "n_sym")
+          .select($"word", $"n_sym".cast("long").as("n_sym")))
+        documents(s, d)
+          .select($"source", $"lang", explode(split($"text", " ")).as("word"))
+          .join(segDf, "word")
+          .groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_sym").as("n_bpe_tokens"),
+            (sum($"n_sym") * lit(1.0) / count(lit(1))).as("fertility"))
+          .orderBy($"source", $"lang")
       }))
 }

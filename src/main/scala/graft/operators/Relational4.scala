@@ -198,5 +198,81 @@ object Relational4 {
           .agg(count(lit(1)).cast("long").as("numcust"),
             dsum($"c_acctbal", 2).as("totacctbal"))
           .orderBy($"nationkey")
+      }),
+
+    // Q7 shape: bilateral trade volume between two nations per year —
+    // which direction of the NATION_1↔NATION_5 corridor grows? One
+    // fact-fact shuffle; both nation lookups broadcast; the
+    // directional pair filter evaluates inside the joins.
+    QueryDef(
+      "q49_nation_volume",
+      Some(s"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               ${sqlSum("l_extendedprice*(1.0-l_discount)", 6)} AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_5')
+           OR (sn.n_name = 'NATION_5' AND cn.n_name = 'NATION_1')
+        GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+        ORDER BY supp_nation, cust_nation, l_year
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+        lineitem(s, d)
+          .join(orders(s, d), $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(customer(s, d)), $"c_custkey" === $"o_custkey")
+          .join(broadcast(supplier(s, d)), $"s_suppkey" === $"l_suppkey")
+          .join(broadcast(nation(s, d).as("cn")), $"cn.n_nationkey" === $"c_nationkey")
+          .join(broadcast(nation(s, d).as("sn")), $"sn.n_nationkey" === $"s_nationkey")
+          .filter(($"sn.n_name" === "NATION_1" && $"cn.n_name" === "NATION_5") ||
+            ($"sn.n_name" === "NATION_5" && $"cn.n_name" === "NATION_1"))
+          .groupBy($"sn.n_name".as("supp_nation"), $"cn.n_name".as("cust_nation"),
+            year($"l_shipdate").cast("long").as("l_year"))
+          .agg(dsum(rev, 6).as("revenue"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      }),
+
+    // Q5 shape: revenue kept inside each ASIA nation (customer and
+    // supplier co-national) for a two-year window — the local-supplier
+    // report. The co-nationality predicate joins two broadcast
+    // dimension columns; the orders date filter prunes before the
+    // fact-fact shuffle.
+    QueryDef(
+      "q50_local_supplier",
+      Some(s"""
+        SELECT n_name,
+               ${sqlSum("l_extendedprice*(1.0-l_discount)", 6)} AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+        lineitem(s, d)
+          .join(orders(s, d).filter(
+            $"o_orderdate" >= "1997-01-01" && $"o_orderdate" < "1999-01-01"),
+            $"o_orderkey" === $"l_orderkey")
+          .join(broadcast(customer(s, d)), $"c_custkey" === $"o_custkey")
+          .join(broadcast(supplier(s, d)),
+            $"s_suppkey" === $"l_suppkey" && $"s_nationkey" === $"c_nationkey")
+          .join(broadcast(nation(s, d)), $"n_nationkey" === $"c_nationkey")
+          .join(broadcast(region(s, d)),
+            $"r_regionkey" === $"n_regionkey" && $"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(dsum(rev, 6).as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
       }))
 }

@@ -1005,7 +1005,7 @@ object TextAnalysis {
     * replace). MATERIALIZED is load-bearing: DuckDB inlines CTEs
     * referenced more than once, and sK feeds both pairsK+1 and sK+1 —
     * inlining is exponential in the iteration count. */
-  private def sqlBpeCtes(nMerges: Int): String = {
+  private[operators] def sqlBpeCtes(nMerges: Int): String = {
     def iterCte(k: Int): String = {
       val prev = s"s${k - 1}"
       s"""pairs$k AS (
@@ -1037,7 +1037,7 @@ object TextAnalysis {
 
   /** The distributed half of BPE training: corpus → (word, freq),
     * capped deterministically at the top-100k by (freq desc, word). */
-  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String): Array[(String, Long)] = {
+  private[operators] def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String): Array[(String, Long)] = {
     import s.implicits._
     documents(s, d)
       .select(explode(split($"text", " ")).as("word"))
