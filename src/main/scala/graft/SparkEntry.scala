@@ -53,7 +53,8 @@ object SparkEntry {
       operators.Drift.defs ++
       operators.Lm.defs ++
       operators.Acf.defs ++
-      operators.Ood.defs
+      operators.Ood.defs ++
+      operators.SketchJaccard.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
