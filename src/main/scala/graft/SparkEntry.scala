@@ -54,7 +54,8 @@ object SparkEntry {
       operators.Lm.defs ++
       operators.Acf.defs ++
       operators.Ood.defs ++
-      operators.SketchJaccard.defs
+      operators.SketchJaccard.defs ++
+      operators.DedupAudit.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
