@@ -55,7 +55,8 @@ object SparkEntry {
       operators.Acf.defs ++
       operators.Ood.defs ++
       operators.SketchJaccard.defs ++
-      operators.DedupAudit.defs
+      operators.DedupAudit.defs ++
+      operators.HardNeg.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
