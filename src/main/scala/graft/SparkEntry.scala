@@ -56,7 +56,8 @@ object SparkEntry {
       operators.Ood.defs ++
       operators.SketchJaccard.defs ++
       operators.DedupAudit.defs ++
-      operators.HardNeg.defs
+      operators.HardNeg.defs ++
+      operators.Confusion.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -201,7 +201,7 @@ object Relational4 {
       }),
 
     // Q7 shape: bilateral trade volume between two nations per year —
-    // which direction of the NATION_1↔NATION_5 corridor grows? One
+    // which direction of the NATION_13↔NATION_19 corridor (populated in both directions at every SF) grows? One
     // fact-fact shuffle; both nation lookups broadcast; the
     // directional pair filter evaluates inside the joins.
     QueryDef(
@@ -216,8 +216,8 @@ object Relational4 {
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation cn ON cn.n_nationkey = c_nationkey
         JOIN nation sn ON sn.n_nationkey = s_nationkey
-        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_5')
-           OR (sn.n_name = 'NATION_5' AND cn.n_name = 'NATION_1')
+        WHERE (sn.n_name = 'NATION_13' AND cn.n_name = 'NATION_19')
+           OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_13')
         GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
         ORDER BY supp_nation, cust_nation, l_year
       """.trim),
@@ -230,8 +230,8 @@ object Relational4 {
           .join(broadcast(supplier(s, d)), $"s_suppkey" === $"l_suppkey")
           .join(broadcast(nation(s, d).as("cn")), $"cn.n_nationkey" === $"c_nationkey")
           .join(broadcast(nation(s, d).as("sn")), $"sn.n_nationkey" === $"s_nationkey")
-          .filter(($"sn.n_name" === "NATION_1" && $"cn.n_name" === "NATION_5") ||
-            ($"sn.n_name" === "NATION_5" && $"cn.n_name" === "NATION_1"))
+          .filter(($"sn.n_name" === "NATION_13" && $"cn.n_name" === "NATION_19") ||
+            ($"sn.n_name" === "NATION_19" && $"cn.n_name" === "NATION_13"))
           .groupBy($"sn.n_name".as("supp_nation"), $"cn.n_name".as("cust_nation"),
             year($"l_shipdate").cast("long").as("l_year"))
           .agg(dsum(rev, 6).as("revenue"))
