@@ -57,7 +57,11 @@ object SparkEntry {
       operators.SketchJaccard.defs ++
       operators.DedupAudit.defs ++
       operators.HardNeg.defs ++
-      operators.Confusion.defs
+      operators.Confusion.defs ++
+      operators.QualityRules.defs ++
+      operators.Basket.defs ++
+      operators.Cuped.defs ++
+      operators.Neighborhood.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
