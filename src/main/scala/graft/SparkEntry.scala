@@ -61,7 +61,9 @@ object SparkEntry {
       operators.QualityRules.defs ++
       operators.Basket.defs ++
       operators.Cuped.defs ++
-      operators.Neighborhood.defs
+      operators.Neighborhood.defs ++
+      operators.Psi.defs ++
+      operators.Dsir.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
