@@ -63,7 +63,10 @@ object SparkEntry {
       operators.Cuped.defs ++
       operators.Neighborhood.defs ++
       operators.Psi.defs ++
-      operators.Dsir.defs
+      operators.Dsir.defs ++
+      operators.Profile.defs ++
+      operators.Power.defs ++
+      operators.Prf.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

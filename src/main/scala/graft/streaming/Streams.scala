@@ -290,6 +290,20 @@ object Streams {
       .groupBy(col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("dv")).as("sv"), sum(col("dv2")).as("sv2"))
 
+  /** Streaming drift monitor — the live side of ev_psi: per value-bin
+    * pre/post purchase counts. Integer counts are a commutative
+    * monoid, so the Update-mode aggregate converges to the batch bins
+    * under any micro-batch slicing or restart, and the PSI derived
+    * from the final emission equals the batch gate exactly. State is
+    * one row per bin — bounded by the bin count, not the stream. */
+  def psiBins(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(least(floor(col("value") / 75), lit(3)).cast("long").as("bin"),
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), 1).otherwise(0).as("pre"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pre")).as("n_pre"),
+        sum(lit(1) - col("pre")).as("n_post"))
+
   final case class TokCount(tok: String, n: Long)
 
   def tokenCounts(docs: DataFrame): Dataset[TokCount] = {
