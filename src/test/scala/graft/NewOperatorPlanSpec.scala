@@ -60,4 +60,31 @@ class NewOperatorPlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join in a pure aggregation plan:\n$plan")
     assert(plan.contains("Union"), plan)
   }
+
+  test("co-purchase lift is a top-k with broadcast frequency sides") {
+    val plan = executedPlan("q51_copurchase_lift")
+    assert(plan.contains("TakeOrderedAndProject"), s"q51 lost its top-k plan:\n$plan")
+    // the part-frequency dimension tables and the 1-row order count
+    // ride in by broadcast; only the items self-join may shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("dsir and prf expansion rank by top-k with broadcast term tables") {
+    for (q <- Seq("ta_dsir_bits", "rag_prf_expansion")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q lost its top-k plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast side:\n$plan")
+    }
+  }
+
+  test("cuped reuses the per-user aggregate exchange for both moment passes") {
+    val df = SparkEntry.queries("ev_cuped")(spark, sf)
+    // force execution so AQE finalizes reuse decisions
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the global-moment side is a 1-row broadcast onto the 2-row
+    // variant side — no shuffled join may appear anywhere
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"unexpected shuffled join:\n$plan")
+  }
 }
