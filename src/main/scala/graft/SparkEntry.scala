@@ -66,7 +66,10 @@ object SparkEntry {
       operators.Dsir.defs ++
       operators.Profile.defs ++
       operators.Power.defs ++
-      operators.Prf.defs
+      operators.Prf.defs ++
+      operators.Did.defs ++
+      operators.RollingDistinct.defs ++
+      operators.Pca.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
