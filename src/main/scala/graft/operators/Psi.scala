@@ -45,7 +45,8 @@ object Psi {
                  n_pre * 1.0 / tp AS share_pre,
                  n_post * 1.0 / tq AS share_post,
                  CAST(floor(log2((n_pre * tq) * 1.0 / (n_post * tp))) AS BIGINT) AS log2_bits
-          FROM b CROSS JOIN t),
+          FROM b CROSS JOIN t
+          WHERE n_pre > 0 AND n_post > 0),
         s AS (
           SELECT CAST(SUM(CAST((share_pre - share_post) * log2_bits AS DECIMAL(38,12))) AS DOUBLE) AS psi_bits
           FROM c)
@@ -65,6 +66,11 @@ object Psi {
           .agg(sum($"pre").as("n_pre"), sum(lit(1) - $"pre").as("n_post"))
         val t = b.agg(sum($"n_pre").as("tp"), sum($"n_post").as("tq"))
         val c = b.crossJoin(broadcast(t))
+          // PSI needs support in BOTH windows: a bin empty on one side
+          // has an undefined log-ratio (and infinite contribution under
+          // the unbucketed definition) — the standard move is a min-bin
+          // or merge rule; here empty-on-either-side bins are excluded
+          .filter($"n_pre" > 0 && $"n_post" > 0)
           .select($"bin", $"n_pre", $"n_post",
             ($"n_pre" * lit(1.0) / $"tp").as("share_pre"),
             ($"n_post" * lit(1.0) / $"tq").as("share_post"),
