@@ -69,7 +69,8 @@ object SparkEntry {
       operators.Prf.defs ++
       operators.Did.defs ++
       operators.RollingDistinct.defs ++
-      operators.Pca.defs
+      operators.Pca.defs ++
+      operators.Dtw.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
