@@ -55,17 +55,28 @@ object Neighborhood {
           .persist()
         val seeds = e.filter($"src" % 2 === 0).select($"src").distinct()
           .orderBy($"src").limit(10).select($"src".as("seed"))
+        // frontier-only expansion: each round joins ONLY the nodes first
+        // reached last round (not the whole accumulated reach set), and
+        // the anti-join keeps the union disjoint so no global distinct
+        // over the growing pair set is ever needed — per-round cost is
+        // proportional to the new frontier, the textbook BFS discipline
         var reach = seeds.select($"seed", $"seed".as("node")).persist()
+        var frontier = reach
         val counts = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        counts += ((0L, reach.count()))
+        var total = reach.count()
+        counts += ((0L, total))
         for (r <- 1 to 3) {
-          val next = reach.as("f")
+          val cand = frontier.as("f")
             .join(e.as("ed"), $"f.node" === $"ed.src")
             .select($"f.seed".as("seed"), $"ed.dst".as("node"))
-          val grown = reach.union(next).distinct().persist()
-          counts += ((r.toLong, grown.count()))
+            .distinct()
+          val fresh = cand.join(reach, Seq("seed", "node"), "left_anti").persist()
+          total += fresh.count()
+          counts += ((r.toLong, total))
+          val grown = reach.union(fresh).persist()
           reach.unpersist()
           reach = grown
+          frontier = fresh
         }
         reach.unpersist(); e.unpersist()
         s.createDataFrame(counts.toSeq).toDF("radius", "pairs_reachable")
