@@ -70,7 +70,11 @@ object SparkEntry {
       operators.Did.defs ++
       operators.RollingDistinct.defs ++
       operators.Pca.defs ++
-      operators.Dtw.defs
+      operators.Dtw.defs ++
+      operators.Relational5.defs ++
+      operators.Srm.defs ++
+      operators.Ar.defs ++
+      operators.Ppl.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
