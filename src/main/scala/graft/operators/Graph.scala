@@ -39,10 +39,13 @@ object Graph {
     * anywhere: a billion-node rank table would kill a driver-built
     * broadcast, while here AQE is still free to turn the rank join
     * into a broadcast at runtime when ranks measure small — the
-    * size gate is dynamic, not asserted. Ranks are checkpointed per
-    * iteration to cut the lazy lineage: without it, iteration i's plan
-    * embeds iteration i-1 TWICE (both joins), recomputing the chain
-    * exponentially. */
+    * size gate is dynamic, not asserted. The rank table is consumed by
+    * exactly ONE downstream join per iteration (contrib), and the next
+    * rank frame rebuilds from the PERSISTED nodes side — so the loop
+    * lineage is linear and (as in [[hits]] and [[labelPropagation]])
+    * needs no per-iteration checkpoints: the whole iters-deep chain
+    * plans and schedules as one job. Only the final frame, which
+    * callers read repeatedly, is checkpointed. */
   def pagerank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
     // persist(), not localCheckpoint(), for the loop-invariant sides:
     // under AQE a checkpoint captures the unfinalized adaptive plan's
@@ -54,7 +57,6 @@ object Graph {
     val nodes = deg.select(col("src").as("node"), col("deg")).persist()
     val n = nodes.count()
     var pr = nodes.select(col("node"), col("deg"), lit(1.0 / n).as("pr"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.select(col("node").as("src"), col("deg"), col("pr"))
@@ -66,9 +68,8 @@ object Graph {
         .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
         .select(col("node"), col("deg"),
           (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .localCheckpoint()
     }
-    pr.select(col("node"), col("pr"))
+    pr.select(col("node"), col("pr")).localCheckpoint()
   }
 
   /** Fixed-iteration HITS over the DIRECTED customer→supplier purchase
@@ -1078,9 +1079,17 @@ object Graph {
     * label) row per node — nothing is broadcast or collected. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.repartition(col("dst")).persist()
+    // LINEAR lineage, one job: each round's label table is consumed by
+    // exactly one downstream join, so (as in [[hits]]) intermediate
+    // checkpoints only add a sequential materialization barrier per
+    // round — dropping them lets the whole rounds-deep join chain plan
+    // and schedule as one job. The winning-label tiebreak (max count,
+    // then smallest label, via ONE max_by over an exact integer struct)
+    // is order-independent, so the result is checkpoint-invariant.
+    // Only the RETURNED frame is checkpointed: every caller reads it
+    // more than once (modularity twice, the query readout re-sorts).
     var lbl = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
     for (_ <- 1 to rounds) {
       lbl = e
         .join(lbl.select(col("node").as("dst"), col("lbl")).hint("shuffle_hash"), "dst")
@@ -1088,9 +1097,8 @@ object Graph {
         .groupBy(col("src"))
         .agg(max_by(col("lbl"), struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
         .select(col("src").as("node"), col("lbl"))
-        .localCheckpoint()
     }
-    lbl
+    lbl.localCheckpoint()
   }
 
   /** Fixed-round k-core peel over a SYMMETRIC (u, v) edge list: each

@@ -49,9 +49,13 @@ object Ppr {
   private def iterate(e: DataFrame, nodes: DataFrame, seeds: DataFrame,
       nSeeds: Int, iters: Int, damping: Double): DataFrame = {
     val tele = broadcast(seeds.select(col("node"), lit(1.0 / nSeeds).as("tele")))
+    // linear loop lineage (rank consumed by ONE join per iteration,
+    // next frame rebuilt from the persisted nodes side): no
+    // per-iteration checkpoints, same as [[Graph.pagerank]]/[[Graph.hits]]
+    // — the whole chain schedules as one job; only the final frame,
+    // which callers re-read, is checkpointed.
     var pr = nodes.join(tele, Seq("node"), "left")
       .select(col("node"), col("deg"), coalesce(col("tele"), lit(0.0)).as("pr"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = e
         .join(pr.select(col("node").as("src"), col("deg"), col("pr"))
@@ -65,9 +69,8 @@ object Ppr {
         .select(col("node"), col("deg"),
           (lit(1.0 - damping) * coalesce(col("tele"), lit(0.0)) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .localCheckpoint()
     }
-    pr.select(col("node"), col("pr"))
+    pr.select(col("node"), col("pr")).localCheckpoint()
   }
 
   private def sqlIter(i: Int): String =
