@@ -74,7 +74,9 @@ object SparkEntry {
       operators.Relational5.defs ++
       operators.Srm.defs ++
       operators.Ar.defs ++
-      operators.Ppl.defs
+      operators.Ppl.defs ++
+      operators.Textrank.defs ++
+      operators.Granger.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

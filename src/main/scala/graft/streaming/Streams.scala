@@ -304,6 +304,29 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("pre")).as("n_pre"),
         sum(lit(1) - col("pre")).as("n_post"))
 
+  final case class Exposure(eventType: String, userId: Long)
+
+  /** Streaming assignment monitor — the live side of ev_srm: emit each
+    * (exposure surface, user) pair exactly ONCE, the first time it is
+    * seen. State is one boolean per pair (the same bounded-by-entities
+    * state a dedup monitor keeps); because the emission set IS the
+    * distinct pair set, the arm counts a consumer derives from the
+    * topic equal the batch distinct-then-count arms under any
+    * micro-batch slicing, and the checkpointed state makes a replay
+    * after restart emit nothing twice. */
+  def firstExposures(events: DataFrame): Dataset[Exposure] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Boolean, Exposure](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), _: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(Exposure(key._1, key._2)) }
+      }
+  }
+
   final case class TokCount(tok: String, n: Long)
 
   def tokenCounts(docs: DataFrame): Dataset[TokCount] = {
