@@ -76,7 +76,9 @@ object SparkEntry {
       operators.Ar.defs ++
       operators.Ppl.defs ++
       operators.Textrank.defs ++
-      operators.Granger.defs
+      operators.Granger.defs ++
+      operators.Expectations.defs ++
+      operators.Scd2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
