@@ -78,7 +78,8 @@ object SparkEntry {
       operators.Textrank.defs ++
       operators.Granger.defs ++
       operators.Expectations.defs ++
-      operators.Scd2.defs
+      operators.Scd2.defs ++
+      operators.Backtest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
