@@ -79,7 +79,8 @@ object SparkEntry {
       operators.Granger.defs ++
       operators.Expectations.defs ++
       operators.Scd2.defs ++
-      operators.Backtest.defs
+      operators.Backtest.defs ++
+      operators.IntervalJoin.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

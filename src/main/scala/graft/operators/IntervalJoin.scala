@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.det._
+import graft.sources.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap self-join — the one join shape the equi/as-of/range
+  * family doesn't cover: which sessions ran CONCURRENTLY with each
+  * other (peak-concurrency ops readout). The scale technique is grid
+  * bucketing: each session interval explodes into the day cells it
+  * covers, candidate pairs come from a day-cell EQUI-join (never an
+  * unbounded inequality join), the exact overlap predicate filters
+  * inside the join, and a distinct collapses pairs that share several
+  * cells. Cell granularity trades explode factor against bucket
+  * population (sessions are minutes-to-hours, so day cells explode
+  * ≈1× and each cell holds ~sessions/days rows — the quadratic term
+  * is (per-cell count)², the documented overlap-join tradeoff). The
+  * oracle runs the direct inequality self-join instead — at its scale
+  * that is its privilege; the Spark side must never.
+  *
+  * Sessionization is the ev_session_window 30-minute-gap recipe
+  * verbatim; the readout is top-20 sessions by overlap count under a
+  * (count, user, session) total order — TakeOrderedAndProject.
+  */
+object IntervalJoin {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "jx_interval_overlap",
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS t,
+                 LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t
+          FROM events),
+        flagged AS (
+          SELECT user_id, event_id, t,
+                 CASE WHEN prev_t IS NULL OR t - prev_t > 1800 THEN 1 ELSE 0 END AS is_new
+          FROM ordered),
+        sessions AS (
+          SELECT user_id, event_id, t,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+          FROM flagged),
+        iv AS (
+          SELECT user_id, session_no, MIN(t) AS s, MAX(t) AS e
+          FROM sessions GROUP BY user_id, session_no),
+        pairs AS (
+          SELECT a.user_id AS ua, a.session_no AS sa,
+                 b.user_id AS ub, b.session_no AS sb
+          FROM iv a JOIN iv b
+            ON a.s <= b.e AND b.s <= a.e
+           AND (a.user_id < b.user_id
+                OR (a.user_id = b.user_id AND a.session_no < b.session_no))),
+        cnt AS (
+          SELECT user_id, session_no, COUNT(*) AS n
+          FROM (SELECT ua AS user_id, sa AS session_no FROM pairs
+                UNION ALL SELECT ub, sb FROM pairs)
+          GROUP BY user_id, session_no)
+        SELECT CAST(iv.user_id AS BIGINT) AS user_id,
+               CAST(iv.session_no AS BIGINT) AS session_no,
+               iv.s AS session_start, iv.e AS session_end,
+               CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_overlaps
+        FROM iv LEFT JOIN cnt USING (user_id, session_no)
+        ORDER BY n_overlaps DESC, user_id, session_no
+        LIMIT 20
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        val iv = events(s, d)
+          .withColumn("t", unix_timestamp($"ts"))
+          .withColumn("prev_t", lag($"t", 1).over(w))
+          .withColumn("is_new",
+            when($"prev_t".isNull || $"t" - $"prev_t" > 1800, 1).otherwise(0))
+          .withColumn("session_no",
+            sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"session_no")
+          .agg(min($"t").as("s"), max($"t").as("e"))
+          // consumed three times (both join sides + readout)
+          .localCheckpoint()
+        def cells(df: org.apache.spark.sql.DataFrame, p: String) = df.select(
+          $"user_id".as(s"u$p"), $"session_no".as(s"n$p"),
+          $"s".as(s"s$p"), $"e".as(s"e$p"),
+          explode(sequence($"s".divide(86400).cast("long"),
+            $"e".divide(86400).cast("long"))).as("cell"))
+        val pairs = cells(iv, "a").join(cells(iv, "b"), "cell")
+          .filter($"sa" <= $"eb" && $"sb" <= $"ea" &&
+            ($"ua" < $"ub" || ($"ua" === $"ub" && $"na" < $"nb")))
+          .select($"ua", $"na", $"ub", $"nb")
+          // one pair per overlap, however many day cells it spans
+          .distinct()
+        val cnt = pairs.select($"ua".as("user_id"), $"na".as("session_no"))
+          .union(pairs.select($"ub", $"nb"))
+          .groupBy($"user_id", $"session_no").agg(count(lit(1)).as("n"))
+        iv.join(cnt, Seq("user_id", "session_no"), "left")
+          .select($"user_id".cast("long").as("user_id"),
+            $"session_no".cast("long").as("session_no"),
+            $"s".as("session_start"), $"e".as("session_end"),
+            coalesce($"n", lit(0L)).cast("long").as("n_overlaps"))
+          .orderBy($"n_overlaps".desc, $"user_id", $"session_no")
+          .limit(20)
+      }))
+}

@@ -304,6 +304,43 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col("pre")).as("n_pre"),
         sum(lit(1) - col("pre")).as("n_post"))
 
+  final case class Scd2Change(userId: Long, version: Long, attr: String, validFromUs: Long)
+  final case class Scd2State(lastAttr: String, nVersions: Long, lastEventId: Long)
+
+  /** Streaming SCD type-2 change detection — the live side of
+    * ev_scd2_intervals: per user, emit a (version, attr, valid_from)
+    * row whenever the tracked attribute differs from the previous
+    * event's. State is one (last attr, version counter, high-water
+    * event id) triple per user; rows inside a micro-batch are sorted
+    * by (event id) before folding and the high-water mark drops any
+    * replayed stragglers, so change detection spans batch boundaries
+    * and a restart emits nothing twice. (The commit-log feed appends
+    * in event-id order, which the generator makes identical to the
+    * batch query's (ts, event_id) order — asserted by the spec's
+    * equality with the batch intervals.) Closed-interval ends are a
+    * downstream lead() over the emitted change points, exactly as the
+    * batch operator derives them. */
+  def scd2Changes(events: Dataset[(Long, Long, String, Long)]): Dataset[Scd2Change] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Scd2State, Scd2Change](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)], state: GroupState[Scd2State]) =>
+          var st = state.getOption.getOrElse(Scd2State(null, 0L, Long.MinValue))
+          val out = Seq.newBuilder[Scd2Change]
+          rows.toSeq.sortBy(_._2).foreach { case (_, eventId, attr, tsUs) =>
+            if (eventId > st.lastEventId && attr != st.lastAttr) {
+              st = Scd2State(attr, st.nVersions + 1, eventId)
+              out += Scd2Change(user, st.nVersions, attr, tsUs)
+            } else if (eventId > st.lastEventId) {
+              st = st.copy(lastEventId = eventId)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class Exposure(eventType: String, userId: Long)
 
   /** Streaming assignment monitor — the live side of ev_srm: emit each
