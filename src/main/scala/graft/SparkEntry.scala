@@ -80,7 +80,8 @@ object SparkEntry {
       operators.Expectations.defs ++
       operators.Scd2.defs ++
       operators.Backtest.defs ++
-      operators.IntervalJoin.defs
+      operators.IntervalJoin.defs ++
+      operators.Leakage.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
