@@ -69,7 +69,7 @@ object Relational5 {
           .orderBy($"nation", $"o_year")
       }),
 
-    // Q11 shape: which parts hold an outsized share (2.5× the mean
+    // Q11 shape: which parts hold an outsized share (1.8× the mean
     // per-part value — scale-free, where Q11's fixed fraction empties
     // as the part count grows) of European supply value? The threshold
     // is a one-row scalar broadcast; the per-part value table is built
@@ -88,7 +88,7 @@ object Relational5 {
           JOIN region   ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
           GROUP BY l_partkey),
         t AS (
-          SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 2.5 / COUNT(*) AS thr FROM v)
+          SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 1.8 / COUNT(*) AS thr FROM v)
         SELECT CAST(l_partkey AS BIGINT) AS partkey, value
         FROM v CROSS JOIN t
         WHERE value > thr
@@ -105,7 +105,7 @@ object Relational5 {
           .groupBy($"l_partkey")
           .agg(dsum($"l_quantity" * $"p_retailprice", 2).as("value"))
         val thr = v.agg((sum($"value".cast(DecimalType(18, 2))).cast("double") *
-          lit(2.5) / count(lit(1))).as("thr"))
+          lit(1.8) / count(lit(1))).as("thr"))
         v.crossJoin(broadcast(thr))
           .filter($"value" > $"thr")
           .select($"l_partkey".cast("long").as("partkey"), $"value")
