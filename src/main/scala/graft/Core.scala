@@ -106,4 +106,17 @@ object det {
 
   def sqlAvg(expr: String, scale: Int = 2): String =
     s"(${sqlSum(expr, scale)} / COUNT(*))"
+
+  /** Snap a double to the 1e-9 grid before a DECIMAL cast: a snapped
+    * value sits within an ulp of a scale-9-exact decimal, so Spark's
+    * and DuckDB's double→DECIMAL conversions land on identical digits.
+    * Full-precision doubles can disagree by one unit in the last
+    * decimal place (the conversion's double-rounding zone — measured
+    * in sim_pca_power and, at sf0.1 volume, in the PageRank-family
+    * contribution sums). Use on any PER-ROW double that feeds a
+    * cross-engine-compared DECIMAL sum. */
+  def snap9(c: Column): Column = round(c * lit(1e9)) / lit(1e9)
+
+  /** SQL mirror of [[snap9]]. */
+  def sqlSnap9(e: String): String = s"round(($e) * 1e9) / 1e9"
 }

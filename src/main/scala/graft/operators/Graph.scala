@@ -61,7 +61,14 @@ object Graph {
       val contrib = e
         .join(pr.select(col("node").as("src"), col("deg"), col("pr"))
           .hint("shuffle_hash"), "src")
-        .select(col("dst"), (col("pr") / col("deg")).as("w"))
+        .select(col("dst"),
+          // snap9 before the DECIMAL cast: the raw pr/deg double can
+          // land in the double→decimal double-rounding zone where the
+          // two engines' conversions differ by one last-place digit
+          // (measured at sf0.1 in gx_ppr) — the snapped value converts
+          // identically, and the 1e-9 grid keeps 4+ significant digits
+          // on any rank that matters
+          graft.det.snap9(col("pr") / col("deg")).as("w"))
         .groupBy(col("dst"))
         .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("s"))
       pr = nodes
@@ -142,7 +149,7 @@ object Graph {
   private def sqlIter(i: Int): String = {
     val prev = if (i == 1) "p0" else s"p${i - 1}"
     s"""c$i AS (
-         SELECT e.dst, CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+         SELECT e.dst, CAST(SUM(CAST(${graft.det.sqlSnap9("p.pr / p.deg")} AS DECIMAL(28,12))) AS DOUBLE) AS s
          FROM e JOIN $prev p ON e.src = p.node
          GROUP BY e.dst),
        p$i AS (

@@ -60,7 +60,10 @@ object Ppr {
       val contrib = e
         .join(pr.select(col("node").as("src"), col("deg"), col("pr"))
           .hint("shuffle_hash"), "src")
-        .select(col("dst"), (col("pr") / col("deg")).as("w"))
+        // snap9 before the DECIMAL cast — see Graph.pagerank: the raw
+        // double can land in the cross-engine double→decimal rounding
+        // zone (this query is where it was measured, sf0.1 row 3)
+        .select(col("dst"), graft.det.snap9(col("pr") / col("deg")).as("w"))
         .groupBy(col("dst"))
         .agg(sum(col("w").cast(DecimalType(28, 12))).cast("double").as("s"))
       pr = nodes
@@ -81,7 +84,7 @@ object Ppr {
          FROM nodes n
          LEFT JOIN (
            SELECT e.dst,
-                  CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+                  CAST(SUM(CAST(round(p.pr / p.deg * 1e9) / 1e9 AS DECIMAL(28,12))) AS DOUBLE) AS s
            FROM e JOIN p${i - 1} p ON e.src = p.node
            GROUP BY e.dst) c ON c.dst = n.node
          LEFT JOIN tele t ON t.node = n.node)"""

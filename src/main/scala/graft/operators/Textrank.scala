@@ -27,7 +27,7 @@ object Textrank {
   private def sqlIter(i: Int): String = {
     val prev = if (i == 1) "p0" else s"p${i - 1}"
     s"""c$i AS (
-         SELECT e.dst, CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(28,12))) AS DOUBLE) AS s
+         SELECT e.dst, CAST(SUM(CAST(round(p.pr / p.deg * 1e9) / 1e9 AS DECIMAL(28,12))) AS DOUBLE) AS s
          FROM e JOIN $prev p ON e.src = p.node
          GROUP BY e.dst),
        p$i AS (
