@@ -20,7 +20,11 @@ class GraphSpec extends SparkSpec {
     import spark.implicits._
     val pr = Graph.pagerank(edges(), iters = 3, damping = 0.85)
     val total = pr.agg(sum($"pr")).as[Double].collect().head
-    assert(math.abs(total - 1.0) < 1e-9, s"total rank $total")
+    // each edge contribution is snapped to the 1e-9 grid (det.snap9 —
+    // the cross-engine decimal-conversion fix), so mass conserves to
+    // |E|·iters·5e-10, not machine epsilon; 1e-5 bounds that for this
+    // graph with wide margin while still catching any dropped term
+    assert(math.abs(total - 1.0) < 1e-5, s"total rank $total")
   }
 
   test("ranks are positive and iteration changes the uniform start") {

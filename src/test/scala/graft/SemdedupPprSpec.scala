@@ -58,8 +58,10 @@ class SemdedupPprSpec extends SparkSpec {
       .agg(sum($"pr"), sum(when($"pr" < 0.0, 1).otherwise(0)))
       .as[(Double, Long)].head()
     // teleport + spread conserve mass on a symmetric graph (no dangling
-    // nodes): Σpr stays 1 up to float accumulation
-    assert(math.abs(total - 1.0) < 1e-9 && negatives == 0)
+    // nodes): Σpr stays 1 up to the snap9 grid (each edge contribution
+    // is snapped to 1e-9 for cross-engine decimal parity, so the drift
+    // bound is |E|·iters·5e-10 — 1e-5 covers it with margin)
+    assert(math.abs(total - 1.0) < 1e-5 && negatives == 0)
 
     // seeds retain the teleport floor — each scores at least (1-d)/|S|
     val seedIds = seeds.as[Long].collect().toSet
