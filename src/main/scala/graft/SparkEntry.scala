@@ -81,7 +81,8 @@ object SparkEntry {
       operators.Scd2.defs ++
       operators.Backtest.defs ++
       operators.IntervalJoin.defs ++
-      operators.Leakage.defs
+      operators.Leakage.defs ++
+      operators.MarkovAttribution.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
