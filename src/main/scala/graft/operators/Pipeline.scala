@@ -1029,8 +1029,221 @@ object Pipeline {
             (!$"exact_dup" && $"near_dup_of".isNull && $"quality" >= 0.7)
               .as("admitted"))
           .orderBy($"doc_id")
+      }),
+
+    // Classifier evaluation for the curation loop: exact Mann–Whitney
+    // ROC-AUC of pl_quality_model's logit score against the heuristic
+    // quality gate (quality >= 0.7 — the labels a fastText-style
+    // filter is trained to mimic), per source. AUC is computed from
+    // tie-group rank sums, all-integer until the final ratio:
+    //   AUC = (S2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg),
+    //   S2  = Σ_groups p·(2·C + c + 1)
+    // where c/p are the group's total/positive counts and C the count
+    // of strictly-lower scores in the source (ties get average rank).
+    // Scale shape: one scan (features row-local) → one hash shuffle to
+    // the (source, score) tie-group table → [[globalRunningSum]] for C
+    // (range shards + per-shard offsets, NEVER a per-source
+    // single-partition window over doc-level rows — a hot source would
+    // funnel its whole corpus through one task) → a |sources|-row
+    // bounded window for per-source count offsets → one final rollup.
+    // Products are routed through DECIMAL(19,0)×(19,0)→(38,0) (S2 ~ n²
+    // overflows BIGINT at ~3e9 docs/source); num/den emit as DOUBLE —
+    // exact below 2^53, identically nearest-rounded above in both
+    // engines' decimal→double conversion. Grouping BY a double score
+    // is cross-engine-safe here because both engines build the score
+    // from the same fixed-order IEEE chain over ratios of exact
+    // integers (the pl_quality_model premise, oracle-proved there).
+    QueryDef(
+      "pl_quality_auc", {
+        val sw = TextFunctions.englishStopwords.toSeq.sorted
+          .map(w => s"'$w'").mkString(", ")
+        Some(s"""
+          WITH tk AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+          feats AS (
+            SELECT doc_id, source,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   len(list_filter(tk, t -> list_contains([$sw], t))) * 1.0 / len(tk) AS stop_ratio,
+                   (length(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_tok,
+                   len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                     / length(text) AS digit_frac
+            FROM tk),
+          scored AS (
+            SELECT source,
+                   CAST(-1.2 AS DOUBLE)
+                     + CAST(0.9 AS DOUBLE) * (least(n_tokens, 100) / CAST(100.0 AS DOUBLE))
+                     + CAST(0.8 AS DOUBLE) * stop_ratio
+                     + CAST(0.6 AS DOUBLE) * (mean_tok / CAST(10.0 AS DOUBLE))
+                     + CAST(0.7 AS DOUBLE) * distinct_ratio
+                     - CAST(1.5 AS DOUBLE) * digit_frac AS score,
+                   CASE WHEN (CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
+                            + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
+                            + CASE WHEN mean_tok BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)
+                           >= 0.7 THEN 1 ELSE 0 END AS y
+            FROM feats),
+          g AS (
+            SELECT source, score,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(y) AS BIGINT) AS p
+            FROM scored GROUP BY source, score),
+          r AS (
+            SELECT source, c, p,
+                   CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+            FROM g),
+          agg AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(p) AS BIGINT) AS n_pos,
+                   CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+                   SUM(CAST(p AS DECIMAL(19,0)) * CAST(2*cb + c + 1 AS DECIMAL(19,0))) AS s2
+            FROM r GROUP BY source)
+          SELECT source, n_docs, n_pos, n_neg,
+                 CAST(s2 - CAST(n_pos AS DECIMAL(19,0)) * CAST(n_pos + 1 AS DECIMAL(19,0)) AS DOUBLE) AS auc_num,
+                 CAST(CAST(2*n_pos AS DECIMAL(19,0)) * CAST(n_neg AS DECIMAL(19,0)) AS DOUBLE) AS auc_den,
+                 CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                      ELSE CAST(s2 - CAST(n_pos AS DECIMAL(19,0)) * CAST(n_pos + 1 AS DECIMAL(19,0)) AS DOUBLE)
+                           / CAST(CAST(2*n_pos AS DECIMAL(19,0)) * CAST(n_neg AS DECIMAL(19,0)) AS DOUBLE)
+                 END AS auc
+          FROM agg
+          ORDER BY source
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+        val scored = modelScoredWithLabel(s, d)
+        val g = scored.groupBy($"source", $"score")
+          .agg(count(lit(1)).as("c"), sum($"y").as("p"))
+        // inclusive global running count in (source, score) order — a
+        // total order on the tie-group table by construction
+        val gr = globalRunningSum(g, Seq($"source", $"score"), $"c")
+        val srcTot = g.groupBy($"source").agg(sum($"c").as("tot"))
+        // |sources|-row table: the unpartitioned window is bounded
+        val wSrc = Window.orderBy($"source")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val srcOff = srcTot
+          .withColumn("src_off", coalesce(sum($"tot").over(wSrc), lit(0L)))
+          .select($"source", $"src_off")
+        val r = gr.join(broadcast(srcOff), "source")
+          .withColumn("cb", $"run_sum" - $"c" - $"src_off")
+        val agg = r.groupBy($"source").agg(
+          sum($"c").as("n_docs"),
+          sum($"p").as("n_pos"),
+          (sum($"c") - sum($"p")).as("n_neg"),
+          sum($"p".cast(dec19)
+            * (lit(2L) * $"cb" + $"c" + lit(1L)).cast(dec19)).as("s2"))
+        agg.select($"source", $"n_docs", $"n_pos", $"n_neg",
+          ($"s2" - $"n_pos".cast(dec19) * ($"n_pos" + 1).cast(dec19))
+            .cast("double").as("auc_num"),
+          ((lit(2L) * $"n_pos").cast(dec19) * $"n_neg".cast(dec19))
+            .cast("double").as("auc_den"),
+          when($"n_pos" === 0 || $"n_neg" === 0, lit(null).cast("double"))
+            .otherwise(
+              ($"s2" - $"n_pos".cast(dec19) * ($"n_pos" + 1).cast(dec19)).cast("double")
+                / ((lit(2L) * $"n_pos").cast(dec19) * $"n_neg".cast(dec19)).cast("double"))
+            .as("auc"))
+          .orderBy($"source")
+      }),
+
+    // Reliability table for the same model: eighth-logit score bins (the model's scores concentrate within ~one logit of the threshold) vs the
+    // empirical positive rate of the heuristic gate — the calibration
+    // readout that tells a curation operator whether the 0-logit keep
+    // threshold is honest. One scan + one hash aggregate (bin is
+    // row-local floor(score·8)); per-bin mean score goes through the
+    // same 6-dp floor-snap + DECIMAL route as pl_quality_model's
+    // avg_score. Trivially scale-safe: output is |bins| rows.
+    QueryDef(
+      "pl_quality_calibration", {
+        val sw = TextFunctions.englishStopwords.toSeq.sorted
+          .map(w => s"'$w'").mkString(", ")
+        Some(s"""
+          WITH tk AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+          feats AS (
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   len(list_filter(tk, t -> list_contains([$sw], t))) * 1.0 / len(tk) AS stop_ratio,
+                   (length(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_tok,
+                   len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                     / length(text) AS digit_frac
+            FROM tk),
+          scored AS (
+            SELECT CAST(-1.2 AS DOUBLE)
+                     + CAST(0.9 AS DOUBLE) * (least(n_tokens, 100) / CAST(100.0 AS DOUBLE))
+                     + CAST(0.8 AS DOUBLE) * stop_ratio
+                     + CAST(0.6 AS DOUBLE) * (mean_tok / CAST(10.0 AS DOUBLE))
+                     + CAST(0.7 AS DOUBLE) * distinct_ratio
+                     - CAST(1.5 AS DOUBLE) * digit_frac AS score,
+                   CASE WHEN (CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
+                            + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
+                            + CASE WHEN mean_tok BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)
+                           >= 0.7 THEN 1 ELSE 0 END AS y
+            FROM feats)
+          SELECT CAST(floor(score * CAST(8.0 AS DOUBLE)) AS BIGINT) AS bin,
+                 CAST(floor(score * CAST(8.0 AS DOUBLE)) AS BIGINT) / CAST(8.0 AS DOUBLE) AS bin_lo,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(y) AS BIGINT) AS n_pos,
+                 CAST(SUM(y) AS BIGINT) * 1.0 / COUNT(*) AS pos_rate,
+                 ${graft.det.sqlAvg(
+                   "floor(score * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)",
+                   6)} AS avg_score
+          FROM scored
+          GROUP BY 1
+          ORDER BY bin
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        modelScoredWithLabel(s, d)
+          .withColumn("bin", floor($"score" * lit(8.0)).cast("long"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"y").as("n_pos"),
+            (sum($"y") * lit(1.0) / count(lit(1))).as("pos_rate"),
+            graft.det.davg(
+              floor($"score" * lit(1000000.0) + lit(0.5)) / lit(1000000.0), 6)
+              .as("avg_score"))
+          .select($"bin", ($"bin" / lit(8.0)).as("bin_lo"),
+            $"n_docs", $"n_pos", $"pos_rate", $"avg_score")
+          .orderBy($"bin")
       })
   )
+
+  /** Per-doc (source, score, y) for the model-eval queries: the logit
+    * score is pl_quality_model's feature chain VERBATIM (same ops,
+    * same order — cross-engine bit-equality is established there) and
+    * y is the heuristic curation gate ([[qualityScored]]'s quality
+    * >= 0.7, the label the model filter stands in for), both from ONE
+    * row-local projection over one scan. */
+  private def modelScoredWithLabel(s: org.apache.spark.sql.SparkSession,
+                                   d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sw = TextFunctions.englishStopwords.toSeq.sorted
+    documents(s, d)
+      .select($"source", $"text", split($"text", " ").as("tk"))
+      .select($"source",
+        size($"tk").cast("long").as("n_tokens"),
+        (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
+          / size($"tk")).as("stop_ratio"),
+        ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_tok"),
+        (size(array_distinct($"tk")) * lit(1.0) / size($"tk")).as("distinct_ratio"),
+        ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * lit(1.0)
+          / length($"text")).as("digit_frac"))
+      .select($"source",
+        (lit(-1.2)
+          + lit(0.9) * (least($"n_tokens", lit(100L)) / lit(100.0))
+          + lit(0.8) * $"stop_ratio"
+          + lit(0.6) * ($"mean_tok" / lit(10.0))
+          + lit(0.7) * $"distinct_ratio"
+          - lit(1.5) * $"digit_frac").as("score"),
+        ((when($"n_tokens" >= 20, 0.5).otherwise(0.0)
+          + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
+          + when($"mean_tok".between(3.0, 10.0), 0.2).otherwise(0.0)) >= 0.7)
+          .cast("long").as("y"))
+  }
 
   /** Distinct k-token shingles, row-local (same single-pass-UDF
     * rationale as Dedup.shingleArrays — the expression form re-splits
