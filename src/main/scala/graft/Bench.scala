@@ -145,7 +145,11 @@ object Bench {
       "pl_corpus_curation", "dd_exact_documents", "q32_recursive_cte",
       "sim_cosine_topk", "ts_linear_interp", "gx_common_neighbors",
       "gx_resource_alloc", "dd_lsh_tuning", "gx_hits", "gx_modularity",
-      "pl_curation_v3", "gx_ktruss")
+      "pl_curation_v3", "gx_ktruss",
+      // r6: the fixed day-grid rollups — fp must stay on the
+      // explode+equi-join shape (no BroadcastNestedLoopJoin).
+      "ev_rolling_distinct", "ev_rolling_distinct_hll", "ev_stickiness",
+      "sim_pq_recall")
     val fpMap = results.map { case (k, _, fp) => k -> fp }.toMap
     val wfps = watch.flatMap(k => fpMap.get(k).map(fp => s"\"$k\":\"$fp\""))
       .mkString("{", ",", "}")

@@ -539,12 +539,14 @@ object Analytics {
     // DAU/WAU stickiness — per day, distinct daily actives over
     // distinct trailing-7-day actives (the engagement ratio every
     // product dashboard leads with). The trailing distinct-count is a
-    // bounded 7× fan-out: the day×user distinct table joins a
-    // BROADCAST calendar (|days| rows — bounded by time, not data) on
-    // a 7-day range, then one distinct-count per day. Nothing scans
-    // events twice and no window runs over the raw stream; at 100 TB
-    // the du table is the per-day-distinct reduction, orders of
-    // magnitude smaller than the events themselves.
+    // bounded 7× fan-out, realized as an EXPLODE of each active day
+    // into its ≤7 covering window-days plus an equi-semi-join against
+    // the calendar — never a range-predicate join (which Spark plans
+    // as a BroadcastNestedLoopJoin evaluating |days| predicates per
+    // row: |days|×|du| comparisons where 7×|du| suffices). Nothing
+    // scans events twice and no window runs over the raw stream; at
+    // 100 TB the du table is the per-day-distinct reduction, orders
+    // of magnitude smaller than the events themselves.
     QueryDef(
       "ev_stickiness",
       Some("""
@@ -570,10 +572,11 @@ object Analytics {
           .distinct()
         val days = du.select($"day").distinct()
         val dau = du.groupBy($"day").agg(count(lit(1)).as("dau"))
-        val wau = broadcast(days.as("d"))
-          .join(du.as("u"), $"u.day".between($"d.day" - 6, $"d.day"))
-          .groupBy($"d.day".as("day"))
-          .agg(countDistinct($"u.user_id").as("wau"))
+        val wau = du
+          .select(explode(sequence($"day", $"day" + 6)).as("day"), $"user_id")
+          .join(broadcast(days), Seq("day"), "left_semi")
+          .groupBy($"day")
+          .agg(countDistinct($"user_id").as("wau"))
         dau.join(wau, "day")
           .select($"day", $"dau", $"wau",
             ($"dau" * lit(1.0) / $"wau").as("stickiness"))

@@ -6,11 +6,20 @@ import org.apache.spark.sql.functions._
 
 /** Rolling 7-day distinct active users — the WAU curve. Distinct
   * counts don't decompose over sliding windows (a user active on two
-  * days of the window must count once), so the exact form joins the
-  * bounded day grid against the events whose date falls in each day's
-  * trailing week and re-counts distinct per window: the fan-out is
-  * |window| × events, the day grid rides in by broadcast, and the
-  * count-distinct is one hash aggregate per day. At 100 TB the exact
+  * days of the window must count once), so the exact form fans each
+  * event out to the ≤7 window-days it participates in and re-counts
+  * distinct per day. The fan-out is an EXPLODE of
+  * `sequence(edate, edate+6)` — a row-local 7× multiply — followed by
+  * ONE hash equi-join against the (broadcast) day grid to drop
+  * window-days with no anchor events, then one hash aggregate per
+  * day. No range predicate ever reaches a join: the naive
+  * day-grid-BETWEEN-events formulation plans a
+  * BroadcastNestedLoopJoin that evaluates |days| predicates per event
+  * row — |days|×|events| comparisons where the fan-out is
+  * inherently 7×|events| — and at years of history over 100 TB that
+  * nested loop is the bottleneck. (The oracle runs the direct range
+  * self-join: at its scale that is its privilege; the Spark side must
+  * never — same rule as [[IntervalJoin]].) At 100 TB the exact
   * fan-out is the audit variant; the production path merges per-day
   * HLL sketches across the window ([[Sketches]]' sk_hll_merge proves
   * the re-aggregation property this relies on), cutting the fan-out to
@@ -38,8 +47,11 @@ object RollingDistinct {
         val ev = events(s, d).select($"ts".cast("date").as("edate"),
           $"user_id", $"event_id")
         val days = ev.select($"edate".as("day")).distinct()
-        broadcast(days)
-          .join(ev, $"edate".between(date_sub($"day", 6), $"day"))
+        // 7× row-local fan-out, then an EQUI-join (broadcast hash, not
+        // nested-loop) to keep only days that exist in the grid.
+        ev.withColumn("day",
+            explode(sequence($"edate", date_add($"edate", 6))))
+          .join(broadcast(days), Seq("day"), "left_semi")
           .groupBy($"day")
           .agg(count_distinct($"user_id").as("wau"), count(lit(1)).as("n_events"))
           .select($"day", $"wau".cast("long").as("wau"),
@@ -50,10 +62,13 @@ object RollingDistinct {
     // The production path at 100 TB: build ONE HLL sketch per day
     // (each day's events scanned once), then merge 7 sketches per
     // window position — fan-out is |window| sketch merges per day
-    // instead of |window| × events rows. The estimate can't be
-    // mirrored in SQL, so the oracle carries the exact count and TRUE
-    // for the 5 % accuracy flag (the sk_hll_merge proof pattern): the
-    // row hash-matches iff the sketch estimate really is in bounds.
+    // instead of |window| × events rows. Both the sketch merge and
+    // the exact audit arm use the same explode-to-window-day +
+    // equi-join shape as ev_rolling_distinct (no nested-loop range
+    // join anywhere). The estimate can't be mirrored in SQL, so the
+    // oracle carries the exact count and TRUE for the 5 % accuracy
+    // flag (the sk_hll_merge proof pattern): the row hash-matches iff
+    // the sketch estimate really is in bounds.
     QueryDef(
       "ev_rolling_distinct_hll",
       Some("""
@@ -72,12 +87,16 @@ object RollingDistinct {
         val ev = events(s, d).select($"ts".cast("date").as("edate"), $"user_id")
         val daily = ev.groupBy($"edate").agg(hll_sketch_agg($"user_id").as("sk"))
         val days = daily.select($"edate".as("day")).distinct()
-        val est = broadcast(days)
-          .join(daily, $"edate".between(date_sub($"day", 6), $"day"))
+        val est = daily
+          .withColumn("day",
+            explode(sequence($"edate", date_add($"edate", 6))))
+          .join(broadcast(days), Seq("day"), "left_semi")
           .groupBy($"day")
           .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
-        val exact = broadcast(days.select($"day".as("xday")))
-          .join(ev, $"edate".between(date_sub($"xday", 6), $"xday"))
+        val exact = ev
+          .withColumn("xday",
+            explode(sequence($"edate", date_add($"edate", 6))))
+          .join(broadcast(days.select($"day".as("xday"))), Seq("xday"), "left_semi")
           .groupBy($"xday")
           .agg(count_distinct($"user_id").as("wau_exact"))
         est.join(exact, $"day" === $"xday")
