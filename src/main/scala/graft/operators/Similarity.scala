@@ -793,51 +793,64 @@ object Similarity {
         val emb = embeddings(s, d).localCheckpoint()
         val spark = s
         import spark.implicits._
-        // subspace id rides exploded rows so training, encode, and the
-        // LUT build are each ONE job over all M subspaces, not M jobs
-        def subRows(df: DataFrame) = df.select(col("vec_id"),
-          explode(array((0 until M).map(m =>
-            struct(lit(m).as("m"),
-              slice(col("embedding"), m * SUB + 1, SUB).as("semb"))): _*)).as("x"))
-          .select(col("vec_id"), col("x.m").as("m"), col("x.semb").as("semb"))
-        val centsAll = broadcast(
-          pqCodebookRows(emb, M, SUB, K, IT).toDF("m", "centroid", "cemb")
-            .select(col("m"), col("centroid"),
-              col("cemb").cast("array<float>").as("cemb")))
-        // encode: one assignment shuffle + one pivot to the wide code row
-        val assigned = subRows(emb).join(centsAll, "m")
-          .select(col("vec_id"), col("m"), col("centroid"),
-            cosineNative(col("semb"), col("cemb")).as("ccos"))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(max_by(col("centroid"),
-            struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"))
-        val codes = assigned.groupBy(col("vec_id"))
-          .pivot("m", 0 until M).agg(first(col("centroid")))
-          .select(col("vec_id") +: (0 until M).map(m => col(s"$m").as(s"c$m")): _*)
-        // one LUT relation (qid, m, code, dot, norm2), broadcast once and
-        // reused by all four ADC joins (ReusedExchange)
-        val lutAll = broadcast(subRows(emb.filter(col("vec_id") < 10))
-          .withColumnRenamed("vec_id", "qid")
+        val centRows = pqCodebookRows(emb, M, SUB, K, IT)
+        val byM = centRows.groupBy(_._1).view
+          .mapValues(_.map(r => (r._2, r._3))).toMap
+        // encode is fully row-local: per vector, M argmaxes against the
+        // LITERAL codebook ([[nearestCentroidExpr]]) — no broadcast
+        // fan-out, no re-group shuffle, no pivot. Bit-identical codes:
+        // same cosine, same (ccos desc, centroid asc) ordering.
+        val codes = emb.select(col("vec_id") +:
+          (0 until M).map(m => nearestCentroidExpr(byM(m),
+            slice(col("embedding"), m * SUB + 1, SUB)).as(s"c$m")): _*)
+        // The ADC LUT — (qid, m, code) → subspace dot, plus (m, code) →
+        // codeword norm² and qid → query norm — is |Q|·M·K + M·K + |Q|
+        // values (~700 doubles): classic query-workload state. The dots
+        // are still COMPUTED distributed (the same [[dot]] expression —
+        // identical bits), then the table collects and rides back into
+        // codegen as literal maps, so candidate scoring is a single
+        // corpus scan with 4 map lookups + fixed-order adds per
+        // (candidate, query) — zero joins, zero shuffles, vs the old
+        // 4-way chained broadcast-hash-join plan over the cross
+        // product.
+        val centsAll = broadcast(centRows.toDF("m", "centroid", "cemb")
+          .select(col("m"), col("centroid"),
+            col("cemb").cast("array<float>").as("cemb")))
+        val lutRows = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"),
+            explode(array((0 until M).map(m =>
+              struct(lit(m).as("m"),
+                slice(col("embedding"), m * SUB + 1, SUB).as("semb"))): _*)).as("x"))
+          .select(col("qid"), col("x.m").as("m"), col("x.semb").as("semb"))
           .join(centsAll, "m")
           .select(col("qid"), col("m"), col("centroid"),
             dot(col("semb"), col("cemb")).as("dm"),
-            dot(col("cemb"), col("cemb")).as("nm")))
-        val qn = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"),
+            dot(col("cemb"), col("cemb")).as("nm"))
+          .as[(Long, Int, Long, Double, Double)].collect()
+        val qnRows = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id"),
             sqrt(dot(col("embedding"), col("embedding"))).as("qn"))
-        val scored = (0 until M).foldLeft(
-          qn.crossJoin(codes.filter(col("vec_id") >= 10)
-            .withColumnRenamed("vec_id", "nid"))) { (acc, m) =>
-          acc.join(
-            lutAll.filter(col("m") === m)
-              .select(col("qid"), col("centroid").as(s"c$m"),
-                col("dm").as(s"d$m"), col("nm").as(s"n$m")),
-            Seq("qid", s"c$m"))
-        }
-        val cands = scored.select(col("qid"), col("nid"),
-          ((col("d0") + col("d1") + col("d2") + col("d3"))
-            / (col("qn") * sqrt(col("n0") + col("n1") + col("n2") + col("n3"))))
-            .as("cos"))
+          .as[(Long, Double)].collect().sortBy(_._1)
+        val dMap: Map[(Long, Int), Map[Long, Double]] = lutRows
+          .groupBy(r => (r._1, r._2)).view
+          .mapValues(_.map(r => r._3 -> r._4).toMap).toMap
+        val nMap: Map[Int, Map[Long, Double]] = lutRows
+          .groupBy(_._2).view
+          .mapValues(_.map(r => r._3 -> r._5).toMap).toMap
+        // same expression tree per (candidate, query) as the join form:
+        // (d0+d1+d2+d3) / (qn · sqrt(n0+n1+n2+n3)) — IEEE-identical.
+        val cands = codes.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"),
+            explode(array(qnRows.map { case (qid, qnv) =>
+              val ds = (0 until M).map(m =>
+                element_at(typedLit(dMap((qid, m))), col(s"c$m")))
+              val ns = (0 until M).map(m =>
+                element_at(typedLit(nMap(m)), col(s"c$m")))
+              struct(lit(qid).as("qid"),
+                (ds.reduce(_ + _) / (lit(qnv) * sqrt(ns.reduce(_ + _))))
+                  .as("cos"))
+            }: _*)).as("x"))
+          .select(col("x.qid").as("qid"), col("nid"), col("x.cos").as("cos"))
         val truth = cosineTopK(emb, col("vec_id") < 10, 5)
           .select(col("qid"), col("nid"))
         recallTail(truth, cands)
@@ -1269,50 +1282,70 @@ object Similarity {
     * all M codebooks — the subspace id rides the exploded rows, so M
     * trainings cost the driver round-trips of one. Model traffic per
     * iteration is M·K·SUB floats. */
+  /** Row-local nearest-centroid: the centroid table rides into codegen
+    * as array<float> LITERALS (k·dim floats — the identical bounded
+    * model state the broadcast-join formulation ships each round), so
+    * assignment costs zero joins and zero shuffles: k inlined
+    * [[cosineNative]] calls and an `array_max` over (ccos, −centroid)
+    * structs — the same ordering as [[nearestCentroid]]'s `max_by`
+    * (cosine desc, ties to the smaller centroid id), hence
+    * bit-identical assignments. The join formulation fans every vector
+    * out k× and shuffles it back together; this evaluates the same k
+    * cosines without the row ever leaving its partition. */
+  private def nearestCentroidExpr(cents: Seq[(Long, Seq[Float])],
+      vec: Column): Column =
+    array_max(array(cents.map { case (cid, ce) =>
+      struct(
+        cosineNative(vec, typedLit(ce)).as("ccos"),
+        lit(-cid).as("nc"),
+        lit(cid).as("centroid"))
+    }: _*)).getField("centroid")
+
   private def pqCodebookRows(emb: DataFrame, nSub: Int, subDim: Int,
       k: Int, iters: Int): Seq[(Int, Long, Seq[Float])] = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    val subRows = emb.select(col("vec_id"),
-      explode(array((0 until nSub).map(m =>
-        struct(lit(m).as("m"),
-          slice(col("embedding"), m * subDim + 1, subDim).as("semb"))): _*)).as("x"))
-      .select(col("vec_id"), col("x.m").as("m"), col("x.semb").as("semb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var cents: Seq[(Int, Long, Seq[Float])] = emb.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-        .collect().sortBy(_._1).toSeq
-        .flatMap { case (id, e) =>
-          (0 until nSub).map(m => (m, id, e.slice(m * subDim, (m + 1) * subDim)))
-        }
-      for (_ <- 1 to iters) {
-        val centsDf = broadcast(cents.toDF("m", "centroid", "cemb")
-          .select(col("m"), col("centroid"),
-            col("cemb").cast("array<float>").as("cemb")))
-        val assigned = subRows.join(centsDf, "m")
-          .select(col("vec_id"), col("m"), col("semb"), col("centroid"),
-            cosineNative(col("semb"), col("cemb")).as("ccos"))
-          .groupBy(col("vec_id"), col("m"))
-          .agg(max_by(col("centroid"),
-            struct(col("ccos"), (-col("centroid")).as("nc"))).as("centroid"),
-            first(col("semb")).as("semb"))
-        val meanRows = assigned
-          .select(col("m"), col("centroid"), posexplode(col("semb")).as(Seq("d", "v")))
-          .groupBy(col("m"), col("centroid"), col("d"))
-          .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
-            count(lit(1))).cast("float").as("vr"))
-          .as[(Int, Long, Int, Float)].collect()
-        val means = meanRows.groupBy(r => (r._1, r._2)).map { case (key, rows) =>
-          key -> rows.sortBy(_._3).map(_._4).toSeq
-        }
-        cents = cents.map { case (m, cid, old) =>
-          (m, cid, means.getOrElse((m, cid), old))
-        }
+    var cents: Seq[(Int, Long, Seq[Float])] = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().sortBy(_._1).toSeq
+      .flatMap { case (id, e) =>
+        (0 until nSub).map(m => (m, id, e.slice(m * subDim, (m + 1) * subDim)))
       }
-      cents
-    } finally subRows.unpersist(blocking = false)
+    // ONE job and ONE shuffle per Lloyd iteration: assignment is the
+    // row-local [[nearestCentroidExpr]] (no broadcast fan-out, no
+    // re-group shuffle), fused with the per-(m, centroid) decimal mean
+    // VECTORS — subDim sums per group instead of a subDim× posexplode
+    // (the element fan-out was 16× the rows through the hash agg for
+    // the same arithmetic) — into a single scan → groupBy → k·nSub-row
+    // collect. Decimal sums are exact ⇒ order-independent ⇒ identical
+    // to any other grouping shape, incl. the SQL oracle's.
+    for (_ <- 1 to iters) {
+      val byM = cents.groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3))).toMap
+      val fan = emb.select(
+        explode(array((0 until nSub).map { m =>
+          val semb = slice(col("embedding"), m * subDim + 1, subDim)
+          struct(lit(m).as("m"),
+            nearestCentroidExpr(byM(m), semb).as("centroid"),
+            semb.as("semb"))
+        }: _*)).as("x"))
+      val meanRows = fan
+        .groupBy(col("x.m").as("m"), col("x.centroid").as("centroid"))
+        .agg(count(lit(1)).as("n"),
+          (0 until subDim).map(dd =>
+            sum(element_at(col("x.semb"), dd + 1).cast(DecimalType(28, 12)))
+              .as(s"s$dd")): _*)
+        .select(col("m"), col("centroid"),
+          array((0 until subDim).map(dd =>
+            (col(s"s$dd").cast("double") / col("n")).cast("float")): _*).as("vr"))
+        .as[(Int, Long, Seq[Float])].collect()
+      val means = meanRows.map(r => (r._1, r._2) -> r._3).toMap
+      cents = cents.map { case (m, cid, old) =>
+        (m, cid, means.getOrElse((m, cid), old))
+      }
+    }
+    cents
   }
 
   private def recallTail(truth0: DataFrame, cands0: DataFrame): DataFrame = {
