@@ -144,6 +144,64 @@ object Multimodal {
     }
   }
 
+  /** Deterministic fake "pixel" grid for the perceptual-hash family:
+    * pixel p of the 8×9 grayscale thumbnail is the count of the doc's
+    * distinct shingles that feature-hash into bucket p — a projection
+    * with exactly the property a real downsampled thumbnail has:
+    * near-duplicate payloads, which share most of their content,
+    * share most pixels (each edited shingle moves ONE bucket count by
+    * one, it doesn't re-shuffle the grid the way position-based
+    * chunking would). Stands in for the decoder seam
+    * ([[MediaDecoder]]): a real pipeline swaps this projection for
+    * decode+resize and keeps everything downstream (dHash, banding,
+    * verify) unchanged. */
+  private def pxGrid(docs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleArrays(docs)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val h = PortableHash.h32(col("sh"))
+    sh.groupBy(col("doc_id")).agg(
+      sum(when(h % 72 === 0, 1).otherwise(0)).as("px0"),
+      (1 until 72).map(p =>
+        sum(when(h % 72 === p, 1).otherwise(0)).as(s"px$p")): _*)
+  }
+
+  /** dHash (difference hash) signatures: 64 bits, bit (r,c) = "pixel
+    * brighter than its right neighbour" over the 8×9 grid — the
+    * standard perceptual image fingerprint (one shingle explode + one
+    * 72-column hash aggregate, the SimHash vote shape). Packed as
+    * (sig_lo, sig_hi) so [[Dedup.simhashPairs64]]'s 5-band pigeonhole
+    * join (exact recall at Hamming ≤ 4, no all-pairs) applies
+    * unchanged. */
+  def dhashSignatures(docs: DataFrame): DataFrame = {
+    def bits(lo: Int, hi: Int) = (lo until hi).map { b =>
+      val r = b / 8; val c = b % 8
+      when(col(s"px${r * 9 + c}") > col(s"px${r * 9 + c + 1}"),
+        lit(1L << (b - lo))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    pxGrid(docs).select(col("doc_id"),
+      bits(0, 32).cast("long").as("sig_lo"),
+      bits(32, 64).cast("long").as("sig_hi"))
+  }
+
+  /** SQL mirror of [[dhashSignatures]]: CTEs `sh`, `px` and `sigs`. */
+  def sqlDhashSigsCte: String = {
+    val pxCols = (0 until 72).map(p =>
+      s"SUM(CASE WHEN ${graft.functions.PortableHash.sqlH32("sh")} % 72 = $p " +
+        s"THEN 1 ELSE 0 END) AS px$p").mkString(", ")
+    def asm(lo: Int, hi: Int) = (lo until hi).map { b =>
+      val r = b / 8; val c = b % 8
+      s"(CASE WHEN px${r * 9 + c} > px${r * 9 + c + 1} THEN ${1L << (b - lo)} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]))) AS sh
+          FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        px AS (SELECT doc_id, $pxCols FROM sh GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST(${asm(0, 32)} AS BIGINT) AS sig_lo,
+                        CAST(${asm(32, 64)} AS BIGINT) AS sig_hi FROM px)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // Oracle for the batched-inference seam: per-row portable features
     // must come out identical through the per-BATCH encoder path —
@@ -413,6 +471,152 @@ object Multimodal {
         exact.filter($"freq" * 50 > total)
           .select($"tok", $"freq", $"tok".isin(cand: _*).as("captured"))
           .orderBy($"tok")
+      }),
+
+    // Perceptual-hash image dedup: dHash over the fake-decoded 8×9
+    // thumbnail grid, candidate pairs from the 5-band pigeonhole
+    // equi-join (exact recall at Hamming ≤ 4 — Dedup.simhashPairs64's
+    // machinery verbatim), popcount verify. No all-pairs operator
+    // anywhere in the Spark plan; the oracle runs the direct
+    // inequality self-join — its privilege at gate scale.
+    QueryDef(
+      "mm_dhash_dedup",
+      Some(s"""
+        WITH $sqlDhashSigsCte
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                    + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+              + bit_count(xor(a.sig_hi, b.sig_hi)) <= 4
+        ORDER BY i, j
+      """.trim),
+      (s, d) => Dedup.simhashPairs64(dhashSignatures(documents(s, d)), 4)
+        .orderBy(col("i"), col("j"))),
+
+    // Cross-modal near-dup agreement: the image channel (banded dHash
+    // pairs, above) full-outer-joined with the embedding channel
+    // (IVF-bucketed cosine pairs — Similarity.ivfNearDupPairs, the
+    // dd_embedding_neardup scale path) on the shared doc_id = vec_id
+    // key. Pairs flagged by both modalities are the high-confidence
+    // dedup set; single-channel pairs are each modality's blind spot —
+    // the audit a multimodal corpus runs before trusting either
+    // channel alone. Both candidate generators are bucketed (bands /
+    // IVF cells); nothing all-pairs.
+    QueryDef(
+      "mm_crossmodal_neardup",
+      Some(s"""
+        WITH $sqlDhashSigsCte,
+        img AS (
+          SELECT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                      + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) <= 4),
+        cents AS (
+          SELECT vec_id AS centroid, embedding AS cemb FROM embeddings
+          WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, centroid FROM (
+            SELECT e.vec_id, e.embedding, c.centroid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                              c.centroid) AS rn
+            FROM embeddings e, cents c)
+          WHERE rn <= 3),
+        emb AS (
+          SELECT DISTINCT a.vec_id AS i, b.vec_id AS j,
+                 list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+          FROM assigned a JOIN assigned b
+            ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45)
+        SELECT COALESCE(img.i, emb.i) AS i,
+               COALESCE(img.j, emb.j) AS j,
+               img.hamming AS img_hamming,
+               emb.cos AS cos,
+               CASE WHEN img.i IS NOT NULL AND emb.i IS NOT NULL THEN 'both'
+                    WHEN img.i IS NOT NULL THEN 'image_only'
+                    ELSE 'embedding_only' END AS status
+        FROM img FULL OUTER JOIN emb ON img.i = emb.i AND img.j = emb.j
+        ORDER BY i, j
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val img = Dedup.simhashPairs64(dhashSignatures(documents(s, d)), 4)
+          .select($"i", $"j", $"hamming".as("img_hamming"))
+        val emb = Similarity.ivfNearDupPairs(embeddings(s, d),
+          nCentroids = 16, nAssign = 3, minCos = 0.45)
+        img.as("im").join(emb.as("em"),
+            $"im.i" === $"em.i" && $"im.j" === $"em.j", "full_outer")
+          .select(
+            coalesce($"im.i", $"em.i").as("i"),
+            coalesce($"im.j", $"em.j").as("j"),
+            $"img_hamming",
+            $"cos",
+            when($"im.i".isNotNull && $"em.i".isNotNull, "both")
+              .when($"im.i".isNotNull, "image_only")
+              .otherwise("embedding_only").as("status"))
+          .orderBy($"i", $"j")
+      }),
+
+    // CLIP-style retrieval on top of the batched-inference seam: the
+    // per-BATCH encoder ([[batchEmbed]] — the mapInPandas/Arrow
+    // contract) produces integer feature vectors, the 5 query vectors
+    // broadcast against the corpus, and cosine ranks top-3 per query.
+    // Dot products and norms are exact integer sums (no fp
+    // accumulation order to disagree on); only the final cos is
+    // double, with the identical expression on both engines. The scan
+    // is |Q|·n with |Q| bounded — the brute baseline sim_cosine_topk
+    // also uses; the IVF/LSH family is the scale path for large |Q|.
+    QueryDef(
+      "mm_clip_retrieval", {
+        def dim(a: String, i: Int) =
+          s"CAST(('0x' || substr(md5($a.text || ':$i'), 1, 8))::UBIGINT AS BIGINT) % 997"
+        def dot(i: Int) = s"(${dim("q", i)}) * (${dim("c", i)})"
+        def nrm(a: String, i: Int) = s"(${dim(a, i)}) * (${dim(a, i)})"
+        Some(s"""
+          WITH scored AS (
+            SELECT q.doc_id AS qid, c.doc_id AS nid,
+                   ${(0 until 4).map(dot).mkString(" + ")} AS dp,
+                   ${(0 until 4).map(nrm("q", _)).mkString(" + ")} AS na,
+                   ${(0 until 4).map(nrm("c", _)).mkString(" + ")} AS nb
+            FROM documents q JOIN documents c ON c.doc_id >= 5
+            WHERE q.doc_id < 5),
+          ranked AS (
+            SELECT qid, nid,
+                   CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY qid
+                     ORDER BY CAST(dp AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                              nid) AS rank
+            FROM scored)
+          SELECT qid, nid, CAST(rank AS BIGINT) AS rank, cos
+          FROM ranked WHERE rank <= 3
+          ORDER BY qid, rank
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val f = batchEmbed(documents(s, d), batchSize = 32)
+        val q = broadcast(f.filter($"doc_id" < 5).select($"doc_id".as("qid"),
+          $"d0".as("q0"), $"d1".as("q1"), $"d2".as("q2"), $"d3".as("q3")))
+        val c = f.filter($"doc_id" >= 5).select($"doc_id".as("nid"),
+          $"d0", $"d1", $"d2", $"d3")
+        val dp = (0 until 4).map(i => col(s"q$i") * col(s"d$i")).reduce(_ + _)
+        val na = (0 until 4).map(i => col(s"q$i") * col(s"q$i")).reduce(_ + _)
+        val nb = (0 until 4).map(i => col(s"d$i") * col(s"d$i")).reduce(_ + _)
+        val scored = c.crossJoin(q)
+          .select($"qid", $"nid",
+            (dp.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
+              .as("cos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"qid").orderBy(desc("cos"), asc("nid"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+          .select($"qid", $"nid", $"rank".cast("long").as("rank"), $"cos")
+          .orderBy($"qid", $"rank")
       })
   )
 }
