@@ -92,6 +92,39 @@ object Bench {
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Superlinearity gate: re-time every query at a 10×-smaller scale
+    // (one warm + one measured run — same methodology, cheaper) and
+    // flag t(big)/t(small) ratios far above the 10× data ratio. This
+    // is the mechanical tripwire for accidentally-quadratic plans:
+    // ts_linear_interp's r4 quadratic frames (ratio ~100) and any
+    // day-grid nested-loop join regression would both surface here
+    // without a human reading plan dumps. Ratios only flag when the
+    // big-scale time is ≥ 1 s — below that, fixed per-job overhead
+    // dominates both scales and the ratio is noise. Opt out (or point
+    // elsewhere) with SPARK_GRAFT_RATIO_DIR=""; defaults on only for
+    // the standard sf0.1 artifact run.
+    val ratioDir = sys.env.getOrElse("SPARK_GRAFT_RATIO_DIR",
+      if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else "")
+    val ratios: Map[String, Double] =
+      if (ratioDir.isEmpty || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(ratioDir))) Map.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .flatMap { case (name, fn) =>
+          spark.catalog.clearCache()
+          try {
+            fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
+            val t0 = System.nanoTime()
+            fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
+            val small = (System.nanoTime() - t0) / 1e9
+            results.find(_._1 == name).map { case (_, big, _) =>
+              name -> (if (small > 0) big / small else 0.0)
+            }
+          } catch { case _: Throwable => None }
+        }.toMap
+    val bigTime = results.map { case (k, v, _) => k -> v }.toMap
+    val superlinear = ratios.collect {
+      case (name, r) if r > 25.0 && bigTime.getOrElse(name, 0.0) >= 1.0 => name
+    }.toSeq.sorted
     // One aggregate fingerprint for the (size-capped) stdout line; the
     // per-query map lives in docs/bench_full.json.
     val plansFp = {
@@ -105,8 +138,12 @@ object Bench {
     val fullJson = {
       val qs = results.map { case (k, v, _) => s"\"$k\":" + v }.mkString(",")
       val fps = results.map { case (k, _, fp) => s"\"$k\":\"$fp\"" }.mkString(",")
+      val rs = ratios.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":" + r3(v) }.mkString(",")
+      val sl = superlinear.map(n => s"\"$n\"").mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
-        s""""queries":{$qs},"plans":{$fps},"plans_fp":"$plansFp","sf":"$sfDir"}"""
+        s""""queries":{$qs},"plans":{$fps},"plans_fp":"$plansFp",""" +
+        s""""ratios":{$rs},"ratio_dir":"$ratioDir","superlinear":[$sl],"sf":"$sfDir"}"""
     }
     // SPARK_GRAFT_BENCH_OUT overrides the artifact path (useful for
     // subset iteration); without it, subset runs never clobber the
@@ -153,7 +190,8 @@ object Bench {
     val fpMap = results.map { case (k, _, fp) => k -> fp }.toMap
     val wfps = watch.flatMap(k => fpMap.get(k).map(fp => s"\"$k\":\"$fp\""))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"plans_fp":"$plansFp","plans_watch":$wfps,"full":"docs/bench_full.json","sf":"$sfDir"}""")
+    val sl = superlinear.map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"queries":$qs,"plans_fp":"$plansFp","plans_watch":$wfps,"superlinear":$sl,"full":"docs/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
