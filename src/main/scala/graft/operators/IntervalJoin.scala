@@ -28,6 +28,53 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** 30-minute-gap sessionization by event_id order: (user_id,
+    * session_no, s, e) intervals. Factored so the streaming
+    * concurrency monitor ([[graft.streaming.Streams.liveSessions]])
+    * converges to EXACTLY this definition. */
+  def sessionIntervals(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev
+      .withColumn("t", unix_timestamp(col("ts")))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_t").isNull || col("t") - col("prev_t") > 1800, 1).otherwise(0))
+      .withColumn("session_no",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("t")).as("s"), max(col("t")).as("e"))
+  }
+
+  /** Hour-cell-bucketed overlap counts over (user_id, session_no, s,
+    * e) intervals: candidate pairs from a cell EQUI-join (never an
+    * unbounded inequality join), exact overlap predicate inside the
+    * join, distinct collapses multi-cell pairs. Shared by the batch
+    * query and the streaming monitor's per-epoch readout. */
+  def overlapCounts(iv0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // consumed three times (both join sides + readout)
+    val iv = iv0.localCheckpoint()
+    def cells(df: org.apache.spark.sql.DataFrame, p: String) = df.select(
+      col("user_id").as(s"u$p"), col("session_no").as(s"n$p"),
+      col("s").as(s"s$p"), col("e").as(s"e$p"),
+      explode(sequence(col("s").divide(3600).cast("long"),
+        col("e").divide(3600).cast("long"))).as("cell"))
+    val pairs = cells(iv, "a").join(cells(iv, "b"), "cell")
+      .filter(col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        (col("ua") < col("ub") ||
+          (col("ua") === col("ub") && col("na") < col("nb"))))
+      .select(col("ua"), col("na"), col("ub"), col("nb"))
+      // one pair per overlap, however many cells it spans
+      .distinct()
+    val cnt = pairs.select(col("ua").as("user_id"), col("na").as("session_no"))
+      .union(pairs.select(col("ub"), col("nb")))
+      .groupBy(col("user_id"), col("session_no")).agg(count(lit(1)).as("n"))
+    iv.join(cnt, Seq("user_id", "session_no"), "left")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("session_no").cast("long").as("session_no"),
+        col("s").as("session_start"), col("e").as("session_end"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_overlaps"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -72,37 +119,7 @@ object IntervalJoin {
       """.trim),
       (s, d) => {
         import s.implicits._
-        val w = Window.partitionBy($"user_id").orderBy($"event_id")
-        val iv = events(s, d)
-          .withColumn("t", unix_timestamp($"ts"))
-          .withColumn("prev_t", lag($"t", 1).over(w))
-          .withColumn("is_new",
-            when($"prev_t".isNull || $"t" - $"prev_t" > 1800, 1).otherwise(0))
-          .withColumn("session_no",
-            sum($"is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy($"user_id", $"session_no")
-          .agg(min($"t").as("s"), max($"t").as("e"))
-          // consumed three times (both join sides + readout)
-          .localCheckpoint()
-        def cells(df: org.apache.spark.sql.DataFrame, p: String) = df.select(
-          $"user_id".as(s"u$p"), $"session_no".as(s"n$p"),
-          $"s".as(s"s$p"), $"e".as(s"e$p"),
-          explode(sequence($"s".divide(3600).cast("long"),
-            $"e".divide(3600).cast("long"))).as("cell"))
-        val pairs = cells(iv, "a").join(cells(iv, "b"), "cell")
-          .filter($"sa" <= $"eb" && $"sb" <= $"ea" &&
-            ($"ua" < $"ub" || ($"ua" === $"ub" && $"na" < $"nb")))
-          .select($"ua", $"na", $"ub", $"nb")
-          // one pair per overlap, however many day cells it spans
-          .distinct()
-        val cnt = pairs.select($"ua".as("user_id"), $"na".as("session_no"))
-          .union(pairs.select($"ub", $"nb"))
-          .groupBy($"user_id", $"session_no").agg(count(lit(1)).as("n"))
-        iv.join(cnt, Seq("user_id", "session_no"), "left")
-          .select($"user_id".cast("long").as("user_id"),
-            $"session_no".cast("long").as("session_no"),
-            $"s".as("session_start"), $"e".as("session_end"),
-            coalesce($"n", lit(0L)).cast("long").as("n_overlaps"))
+        overlapCounts(sessionIntervals(events(s, d)))
           .orderBy($"n_overlaps".desc, $"user_id", $"session_no")
           .limit(20)
       }))

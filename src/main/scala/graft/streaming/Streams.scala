@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.memory.MemoryStore
 import graft.model.{MemoryRecord, Summary, Topic}
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -417,6 +419,105 @@ object Streams {
             coalesce(col("jac").cast("string"), lit("-")),
             col("keep").cast("string")).as("value"))
         graft.io.CommitLog.writeEpoch(outDir, nLogPartitions, epochId, payload)
+      }
+      .start()
+
+  /** Live sessionization — the stateful half of the streaming
+    * concurrency monitor. Per-user state is the full (event_id, t)
+    * set; each micro-batch that touches a user re-derives ALL that
+    * user's sessions under EXACTLY the batch definition
+    * ([[graft.operators.IntervalJoin.sessionIntervals]]: 30-minute gap
+    * between consecutive t's in event_id order, s/e = min/max t per
+    * session) and emits the full list with a monotone n_user_events
+    * marker. Because state is the complete per-user event set, the
+    * LAST emission per user equals the batch sessions for ANY arrival
+    * order, batch slicing, or restart — the attribution pattern. State
+    * is O(events-per-user); a production deployment windows it with a
+    * timeout once sessions age out of the monitoring horizon. */
+  final case class SessEvent(userId: Long, eventId: Long, t: Long)
+  final case class SessState(events: Seq[(Long, Long)])
+  final case class SessionEmit(user_id: Long, session_no: Long,
+                               s: Long, e: Long, n_user_events: Long)
+
+  def liveSessions(ev: Dataset[SessEvent],
+      gapSec: Long = 1800): Dataset[SessionEmit] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessState, SessionEmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          val prev = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val all = (prev ++ rows.map(r => (r.eventId, r.t)))
+            .distinct.sortBy(_._1)
+          state.update(SessState(all))
+          val emits = scala.collection.mutable.ArrayBuffer[SessionEmit]()
+          var sn = 1L
+          var lo = all.head._2; var hi = all.head._2; var prevT = all.head._2
+          for ((_, t) <- all.tail) {
+            if (t - prevT > gapSec) {
+              emits += SessionEmit(uid, sn, lo, hi, all.size.toLong)
+              sn += 1; lo = t; hi = t
+            } else { lo = math.min(lo, t); hi = math.max(hi, t) }
+            prevT = t
+          }
+          emits += SessionEmit(uid, sn, lo, hi, all.size.toLong)
+          emits.iterator
+      }
+  }
+
+  /** Streaming interval-overlap / concurrency monitor — the live twin
+    * of `jx_interval_overlap`. [[liveSessions]] maintains per-user
+    * session state; each epoch then (1) merges the touched users'
+    * refreshed session lists into an epoch-keyed snapshot (replace-
+    * by-user: the emission is always the user's COMPLETE current
+    * list), and (2) publishes the hour-cell-bucketed overlap counts of
+    * the whole snapshot ([[graft.operators.IntervalJoin.overlapCounts]]
+    * — the identical join machinery as the batch query) to the
+    * commit log with ts = epochId. Replayed epochs re-read the same
+    * predecessor snapshot, overwrite the same epoch directory, and
+    * hit [[graft.io.CommitLog.writeEpoch]]'s idempotent segment —
+    * end-to-end exactly-once, so the max-ts rows of the log ARE the
+    * converged monitor readout. */
+  def concurrencyMonitor(
+      ev: Dataset[SessEvent],
+      outDir: String,
+      checkpoint: String,
+      nLogPartitions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    liveSessions(ev).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (emits: Dataset[SessionEmit], epochId: Long) =>
+        val sp = emits.sparkSession
+        val snapBase = java.nio.file.Paths.get(outDir, "snapshot")
+        val cur = emits.toDF()
+        val prevEpoch =
+          if (!java.nio.file.Files.isDirectory(snapBase)) None
+          else {
+            val it = java.nio.file.Files.list(snapBase)
+            try it.iterator().asScala
+              .map(_.getFileName.toString)
+              .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
+              .filter(_ < epochId).maxOption
+            finally it.close()
+          }
+        val merged = prevEpoch match {
+          case Some(pe) =>
+            sp.read.parquet(s"$snapBase/epoch=$pe")
+              .join(cur.select("user_id").distinct(), Seq("user_id"), "left_anti")
+              .unionByName(cur)
+          case None => cur
+        }
+        merged.write.mode("overwrite").parquet(s"$snapBase/epoch=$epochId")
+        val counts = graft.operators.IntervalJoin.overlapCounts(
+          sp.read.parquet(s"$snapBase/epoch=$epochId")
+            .select(col("user_id"), col("session_no"), col("s"), col("e")))
+        graft.io.CommitLog.writeEpoch(s"$outDir/log", nLogPartitions, epochId,
+          counts.select(
+            lit(epochId).as("ts"),
+            concat_ws("|", col("user_id"), col("session_no")).as("key"),
+            concat_ws("|", col("session_start"), col("session_end"),
+              col("n_overlaps")).as("value")))
       }
       .start()
 
