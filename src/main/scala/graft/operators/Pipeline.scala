@@ -531,28 +531,11 @@ object Pipeline {
     // doesn't route them through DECIMAL math.
     QueryDef(
       "pl_quality_model", {
-        val sw = graft.functions.TextFunctions.englishStopwords.toSeq.sorted
-          .map(w => s"'$w'").mkString(", ")
         Some(s"""
-          WITH tk AS (
-            SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
-          feats AS (
-            SELECT doc_id, source,
-                   CAST(len(tk) AS BIGINT) AS n_tokens,
-                   len(list_filter(tk, t -> list_contains([$sw], t))) * 1.0 / len(tk) AS stop_ratio,
-                   (length(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_tok,
-                   len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
-                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
-                     / length(text) AS digit_frac
-            FROM tk),
+          WITH $qmFeatsSql,
           scored AS (
             SELECT source, n_tokens,
-                   CAST(-1.2 AS DOUBLE)
-                     + CAST(0.9 AS DOUBLE) * (least(n_tokens, 100) / CAST(100.0 AS DOUBLE))
-                     + CAST(0.8 AS DOUBLE) * stop_ratio
-                     + CAST(0.6 AS DOUBLE) * (mean_tok / CAST(10.0 AS DOUBLE))
-                     + CAST(0.7 AS DOUBLE) * distinct_ratio
-                     - CAST(1.5 AS DOUBLE) * digit_frac AS score
+                   $qmScoreSql AS score
             FROM feats)
           SELECT source,
                  COUNT(*) AS n_docs,
@@ -570,24 +553,9 @@ object Pipeline {
       },
       (s, d) => {
         import s.implicits._
-        val sw = graft.functions.TextFunctions.englishStopwords.toSeq.sorted
-        val feats = documents(s, d)
-          .select($"doc_id", $"source", $"text", split($"text", " ").as("tk"))
-          .select($"source",
-            size($"tk").cast("long").as("n_tokens"),
-            (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
-              / size($"tk")).as("stop_ratio"),
-            ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_tok"),
-            (size(array_distinct($"tk")) * lit(1.0) / size($"tk")).as("distinct_ratio"),
-            ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * lit(1.0)
-              / length($"text")).as("digit_frac"))
-        val scored = feats.select($"source", $"n_tokens",
-          (lit(-1.2)
-            + lit(0.9) * (least($"n_tokens", lit(100L)) / lit(100.0))
-            + lit(0.8) * $"stop_ratio"
-            + lit(0.6) * ($"mean_tok" / lit(10.0))
-            + lit(0.7) * $"distinct_ratio"
-            - lit(1.5) * $"digit_frac").as("score"))
+        // the same projection the eval queries consume — y is unused
+        // here and pruned by Catalyst
+        val scored = modelScoredWithLabel(s, d)
         scored.groupBy($"source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when($"score" >= 0.0, 1L).otherwise(0L)).as("n_keep"),
@@ -1055,32 +1023,12 @@ object Pipeline {
     // integers (the pl_quality_model premise, oracle-proved there).
     QueryDef(
       "pl_quality_auc", {
-        val sw = TextFunctions.englishStopwords.toSeq.sorted
-          .map(w => s"'$w'").mkString(", ")
         Some(s"""
-          WITH tk AS (
-            SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
-          feats AS (
-            SELECT doc_id, source,
-                   CAST(len(tk) AS BIGINT) AS n_tokens,
-                   len(list_filter(tk, t -> list_contains([$sw], t))) * 1.0 / len(tk) AS stop_ratio,
-                   (length(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_tok,
-                   len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
-                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
-                     / length(text) AS digit_frac
-            FROM tk),
+          WITH $qmFeatsSql,
           scored AS (
             SELECT source,
-                   CAST(-1.2 AS DOUBLE)
-                     + CAST(0.9 AS DOUBLE) * (least(n_tokens, 100) / CAST(100.0 AS DOUBLE))
-                     + CAST(0.8 AS DOUBLE) * stop_ratio
-                     + CAST(0.6 AS DOUBLE) * (mean_tok / CAST(10.0 AS DOUBLE))
-                     + CAST(0.7 AS DOUBLE) * distinct_ratio
-                     - CAST(1.5 AS DOUBLE) * digit_frac AS score,
-                   CASE WHEN (CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
-                            + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
-                            + CASE WHEN mean_tok BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)
-                           >= 0.7 THEN 1 ELSE 0 END AS y
+                   $qmScoreSql AS score,
+                   $qmLabelSql AS y
             FROM feats),
           g AS (
             SELECT source, score,
@@ -1156,31 +1104,11 @@ object Pipeline {
     // avg_score. Trivially scale-safe: output is |bins| rows.
     QueryDef(
       "pl_quality_calibration", {
-        val sw = TextFunctions.englishStopwords.toSeq.sorted
-          .map(w => s"'$w'").mkString(", ")
         Some(s"""
-          WITH tk AS (
-            SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
-          feats AS (
-            SELECT doc_id,
-                   CAST(len(tk) AS BIGINT) AS n_tokens,
-                   len(list_filter(tk, t -> list_contains([$sw], t))) * 1.0 / len(tk) AS stop_ratio,
-                   (length(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_tok,
-                   len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
-                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
-                     / length(text) AS digit_frac
-            FROM tk),
+          WITH $qmFeatsSql,
           scored AS (
-            SELECT CAST(-1.2 AS DOUBLE)
-                     + CAST(0.9 AS DOUBLE) * (least(n_tokens, 100) / CAST(100.0 AS DOUBLE))
-                     + CAST(0.8 AS DOUBLE) * stop_ratio
-                     + CAST(0.6 AS DOUBLE) * (mean_tok / CAST(10.0 AS DOUBLE))
-                     + CAST(0.7 AS DOUBLE) * distinct_ratio
-                     - CAST(1.5 AS DOUBLE) * digit_frac AS score,
-                   CASE WHEN (CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
-                            + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
-                            + CASE WHEN mean_tok BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)
-                           >= 0.7 THEN 1 ELSE 0 END AS y
+            SELECT $qmScoreSql AS score,
+                   $qmLabelSql AS y
             FROM feats)
           SELECT CAST(floor(score * CAST(8.0 AS DOUBLE)) AS BIGINT) AS bin,
                  CAST(floor(score * CAST(8.0 AS DOUBLE)) AS BIGINT) / CAST(8.0 AS DOUBLE) AS bin_lo,
@@ -1212,14 +1140,52 @@ object Pipeline {
       })
   )
 
-  /** Per-doc (source, score, y) for the model-eval queries: the logit
-    * score is pl_quality_model's feature chain VERBATIM (same ops,
-    * same order — cross-engine bit-equality is established there) and
-    * y is the heuristic curation gate ([[qualityScored]]'s quality
+  /** Shared oracle SQL for the quality-model trio (pl_quality_model /
+    * pl_quality_auc / pl_quality_calibration): the `tk`+`feats` CTEs
+    * and the score/label expressions are interpolated into all three
+    * queries from HERE, so a tweak to the model's weights or features
+    * cannot silently drift the eval queries away from the model they
+    * claim to evaluate. Spark twin: [[modelScoredWithLabel]]. */
+  private[graft] def qmFeatsSql: String = {
+    val sw = TextFunctions.englishStopwords.toSeq.sorted
+      .map(w => s"'$w'").mkString(", ")
+    s"""tk AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents),
+          feats AS (
+            SELECT doc_id, source,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   len(list_filter(tk, t -> list_contains([$sw], t))) * 1.0 / len(tk) AS stop_ratio,
+                   (length(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_tok,
+                   len(list_distinct(tk)) * 1.0 / len(tk) AS distinct_ratio,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                     / length(text) AS digit_frac
+            FROM tk)"""
+  }
+
+  private[graft] def qmScoreSql: String =
+    """CAST(-1.2 AS DOUBLE)
+                     + CAST(0.9 AS DOUBLE) * (least(n_tokens, 100) / CAST(100.0 AS DOUBLE))
+                     + CAST(0.8 AS DOUBLE) * stop_ratio
+                     + CAST(0.6 AS DOUBLE) * (mean_tok / CAST(10.0 AS DOUBLE))
+                     + CAST(0.7 AS DOUBLE) * distinct_ratio
+                     - CAST(1.5 AS DOUBLE) * digit_frac"""
+
+  private[graft] def qmLabelSql: String =
+    """CASE WHEN (CASE WHEN n_tokens >= 20 THEN 0.5 ELSE 0.0 END
+                            + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
+                            + CASE WHEN mean_tok BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)
+                           >= 0.7 THEN 1 ELSE 0 END"""
+
+  /** Per-doc (source, n_tokens, score, y) for the quality-model family:
+    * the logit score is pl_quality_model's feature chain VERBATIM (same
+    * ops, same order — cross-engine bit-equality is established there)
+    * and y is the heuristic curation gate ([[qualityScored]]'s quality
     * >= 0.7, the label the model filter stands in for), both from ONE
-    * row-local projection over one scan. */
-  private def modelScoredWithLabel(s: org.apache.spark.sql.SparkSession,
-                                   d: String): org.apache.spark.sql.DataFrame = {
+    * row-local projection over one scan. Package-private so
+    * QualityEvalSpec's naive formulation builds on the SAME projection
+    * and pins only the rank machinery. */
+  private[graft] def modelScoredWithLabel(s: org.apache.spark.sql.SparkSession,
+                                          d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val sw = TextFunctions.englishStopwords.toSeq.sorted
     documents(s, d)
@@ -1232,7 +1198,7 @@ object Pipeline {
         (size(array_distinct($"tk")) * lit(1.0) / size($"tk")).as("distinct_ratio"),
         ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * lit(1.0)
           / length($"text")).as("digit_frac"))
-      .select($"source",
+      .select($"source", $"n_tokens",
         (lit(-1.2)
           + lit(0.9) * (least($"n_tokens", lit(100L)) / lit(100.0))
           + lit(0.8) * $"stop_ratio"

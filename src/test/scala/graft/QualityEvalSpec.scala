@@ -24,30 +24,12 @@ class QualityEvalSpec extends SparkSpec {
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toMap
 
-    // naive: avg rank over a per-source single-partition window
-    val docs = graft.sources.Tables.documents(spark, sf)
-    val sw = graft.functions.TextFunctions.englishStopwords.toSeq.sorted
-    val feats = docs
-      .select($"source", $"text", split($"text", " ").as("tk"))
-      .select($"source",
-        size($"tk").cast("long").as("n_tokens"),
-        (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
-          / size($"tk")).as("stop_ratio"),
-        ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_tok"),
-        (size(array_distinct($"tk")) * lit(1.0) / size($"tk")).as("distinct_ratio"),
-        ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * lit(1.0)
-          / length($"text")).as("digit_frac"))
-      .select($"source",
-        (lit(-1.2)
-          + lit(0.9) * (least($"n_tokens", lit(100L)) / lit(100.0))
-          + lit(0.8) * $"stop_ratio"
-          + lit(0.6) * ($"mean_tok" / lit(10.0))
-          + lit(0.7) * $"distinct_ratio"
-          - lit(1.5) * $"digit_frac").as("score"),
-        ((when($"n_tokens" >= 20, 0.5).otherwise(0.0)
-          + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
-          + when($"mean_tok".between(3.0, 10.0), 0.2).otherwise(0.0)) >= 0.7)
-          .cast("long").as("y"))
+    // naive: avg rank over a per-source single-partition window,
+    // built on the SAME scored-with-label projection the production
+    // query uses — this test pins ONLY the rank machinery, so it
+    // cannot vacuously pass if the feature chain is edited in both
+    // copies but drifts from pl_quality_model
+    val feats = graft.operators.Pipeline.modelScoredWithLabel(spark, sf)
     val wr = Window.partitionBy($"source").orderBy($"score")
     val wt = Window.partitionBy($"source", $"score")
     val ranked = feats
