@@ -82,7 +82,9 @@ object SparkEntry {
       operators.Backtest.defs ++
       operators.IntervalJoin.defs ++
       operators.Leakage.defs ++
-      operators.MarkovAttribution.defs
+      operators.MarkovAttribution.defs ++
+      operators.MatrixProfile.defs ++
+      operators.LateInteraction.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
