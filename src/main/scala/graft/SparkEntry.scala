@@ -84,7 +84,8 @@ object SparkEntry {
       operators.Leakage.defs ++
       operators.MarkovAttribution.defs ++
       operators.MatrixProfile.defs ++
-      operators.LateInteraction.defs
+      operators.LateInteraction.defs ++
+      operators.Probe.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1176,6 +1176,38 @@ object Pipeline {
                             + CASE WHEN mean_tok BETWEEN 3.0 AND 10.0 THEN 0.2 ELSE 0.0 END)
                            >= 0.7 THEN 1 ELSE 0 END"""
 
+  /** Scaled feature rows for [[Probe]]'s linear probe: x0 = bias and
+    * x1..x5 are the quality model's features in ITS scaling (so the
+    * trained weights are directly comparable to the fixed logit's),
+    * with the heuristic gate as the double label. Same single scan and
+    * row-local chain as [[modelScoredWithLabel]]. */
+  private[graft] def modelFeatureRows(s: org.apache.spark.sql.SparkSession,
+                                      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sw = TextFunctions.englishStopwords.toSeq.sorted
+    documents(s, d)
+      .select($"text", split($"text", " ").as("tk"))
+      .select(
+        size($"tk").cast("long").as("n_tokens"),
+        (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
+          / size($"tk")).as("stop_ratio"),
+        ((length($"text") - size($"tk") + 1) * lit(1.0) / size($"tk")).as("mean_tok"),
+        (size(array_distinct($"tk")) * lit(1.0) / size($"tk")).as("distinct_ratio"),
+        ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * lit(1.0)
+          / length($"text")).as("digit_frac"))
+      .select(
+        lit(1.0).as("x0"),
+        (least($"n_tokens", lit(100L)) / lit(100.0)).as("x1"),
+        $"stop_ratio".as("x2"),
+        ($"mean_tok" / lit(10.0)).as("x3"),
+        $"distinct_ratio".as("x4"),
+        $"digit_frac".as("x5"),
+        ((when($"n_tokens" >= 20, 0.5).otherwise(0.0)
+          + when($"stop_ratio".between(0.01, 0.6), 0.3).otherwise(0.0)
+          + when($"mean_tok".between(3.0, 10.0), 0.2).otherwise(0.0)) >= 0.7)
+          .cast("double").as("y"))
+  }
+
   /** Per-doc (source, n_tokens, score, y) for the quality-model family:
     * the logit score is pl_quality_model's feature chain VERBATIM (same
     * ops, same order — cross-engine bit-equality is established there)
