@@ -85,7 +85,8 @@ object SparkEntry {
       operators.MarkovAttribution.defs ++
       operators.MatrixProfile.defs ++
       operators.LateInteraction.defs ++
-      operators.Probe.defs
+      operators.Probe.defs ++
+      operators.Jl.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

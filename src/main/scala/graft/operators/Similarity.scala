@@ -1348,7 +1348,7 @@ object Similarity {
     cents
   }
 
-  private def recallTail(truth0: DataFrame, cands0: DataFrame): DataFrame = {
+  private[operators] def recallTail(truth0: DataFrame, cands0: DataFrame): DataFrame = {
     // both inputs feed two consumers each (rank+stats, semi+base) —
     // materialize the expensive upstream (candidate scoring / brute
     // truth) once instead of re-running it per consumer
