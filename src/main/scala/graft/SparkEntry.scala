@@ -86,7 +86,8 @@ object SparkEntry {
       operators.MatrixProfile.defs ++
       operators.LateInteraction.defs ++
       operators.Probe.defs ++
-      operators.Jl.defs
+      operators.Jl.defs ++
+      operators.SeqPatterns.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

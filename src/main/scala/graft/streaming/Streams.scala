@@ -521,6 +521,45 @@ object Streams {
       }
       .start()
 
+  /** Streaming funnel-stage tracker — the stateful twin of the batch
+    * `ev_funnel` chained-minimum semantics (first view, first click at
+    * or after it, first purchase at or after that). Out-of-order
+    * arrival can RETROACTIVELY re-qualify a stage (an earlier view
+    * arriving late lowers v_ts, which may admit an earlier click), so
+    * per-user state keeps the full per-type timestamp lists and each
+    * batch that touches a user re-derives all three stage times from
+    * state — the attribution pattern: the LAST emission per user
+    * (n_events is the monotone selector) equals the batch answer for
+    * ANY arrival order, batch slicing, or restart. State is
+    * O(funnel-relevant events per user); production windows it with a
+    * timeout once users age out of the attribution horizon. */
+  final case class FunnelEvent(userId: Long, tse: Long, kind: Int)
+  final case class FunnelState(views: Seq[Long], clicks: Seq[Long],
+                               purchases: Seq[Long])
+  final case class FunnelEmit(user_id: Long, v_ts: Option[Long],
+                              c_ts: Option[Long], p_ts: Option[Long],
+                              n_events: Long)
+
+  def funnelStages(ev: Dataset[FunnelEvent]): Dataset[FunnelEmit] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.userId)
+      .flatMapGroupsWithState[FunnelState, FunnelEmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val st = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil))
+          val fresh = rows.toSeq
+          val views = st.views ++ fresh.filter(_.kind == 0).map(_.tse)
+          val clicks = st.clicks ++ fresh.filter(_.kind == 1).map(_.tse)
+          val purchases = st.purchases ++ fresh.filter(_.kind == 2).map(_.tse)
+          state.update(FunnelState(views, clicks, purchases))
+          val vts = views.minOption
+          val cts = vts.flatMap(v => clicks.filter(_ >= v).minOption)
+          val pts = cts.flatMap(c => purchases.filter(_ >= c).minOption)
+          Iterator.single(FunnelEmit(uid, vts, cts, pts,
+            (views.size + clicks.size + purchases.size).toLong))
+      }
+  }
+
   /** Streaming exact dedup with BOUNDED state:
     * `dropDuplicatesWithinWatermark` keeps one state row per key only
     * until the watermark passes that key's first-seen event time plus
