@@ -996,27 +996,34 @@ object Similarity {
       },
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
+        val spark0 = s
+        import spark0.implicits._
         val emb = embeddings(s, d).localCheckpoint()
+        // selected vectors ride into codegen as array<float> LITERALS
+        // (≤ 8·dim floats — the same bounded model state the broadcast
+        // formulation shipped), so each pick is ONE scan with a
+        // row-local greatest() over ≤ 8 inlined cosines feeding
+        // TakeOrderedAndProject — no crossJoin, no re-group shuffle,
+        // no per-round broadcast build job. max over comparisons is
+        // bit-portable, so the statistic is unchanged.
         var selected = Vector(0L)
+        var selEmbs: Vector[Seq[Float]] = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding")).as[Seq[Float]].collect().toVector
         val picks = Vector.newBuilder[(Long, Long, Option[Double])]
         picks += ((1L, 0L, None))
         for (i <- 1 to 7) {
-          val selEmb = broadcast(
-            emb.filter(col("vec_id").isin(selected: _*))
-              .select(col("embedding").as("semb")))
+          val mxCol = selEmbs
+            .map(e => cosineNative(col("embedding"), typedLit(e)))
+            .reduce((a, b) => greatest(a, b))
           val Array(row) = emb.filter(!col("vec_id").isin(selected: _*))
-            .crossJoin(selEmb)
-            .select(col("vec_id"),
-              cosineNative(col("embedding"), col("semb")).as("cos"))
-            .groupBy(col("vec_id")).agg(max(col("cos")).as("mx"))
+            .select(col("vec_id"), mxCol.as("mx"), col("embedding"))
             .orderBy(col("mx").asc, col("vec_id")) // TakeOrderedAndProject
             .limit(1)
             .collect()
           selected :+= row.getLong(0)
+          selEmbs :+= row.getSeq[Float](2)
           picks += (((i + 1).toLong, row.getLong(0), Some(row.getDouble(1))))
         }
-        val spark = s
-        import spark.implicits._
         picks.result()
           .toDF("pick", "vec_id", "max_cos")
           .orderBy(col("pick"))
