@@ -87,7 +87,8 @@ object SparkEntry {
       operators.LateInteraction.defs ++
       operators.Probe.defs ++
       operators.Jl.defs ++
-      operators.SeqPatterns.defs
+      operators.SeqPatterns.defs ++
+      operators.EntityRes.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
