@@ -88,7 +88,8 @@ object SparkEntry {
       operators.Probe.defs ++
       operators.Jl.defs ++
       operators.SeqPatterns.defs ++
-      operators.EntityRes.defs
+      operators.EntityRes.defs ++
+      operators.Dbscan.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

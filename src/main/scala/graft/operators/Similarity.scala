@@ -1182,7 +1182,7 @@ object Similarity {
       .dropDuplicates("i", "j")
   }
 
-  private def sqlIvfAssignedCte(nCentroids: Int, nAssign: Int): String = s"""
+  private[operators] def sqlIvfAssignedCte(nCentroids: Int, nAssign: Int): String = s"""
     cents AS (
       SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < $nCentroids),
     assigned AS (
