@@ -89,7 +89,9 @@ object SparkEntry {
       operators.Jl.defs ++
       operators.SeqPatterns.defs ++
       operators.EntityRes.defs ++
-      operators.Dbscan.defs
+      operators.Dbscan.defs ++
+      operators.LineDedup.defs ++
+      operators.Compaction.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

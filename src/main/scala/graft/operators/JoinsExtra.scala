@@ -82,6 +82,57 @@ object JoinsExtra {
           .orderBy($"event_id")
       }),
 
+    // Nearest join: for each click, the purchase by the same user
+    // CLOSEST on the time axis in EITHER direction (ties → the earlier
+    // purchase). Same scale shape as the as-of join — no inequality
+    // join anywhere: one shuffle by user, one ordered scan, with the
+    // backward candidate from a preceding-frame window and the forward
+    // candidate from a following-frame window; the nearest pick is then
+    // a row-local comparison. The oracle states the same semantics as
+    // two correlated extrema (DuckDB's privilege at oracle scale).
+    QueryDef(
+      "jx_nearest_join",
+      Some("""
+        WITH c AS (
+          SELECT event_id, user_id,
+                 (SELECT MAX(p.event_id) FROM events p
+                  WHERE p.user_id = c0.user_id AND p.event_type = 'purchase'
+                    AND p.event_id <= c0.event_id) AS prev_p,
+                 (SELECT MIN(p.event_id) FROM events p
+                  WHERE p.user_id = c0.user_id AND p.event_type = 'purchase'
+                    AND p.event_id > c0.event_id) AS next_p
+          FROM events c0
+          WHERE c0.event_type = 'click')
+        SELECT event_id, user_id,
+               CASE WHEN prev_p IS NULL THEN next_p
+                    WHEN next_p IS NULL THEN prev_p
+                    WHEN event_id - prev_p <= next_p - event_id THEN prev_p
+                    ELSE next_p END AS nearest_purchase_id
+        FROM c
+        ORDER BY event_id
+      """.trim),
+      (s, d) => {
+        import s.implicits._
+        val wb = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        events(s, d)
+          .withColumn("prev_p",
+            last(when($"event_type" === "purchase", $"event_id"), ignoreNulls = true)
+              .over(wb))
+          .withColumn("next_p",
+            first(when($"event_type" === "purchase", $"event_id"), ignoreNulls = true)
+              .over(wf))
+          .filter($"event_type" === "click")
+          .select($"event_id", $"user_id",
+            when($"prev_p".isNull, $"next_p")
+              .when($"next_p".isNull, $"prev_p")
+              .when($"event_id" - $"prev_p" <= $"next_p" - $"event_id", $"prev_p")
+              .otherwise($"next_p").as("nearest_purchase_id"))
+          .orderBy($"event_id")
+      }),
+
     // §2.10 — the registered UDF surface exercised through spark.sql:
     // clean_string + keyword_score over documents, oracle-translated to
     // DuckDB built-ins (the UDFs' semantics are SQL-expressible here by

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.QueryDef
+import graft.det
 import graft.functions.PortableHash
 import graft.sources.Tables._
 import org.apache.spark.sql.{DataFrame, Row}
@@ -617,6 +618,95 @@ object Multimodal {
           .filter($"rank" <= 3)
           .select($"qid", $"nid", $"rank".cast("long").as("rank"), $"cos")
           .orderBy($"qid", $"rank")
+      }),
+
+    // Image dedup at the CLUSTER level: the banded dHash pair graph
+    // contracted to connected components (min-label star fixpoint —
+    // Dedup.duplicateClusters verbatim) with keep-min representatives
+    // and cluster sizes — the dd_dup_clusters shape on the image
+    // channel, which is what a media pipeline actually deletes by
+    // (keep one per cluster, not one per pair). Oracle walks the same
+    // closure over its all-pairs Hamming relation.
+    QueryDef(
+      "mm_dedup_clusters",
+      Some(s"""
+        WITH RECURSIVE $sqlDhashSigsCte,
+        pairs AS (
+          SELECT a.doc_id AS i, b.doc_id AS j
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) <= 4),
+        edges AS (SELECT i AS a, j AS b FROM pairs
+                  UNION ALL SELECT j, i FROM pairs),
+        walk(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+        mins AS (SELECT a AS doc_id, MIN(b) AS mn FROM walk GROUP BY a),
+        reps AS (
+          SELECT d.doc_id,
+                 COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS cluster_rep
+          FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id)
+        SELECT doc_id, cluster_rep,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+        FROM reps
+        ORDER BY doc_id
+      """.trim),
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.duplicateClusters(docs,
+            Dedup.simhashPairs64(dhashSignatures(docs), 4)
+              .select(col("i"), col("j")))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Media admission gate: the quality filter a multimodal ingest
+    // runs on decoded METADATA alone before paying for any pixel work
+    // — resolution floor, frame-count band, payload-size floor — with
+    // per-source admission accounting (the funnel view that catches a
+    // feed shipping thumbnails). Decode is the portable fake
+    // (mm_media_meta's expression formulation); every predicate is
+    // row-local, the only shuffle is the final per-source groupBy.
+    QueryDef(
+      "mm_quality_gate", {
+        val h = "CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT)"
+        Some(s"""
+          WITH m AS (
+            SELECT doc_id, source,
+                   CAST(strlen(text) AS BIGINT) AS byte_size,
+                   CAST(16 * (1 + ($h // 65536) % 64) AS BIGINT) AS width,
+                   CAST(16 * (1 + $h % 64) AS BIGINT) AS height,
+                   CAST(1 + ($h // 4096) % 16 AS BIGINT) AS n_frames
+            FROM documents),
+          g AS (
+            SELECT source,
+                   CASE WHEN width * height >= 65536 AND n_frames BETWEEN 2 AND 12
+                             AND byte_size >= 200 THEN 1 ELSE 0 END AS admitted
+            FROM m)
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_media,
+                 CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+                 ${det.sqlSnap9("SUM(admitted) * 1.0 / COUNT(*)")} AS admit_rate
+          FROM g GROUP BY source ORDER BY source
+        """.trim)
+      },
+      (s, d) => {
+        import s.implicits._
+        val h = PortableHash.h32($"text")
+        documents(s, d).select(
+            $"source",
+            octet_length($"text").cast("long").as("byte_size"),
+            (lit(16) * (expr("1") + (h.divide(lit(65536L)).cast("long")) % 64)).cast("long").as("width"),
+            (lit(16) * (expr("1") + h % 64)).cast("long").as("height"),
+            (lit(1) + (h.divide(lit(4096L)).cast("long")) % 16).cast("long").as("n_frames"))
+          .select($"source",
+            when($"width" * $"height" >= 65536 && $"n_frames".between(2, 12) &&
+              $"byte_size" >= 200, 1L).otherwise(0L).as("admitted"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_media"),
+            sum($"admitted").as("n_admitted"),
+            graft.det.snap9(sum($"admitted") * 1.0 / count(lit(1))).as("admit_rate"))
+          .orderBy($"source")
       })
   )
 }
