@@ -91,7 +91,8 @@ object SparkEntry {
       operators.EntityRes.defs ++
       operators.Dbscan.defs ++
       operators.LineDedup.defs ++
-      operators.Compaction.defs
+      operators.Compaction.defs ++
+      operators.RangeSearch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
