@@ -92,7 +92,9 @@ object SparkEntry {
       operators.Dbscan.defs ++
       operators.LineDedup.defs ++
       operators.Compaction.defs ++
-      operators.RangeSearch.defs
+      operators.RangeSearch.defs ++
+      operators.MediaBatch.defs ++
+      operators.ActiveLearning.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

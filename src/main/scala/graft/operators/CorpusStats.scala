@@ -136,50 +136,6 @@ object CorpusStats {
           snap6(($"sy" - slope * $"sx") / $"n").as("zipf_intercept"))
       }),
 
-    // Per-document n-gram NOVELTY in corpus order: the fraction of a
-    // doc's distinct trigrams first seen in THAT doc (global min
-    // doc_id per gram — the same keep-first shuffle as span dedup).
-    // The novelty curve is the curation signal for crawl snapshots:
-    // a snapshot whose docs are mostly old grams is a re-crawl and
-    // gets down-sampled. One row-local explode to distinct trigrams,
-    // one gram-keyed min aggregate, one equi-join back, one doc
-    // rollup — nothing quadratic, no driver state.
-    QueryDef(
-      "ta_ngram_novelty",
-      Some(s"""
-        WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-                    WHERE len(string_split(text, ' ')) >= 3),
-        grams AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
-                 i -> tk[i] || chr(1) || tk[i+1] || chr(1) || tk[i+2]))) AS g
-          FROM tk),
-        firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
-        SELECT gr.doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_grams,
-               CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-               ${snap9Sql("SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) * 1.0 / COUNT(*)")} AS novelty
-        FROM grams gr JOIN firsts f ON gr.g = f.g
-        GROUP BY gr.doc_id
-        ORDER BY gr.doc_id
-      """.trim),
-      (s, d) => {
-        import s.implicits._
-        val grams = documents(s, d)
-          .select($"doc_id", split($"text", " ").as("tk"))
-          .filter(size($"tk") >= 3)
-          .select($"doc_id", explode(array_distinct(
-            expr("transform(sequence(1, size(tk) - 2), " +
-              "i -> concat_ws(char(1), tk[i-1], tk[i], tk[i+1]))"))).as("g"))
-        val firsts = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
-        grams.join(firsts, Seq("g"))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
-          .select($"doc_id", $"n_grams", $"n_novel",
-            snap9($"n_novel" * 1.0 / $"n_grams").as("novelty"))
-          .orderBy($"doc_id")
-      }),
-
     // The datasheet header every released corpus ships: per
     // (source, lang) stratum — doc count, token volume, mean and
     // median tokens, span of doc ids. One explode-free pass (token

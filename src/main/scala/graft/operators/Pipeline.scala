@@ -1221,8 +1221,8 @@ object Pipeline {
     import s.implicits._
     val sw = TextFunctions.englishStopwords.toSeq.sorted
     documents(s, d)
-      .select($"source", $"text", split($"text", " ").as("tk"))
-      .select($"source",
+      .select($"doc_id", $"source", $"text", split($"text", " ").as("tk"))
+      .select($"doc_id", $"source",
         size($"tk").cast("long").as("n_tokens"),
         (size(filter($"tk", t => array_contains(array(sw.map(lit): _*), t))) * lit(1.0)
           / size($"tk")).as("stop_ratio"),
@@ -1230,7 +1230,7 @@ object Pipeline {
         (size(array_distinct($"tk")) * lit(1.0) / size($"tk")).as("distinct_ratio"),
         ((length($"text") - length(regexp_replace($"text", "[0-9]", ""))) * lit(1.0)
           / length($"text")).as("digit_frac"))
-      .select($"source", $"n_tokens",
+      .select($"doc_id", $"source", $"n_tokens",
         (lit(-1.2)
           + lit(0.9) * (least($"n_tokens", lit(100L)) / lit(100.0))
           + lit(0.8) * $"stop_ratio"

@@ -2,37 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Structural invariants for the n-gram novelty curve, the dataset
-  * card, and range similarity search, on the real sf0.001 tables. The
-  * oracles pin exact values; these pin the laws downstream curation
-  * relies on (conservation against the corpus, probability bounds,
-  * radius completeness), so a rework can't keep the hash while
-  * breaking the contract.
+/** Structural invariants for the dataset card and range similarity
+  * search, on the real sf0.001 tables. The oracles pin exact values;
+  * these pin the laws downstream curation relies on (conservation
+  * against the corpus, radius completeness), so a rework can't keep
+  * the hash while breaking the contract.
   */
 class CorpusCardSpec extends SparkSpec {
-
-  test("ngram novelty: bounds hold, the first doc is fully novel, and " +
-    "novel-gram totals conserve the corpus-wide distinct-trigram count") {
-    import spark.implicits._
-    val out = operators.CorpusStats.defs
-      .find(_.name == "ta_ngram_novelty").get.fn(spark, sf).localCheckpoint()
-    assert(out.filter($"n_novel" > $"n_grams" || $"n_novel" < 0 ||
-      $"novelty" < 0.0 || $"novelty" > 1.0).count() == 0L)
-    // the smallest doc_id in the output sees every one of its grams first
-    val first = out.orderBy($"doc_id").select($"novelty").as[Double].head()
-    assert(first == 1.0)
-    // every distinct trigram is novel in exactly one doc (its min-doc),
-    // so Σ n_novel over docs = corpus-wide distinct trigram count
-    val grams = sources.Tables.documents(spark, sf)
-      .select(split($"text", " ").as("tk"))
-      .filter(size($"tk") >= 3)
-      .select(explode(array_distinct(expr(
-        "transform(sequence(1, size(tk) - 2), " +
-          "i -> concat_ws(char(1), tk[i-1], tk[i], tk[i+1]))"))).as("g"))
-    val nDistinct = grams.distinct().count()
-    val sumNovel = out.agg(sum($"n_novel")).as[Long].head()
-    assert(sumNovel == nDistinct)
-  }
 
   test("dataset card: strata partition the corpus (doc and token " +
     "conservation) and the median sits inside each stratum's range") {
