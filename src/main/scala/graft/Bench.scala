@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The superlinearity verdict as a pure function so a spec can feed
+    * it a planted quadratic: flag when t(big)/t(small) far exceeds the
+    * 10× data ratio AND the big-scale time is ≥ 1 s (below that,
+    * fixed per-job overhead dominates both scales and the ratio is
+    * noise). Ratios < 0 are the error sentinel (the small-scale run
+    * failed — recorded, never silently flagged or dropped). Threshold
+    * 15 on a 10× step ≈ flags anything growing ~1.5× faster than
+    * linear; r6's 25 let a 24.4 in-suite ratio sail under. */
+  private[graft] def flagSuperlinear(
+      ratios: Map[String, Double],
+      bigTime: Map[String, Double],
+      threshold: Double = 15.0): Seq[String] =
+    ratios.collect {
+      case (name, r) if r > threshold && bigTime.getOrElse(name, 0.0) >= 1.0 =>
+        name
+    }.toSeq.sorted
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,6 +28,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Fingerprint stability: plan treeStrings truncate long node
+      // strings (file-scan metadata at 100 chars, >25 fields elided).
+      // ExprIds have varying digit widths across suite compositions,
+      // so a FIXED-LENGTH cut lands on different characters and two
+      // identical plans print differently — normalize by not
+      // truncating at all, then strip the ids.
+      .config("spark.sql.maxMetadataStringLength", "100000")
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JIT/codegen/parquet readers so the first measured query
@@ -52,6 +77,54 @@ object Bench {
           .digest(canon.getBytes("UTF-8"))
           .take(6).map(b => f"${b & 0xff}%02x").mkString
       } catch { case _: Throwable => "err" }
+    // Composition-STABLE fingerprint: the canonicalized OPTIMIZED
+    // logical plan, hashed before AQE and before physical planning.
+    // The executed-plan fp above is cache/AQE-composition-sensitive
+    // (r6 carried three different executed fps for dd_minhash_lsh with
+    // zero code change), so it can pin AQE shape but cannot adjudicate
+    // "plan changed vs host noise" across runs with different suite
+    // composition. This one can: with per-query isolation clearing all
+    // cache/persisted state first, the optimized plan is a pure
+    // function of the code + input schema.
+    def fingerprintOpt(df: org.apache.spark.sql.DataFrame): String =
+      try {
+        // Builder-internal persist() embeds an InMemoryRelation whose
+        // cached PHYSICAL subtree carries live (un-canonicalized)
+        // exprIds and plan/rdd ids — strip all volatile id tokens.
+        val canon = df.queryExecution.optimizedPlan.canonicalized.treeString
+          .replaceAll("#\\d+", "#*")          // exprIds (belt-and-braces)
+          .replaceAll("plan_id=\\d+", "plan_id=*")
+          .replaceAll("cachedrdd_\\d+", "cachedrdd_*")
+          .replaceAll("\\bExistingRDD\\b.*", "ExistingRDD *") // RDD ids from localCheckpoint scans
+          .replaceAll("\\bLogicalRDD\\b.*", "LogicalRDD *")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(canon.getBytes("UTF-8"))
+          .take(6).map(b => f"${b & 0xff}%02x").mkString
+      } catch { case _: Throwable => "err" }
+    // Per-query isolation beyond the SQL cache: localCheckpoint()ed
+    // RDDs are persisted OUTSIDE the catalog cache, so clearCache()
+    // never releases them — across a 300-query suite their blocks pin
+    // BlockManager memory and inflate later rows (r6: dd_minhash_lsh
+    // 12.1 s in the full-suite artifact vs 1.8 s isolated — a harness
+    // artifact, not a regression). Enumerate and unpersist every
+    // persisted RDD, then nudge GC so ContextCleaner reaps broadcast
+    // and shuffle state from the finished query too.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(rdd => try rdd.unpersist(blocking = true)
+          catch { case _: Throwable => () })
+      // Two GC passes with a short drain pause: the first enqueues the
+      // finished query's RDD/broadcast/shuffle weak refs, the
+      // ContextCleaner thread processes them asynchronously, and the
+      // second pass collects what the cleanup itself released. ~100 ms
+      // per query buys later queries a driver heap that doesn't carry
+      // 300 queries of broadcast/shuffle state.
+      System.gc()
+      Thread.sleep(50)
+      System.gc()
+      Thread.sleep(50)
+    }
     // debug aid: dump the canonical text per query for fingerprint triage
     val fpDump = sys.env.get("SPARK_GRAFT_FP_DUMP")
     def dumpCanon(name: String, df: org.apache.spark.sql.DataFrame): Unit =
@@ -59,9 +132,11 @@ object Bench {
         try {
           val canon = df.queryExecution.executedPlan.canonicalized.treeString
             .replaceAll("plan_id=\\d+", "plan_id=*")
+          val canonOpt = df.queryExecution.optimizedPlan.canonicalized.treeString
           val pdir = java.nio.file.Paths.get(dir)
           java.nio.file.Files.createDirectories(pdir)
           java.nio.file.Files.writeString(pdir.resolve(s"$name.txt"), canon)
+          java.nio.file.Files.writeString(pdir.resolve(s"$name.opt.txt"), canonOpt)
         } catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -76,10 +151,11 @@ object Bench {
       // clear runs BEFORE the warm run, so within a query the warm
       // methodology is unchanged: warm run fills this query's caches,
       // measured runs reuse them.
-      spark.catalog.clearCache()
+      isolate()
       // the fingerprint's DataFrame doubles as the unmeasured warm run
       val df0 = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
       val fp = df0.map(fingerprint).getOrElse("err")
+      val fpo = df0.map(fingerprintOpt).getOrElse("err")
       df0.foreach(dumpCanon(name, _))
       df0.foreach(df => try df.write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () })
@@ -88,10 +164,11 @@ object Bench {
         runOnce(fn)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      (name, times(times.length / 2), fp)
+      (name, times(times.length / 2), fp, fpo)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    isolate()
     // Superlinearity gate: re-time every query at a 10×-smaller scale
     // (one warm + one measured run — same methodology, cheaper) and
     // flag t(big)/t(small) ratios far above the 10× data ratio. This
@@ -105,30 +182,33 @@ object Bench {
     // the standard sf0.1 artifact run.
     val ratioDir = sys.env.getOrElse("SPARK_GRAFT_RATIO_DIR",
       if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else "")
+    // A query that errors or hangs at the small scale is EXACTLY the
+    // failure mode this gate hunts — record it as the -1.0 sentinel
+    // (visible in the artifact) instead of silently dropping it from
+    // the ratio map.
     val ratios: Map[String, Double] =
       if (ratioDir.isEmpty || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(ratioDir))) Map.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .flatMap { case (name, fn) =>
-          spark.catalog.clearCache()
+        .map { case (name, fn) =>
+          isolate()
           try {
             fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
             val t0 = System.nanoTime()
             fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
             val small = (System.nanoTime() - t0) / 1e9
-            results.find(_._1 == name).map { case (_, big, _) =>
-              name -> (if (small > 0) big / small else 0.0)
-            }
-          } catch { case _: Throwable => None }
+            name -> results.find(_._1 == name)
+              .map { case (_, big, _, _) => if (small > 0) big / small else 0.0 }
+              .getOrElse(-1.0)
+          } catch { case _: Throwable => name -> -1.0 }
         }.toMap
-    val bigTime = results.map { case (k, v, _) => k -> v }.toMap
-    val superlinear = ratios.collect {
-      case (name, r) if r > 25.0 && bigTime.getOrElse(name, 0.0) >= 1.0 => name
-    }.toSeq.sorted
+    val bigTime = results.map { case (k, v, _, _) => k -> v }.toMap
+    val superlinear = flagSuperlinear(ratios, bigTime)
+    val ratioErrors = ratios.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     // One aggregate fingerprint for the (size-capped) stdout line; the
     // per-query map lives in docs/bench_full.json.
     val plansFp = {
-      val all = results.map { case (k, _, fp) => s"$k=$fp" }.mkString(";")
+      val all = results.map { case (k, _, fp, _) => s"$k=$fp" }.mkString(";")
       java.security.MessageDigest.getInstance("MD5")
         .digest(all.getBytes("UTF-8")).take(6).map(b => f"${b & 0xff}%02x").mkString
     }
@@ -136,14 +216,16 @@ object Bench {
     // ~2000 chars of stdout, so a 100+-entry JSON line gets truncated
     // and never parses — BENCH_r01/r02 both recorded parsed:null).
     val fullJson = {
-      val qs = results.map { case (k, v, _) => s"\"$k\":" + v }.mkString(",")
-      val fps = results.map { case (k, _, fp) => s"\"$k\":\"$fp\"" }.mkString(",")
+      val qs = results.map { case (k, v, _, _) => s"\"$k\":" + v }.mkString(",")
+      val fps = results.map { case (k, _, fp, _) => s"\"$k\":\"$fp\"" }.mkString(",")
+      val fpos = results.map { case (k, _, _, fpo) => s"\"$k\":\"$fpo\"" }.mkString(",")
       val rs = ratios.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":" + r3(v) }.mkString(",")
       val sl = superlinear.map(n => s"\"$n\"").mkString(",")
+      val re = ratioErrors.map(n => s"\"$n\"").mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},""" +
-        s""""queries":{$qs},"plans":{$fps},"plans_fp":"$plansFp",""" +
-        s""""ratios":{$rs},"ratio_dir":"$ratioDir","superlinear":[$sl],"sf":"$sfDir"}"""
+        s""""queries":{$qs},"plans":{$fps},"plans_opt":{$fpos},"plans_fp":"$plansFp",""" +
+        s""""ratios":{$rs},"ratio_dir":"$ratioDir","superlinear":[$sl],"ratio_errors":[$re],"sf":"$sfDir"}"""
     }
     // SPARK_GRAFT_BENCH_OUT overrides the artifact path (useful for
     // subset iteration); without it, subset runs never clobber the
@@ -169,8 +251,11 @@ object Bench {
       "ev_session_window", "pl_corpus_curation", "gx_pagerank",
       "gx_triangles", "sk_countmin", "cl_commit_log",
       "ta_bpe_merges", "pl_curation_v2", "q32_recursive_cte",
-      "dd_incremental", "ta_bpe_apply")
-    val resMap = results.map { case (k, v, _) => k -> v }.toMap
+      "dd_incremental", "ta_bpe_apply",
+      // r7: price last round's weak rows mechanically every round.
+      "er_edit1_pairs", "er_blocking_quality", "er_entity_clusters",
+      "er_fellegi_sunter", "sim_dbscan")
+    val resMap = results.map { case (k, v, _, _) => k -> v }.toMap
     val qs = headline.flatMap(k => resMap.get(k).map(v => s"\"$k\":" + r3(v)))
       .mkString("{", ",", "}")
     // Per-query fps for the regression-watch set go in the stdout line
@@ -186,8 +271,14 @@ object Bench {
       // r6: the fixed day-grid rollups — fp must stay on the
       // explode+equi-join shape (no BroadcastNestedLoopJoin).
       "ev_rolling_distinct", "ev_rolling_distinct_hll", "ev_stickiness",
-      "sim_pq_recall")
-    val fpMap = results.map { case (k, _, fp) => k -> fp }.toMap
+      "sim_pq_recall",
+      // r7: the reworked er family (position-tagged FastSS — fp must
+      // stay on the no-levenshtein shape) + the DBSCAN ε-relation.
+      "er_edit1_pairs", "er_blocking_quality", "sim_dbscan")
+    // the stdout watch map carries the composition-stable OPTIMIZED fp
+    // (executed fps proved composition-unstable in r6 — three values
+    // for one unchanged query); executed fps stay in bench_full.json.
+    val fpMap = results.map { case (k, _, _, fpo) => k -> fpo }.toMap
     val wfps = watch.flatMap(k => fpMap.get(k).map(fp => s"\"$k\":\"$fp\""))
       .mkString("{", ",", "}")
     val sl = superlinear.map(n => s"\"$n\"").mkString("[", ",", "]")

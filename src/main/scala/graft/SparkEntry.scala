@@ -94,7 +94,9 @@ object SparkEntry {
       operators.Compaction.defs ++
       operators.RangeSearch.defs ++
       operators.MediaBatch.defs ++
-      operators.ActiveLearning.defs
+      operators.ActiveLearning.defs ++
+      operators.WavMedia.defs ++
+      operators.BmpMedia.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

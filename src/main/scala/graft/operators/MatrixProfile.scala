@@ -35,11 +35,22 @@ object MatrixProfile {
     QueryDef(
       "ts_matrix_profile",
       Some(s"""
-        WITH cnt AS (
+        WITH cnt0 AS (
           SELECT event_type,
                  (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000 AS h,
                  COUNT(*) AS x
           FROM events GROUP BY 1, 2),
+        -- mirror of the Spark-side raise_error guard: an event hour
+        -- outside the fixed 720-hour window must FAIL here too, not
+        -- silently fall out of the grid join (divergent failure
+        -- behavior otherwise if the events table ever extends past
+        -- 2024-01-01 + 720 h)
+        cnt AS (
+          SELECT event_type, h,
+                 CASE WHEN h < 0 OR h >= 720
+                      THEN CAST(error('ts_matrix_profile: hour outside the fixed 720-hour window: ' || h) AS BIGINT)
+                      ELSE x END AS x
+          FROM cnt0),
         grid AS (
           SELECT t.event_type, g.h, COALESCE(c.x, 0) AS x
           FROM (SELECT DISTINCT event_type FROM events) t

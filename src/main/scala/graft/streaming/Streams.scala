@@ -422,6 +422,40 @@ object Streams {
       }
       .start()
 
+  /** Streaming entity-resolution admission — the twin of
+    * `er_incremental`: arriving records (custkey, name, nation,
+    * segment) are matched micro-batch by micro-batch against the
+    * STATIC name-registry index
+    * ([[graft.operators.EntityRes.buildNameRegistry]] — position-tagged
+    * deletion variants + blocking attributes, persisted as a table)
+    * via the same batch operator
+    * ([[graft.operators.EntityRes.admitAgainstRegistry]]). Each
+    * record's verdict (matched registered entities, best match,
+    * is-new) depends only on the index — never batch×batch — so the
+    * stream output converges exactly to the batch twin for any batch
+    * slicing or restart; epoch-keyed idempotent writes make replays
+    * no-ops (same contract as [[incrementalAdmit]]). */
+  def erAdmit(
+      records: DataFrame,
+      registry: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      nLogPartitions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val verdict = graft.operators.EntityRes.admitAgainstRegistry(batch, registry)
+        val payload = verdict.select(
+          col("c_custkey").cast("string").as("key"),
+          concat_ws("|",
+            col("n_matches").cast("string"),
+            coalesce(col("best_match").cast("string"), lit("-")),
+            col("is_new").cast("string")).as("value"))
+        graft.io.CommitLog.writeEpoch(outDir, nLogPartitions, epochId, payload)
+      }
+      .start()
+
   /** Live sessionization — the stateful half of the streaming
     * concurrency monitor. Per-user state is the full (event_id, t)
     * set; each micro-batch that touches a user re-derives ALL that
@@ -489,18 +523,18 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (emits: Dataset[SessionEmit], epochId: Long) =>
         val sp = emits.sparkSession
-        val snapBase = java.nio.file.Paths.get(outDir, "snapshot")
+        val snapBase = s"$outDir/snapshot"
         val cur = emits.toDF()
-        val prevEpoch =
-          if (!java.nio.file.Files.isDirectory(snapBase)) None
-          else {
-            val it = java.nio.file.Files.list(snapBase)
-            try it.iterator().asScala
-              .map(_.getFileName.toString)
-              .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
-              .filter(_ < epochId).maxOption
-            finally it.close()
-          }
+        // Hadoop FS, not java.nio: outDir is HDFS/S3/abfs in any real
+        // deployment — the driver-local-filesystem assumption only
+        // holds in tests.
+        val basePath = new org.apache.hadoop.fs.Path(snapBase)
+        val fs = basePath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val epochs: Seq[Long] =
+          if (!fs.exists(basePath)) Seq.empty
+          else fs.listStatus(basePath).toSeq.map(_.getPath.getName)
+            .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
+        val prevEpoch = epochs.filter(_ < epochId).maxOption
         val merged = prevEpoch match {
           case Some(pe) =>
             sp.read.parquet(s"$snapBase/epoch=$pe")
@@ -518,6 +552,16 @@ object Streams {
             concat_ws("|", col("user_id"), col("session_no")).as("key"),
             concat_ws("|", col("session_start"), col("session_end"),
               col("n_overlaps")).as("value")))
+        // Snapshot GC — storage stays bounded at ≤ 2 epochs: a replay
+        // of THIS epoch (crash before its checkpoint commit) re-reads
+        // only the predecessor, so everything older is dead. The
+        // predecessor itself must survive until this epoch's commit,
+        // hence "< prev", never "<= prev".
+        prevEpoch.foreach { pe =>
+          epochs.filter(_ < pe).foreach { e =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$snapBase/epoch=$e"), true)
+          }
+        }
       }
       .start()
 

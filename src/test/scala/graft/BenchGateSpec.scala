@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Self-test of the bench superlinearity gate (`Bench.flagSuperlinear`)
+  * — feeds it a planted quadratic so the gate itself is pinned (the r6
+  * gate shipped a clean bill of health computed from polluted ratios;
+  * at minimum the verdict FUNCTION must provably catch a known-bad
+  * input).
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("flags a planted quadratic and only it") {
+    // 10× data step: linear ≈ 10, quadratic ≈ 100.
+    val ratios = Map(
+      "q_linear" -> 9.8,
+      "q_sublinear" -> 3.1,
+      "q_quadratic" -> 98.4,
+      "q_borderline_ok" -> 14.9)
+    val big = Map(
+      "q_linear" -> 4.0,
+      "q_sublinear" -> 2.0,
+      "q_quadratic" -> 12.0,
+      "q_borderline_ok" -> 3.0)
+    assert(Bench.flagSuperlinear(ratios, big) === Seq("q_quadratic"))
+  }
+
+  test("sub-second rows never flag (per-job overhead dominates)") {
+    val ratios = Map("q_tiny" -> 40.0)
+    assert(Bench.flagSuperlinear(ratios, Map("q_tiny" -> 0.4)).isEmpty)
+  }
+
+  test("error sentinel (-1) is carried, not flagged") {
+    val ratios = Map("q_broken_small_scale" -> -1.0, "q_bad" -> 20.0)
+    val big = Map("q_broken_small_scale" -> 5.0, "q_bad" -> 5.0)
+    assert(Bench.flagSuperlinear(ratios, big) === Seq("q_bad"))
+  }
+
+  test("missing big-scale time defaults to not-flagged") {
+    assert(Bench.flagSuperlinear(Map("q_x" -> 50.0), Map.empty).isEmpty)
+  }
+}

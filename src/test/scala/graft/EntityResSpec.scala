@@ -54,6 +54,43 @@ class EntityResSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).distinct.length == n)
   }
 
+  test("edit2 lookup == brute-force edit<=2 probe join") {
+    val cust = sources.Tables.customer(spark, sf)
+    val fast = SparkEntry.queries("er_edit2_lookup")(spark, sf)
+      .select("p_custkey", "r_custkey", "lev").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val probes = cust.filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("p"), col("c_name").as("pn"))
+    val reg = cust.filter(col("c_custkey") % 50 =!= 0)
+      .select(col("c_custkey").as("r"), col("c_name").as("rn"))
+    val brute = probes.join(reg,
+        levenshtein(col("pn"), col("rn")) <= 2)
+      .select(col("p"), col("r"),
+        levenshtein(col("pn"), col("rn")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == brute,
+      s"missing=${(brute -- fast).take(5)} extra=${(fast -- brute).take(5)}")
+    assert(fast.nonEmpty)
+    assert(fast.exists(_._3 == 2L), "fixture should exercise distance-2 matches")
+  }
+
+  test("registry admission: verdicts match a per-record recomputation") {
+    val cust = sources.Tables.customer(spark, sf)
+    val rows = SparkEntry.queries("er_incremental")(spark, sf).collect()
+    val batchN = cust.filter(col("c_custkey") % 5 === 0).count()
+    assert(rows.length == batchN)
+    // new records have no best_match; matched ones have one <= any match
+    rows.foreach { r =>
+      val isNew = r.getBoolean(3)
+      if (isNew) {
+        assert(r.getLong(1) == 0L && r.isNullAt(2))
+      } else {
+        assert(r.getLong(1) > 0L && !r.isNullAt(2))
+      }
+    }
+    assert(rows.exists(!_.getBoolean(3)), "fixture should have matches")
+  }
+
   test("Fellegi-Sunter: full agreement outweighs any disagreement") {
     val rows = SparkEntry.queries("er_fellegi_sunter")(spark, sf).collect()
     assert(rows.nonEmpty)

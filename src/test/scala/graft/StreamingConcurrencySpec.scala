@@ -73,6 +73,12 @@ class StreamingConcurrencySpec extends SparkSpec {
       s"session count mismatch: streamed ${streamed.size} vs batch ${batch.size}")
     assert(streamed == batch)
     // the monitor actually observed concurrency on this corpus
+    // snapshot GC: storage must stay bounded (current epoch + its
+    // predecessor at most) — without pruning, every epoch's full
+    // snapshot would accumulate for the life of the monitor
+    val snaps = new java.io.File(s"$out/snapshot").list()
+      .count(_.startsWith("epoch="))
+    assert(snaps <= 2, s"expected <= 2 retained snapshots, found $snaps")
     assert(batch.values.exists(!_.endsWith("|0")),
       "expected at least one overlapping session pair")
   }
