@@ -96,7 +96,9 @@ object SparkEntry {
       operators.MediaBatch.defs ++
       operators.ActiveLearning.defs ++
       operators.WavMedia.defs ++
-      operators.BmpMedia.defs
+      operators.BmpMedia.defs ++
+      operators.Privacy.defs ++
+      operators.Bitext.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,38 @@
+package graft
+
+/** Margin-mining pins: every mined pair clears the margin bar, pairs
+  * cross sides (even label → odd label), and the candidate join is
+  * IVF-bucketed (equi-join, no cross product).
+  */
+class BitextSpec extends SparkSpec {
+
+  test("mined pairs clear the margin bar and cross sides") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("sim_margin_bitext")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 1.05, s"margin ${r.getDouble(3)} <= 1.05")
+      assert(r.getLong(2) > 0, "mined pair with non-positive cosine")
+    }
+    val emb = sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(emb(r.getLong(0)) % 2 == 0 && emb(r.getLong(1)) % 2 == 1,
+        "pair does not cross the even/odd split")
+    }
+  }
+
+  test("candidate generation is bucketed, not a cross product") {
+    val plan = SparkEntry.queries("sim_margin_bitext")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the pair join must be the centroid-bucketed equi-join; the only
+    // nested-loop nodes allowed are ivfAssignTop's bounded 16-row
+    // centroid-block crosses (every vector scores 16 centroids — a
+    // broadcast dimension, same as sim_dbscan / the ivf ann family)
+    val smj = plan.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(smj >= 1, s"expected a shuffled pair equi-join, plan:\n$plan")
+  }
+}
