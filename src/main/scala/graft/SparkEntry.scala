@@ -98,7 +98,8 @@ object SparkEntry {
       operators.WavMedia.defs ++
       operators.BmpMedia.defs ++
       operators.Privacy.defs ++
-      operators.Bitext.defs
+      operators.Bitext.defs ++
+      operators.Stl.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
