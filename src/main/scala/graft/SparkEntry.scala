@@ -99,7 +99,12 @@ object SparkEntry {
       operators.BmpMedia.defs ++
       operators.Privacy.defs ++
       operators.Bitext.defs ++
-      operators.Stl.defs
+      operators.Stl.defs ++
+      operators.DataLaws.defs ++
+      operators.Encoding.defs ++
+      operators.Walks.defs ++
+      operators.Sequential.defs ++
+      operators.HoltWinters.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
