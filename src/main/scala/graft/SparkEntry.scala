@@ -104,7 +104,10 @@ object SparkEntry {
       operators.Encoding.defs ++
       operators.Walks.defs ++
       operators.Sequential.defs ++
-      operators.HoltWinters.defs
+      operators.HoltWinters.defs ++
+      operators.LjungBox.defs ++
+      operators.Preference.defs ++
+      operators.SnapshotDiff.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -87,34 +87,43 @@ object Sequential {
           .groupBy($"user_id", $"arm")
           .agg(min($"day").as("d0"),
             min(when($"event_type" === "purchase", $"day")).as("dc"))
-        val condSums = looks.flatMap { k =>
-          val dd = lookDay(k)
-          Seq(
-            sum(when($"arm" === 0 && $"d0" <= dd, 1).otherwise(0)).as(s"na$k"),
-            sum(when($"arm" === 1 && $"d0" <= dd, 1).otherwise(0)).as(s"nb$k"),
-            sum(when($"arm" === 0 && $"dc" <= dd, 1).otherwise(0)).as(s"ca$k"),
-            sum(when($"arm" === 1 && $"dc" <= dd, 1).otherwise(0)).as(s"cb$k"))
-        }
-        val m = u.agg(condSums.head, condSums.tail: _*)
-        val t = looks.map { k =>
-          m.select(lit(k.toLong).as("look"), lit(lookDay(k)).as("day"),
-            col(s"na$k").as("na"), col(s"nb$k").as("nb"),
-            col(s"ca$k").as("ca"), col(s"cb$k").as("cb"))
-        }.reduce(_ unionByName _)
-        def nz(col: org.apache.spark.sql.Column) =
-          when(col === 0, lit(null)).otherwise(col)
-        val pa = $"ca" * lit(1.0) / nz($"na")
-        val pb = $"cb" * lit(1.0) / nz($"nb")
-        val pp = ($"ca" + $"cb") * lit(1.0) / ($"na" + $"nb")
-        val se = sqrt(pp * (lit(1) - pp)
-          * (lit(1.0) / nz($"na") + lit(1.0) / nz($"nb")))
-        val z = det.snap9((pa - pb) / nz(se))
-        val boundary = det.snap9(lit(c.toDouble) / sqrt($"look" / lit(5.0)))
-        t.select($"look".cast("long").as("look"), $"day".cast("long").as("day"),
-            $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
-            $"ca".cast("long").as("conv_a"), $"cb".cast("long").as("conv_b"),
-            z.as("z"), boundary.as("boundary"),
-            (abs(z) > boundary).as("crossed"))
-          .orderBy($"look")
+        lookTable(u)
       }))
+
+  /** The monitoring table from per-user (arm, d0 = first activity day,
+    * dc = first conversion day) state — shared verbatim by the batch
+    * query above and [[graft.streaming.Streams.sequentialMonitor]], so
+    * the streaming twin cannot drift from the batch semantics. */
+  def lookTable(u: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val condSums = looks.flatMap { k =>
+      val dd = lookDay(k)
+      Seq(
+        sum(when(col("arm") === 0 && col("d0") <= dd, 1).otherwise(0)).as(s"na$k"),
+        sum(when(col("arm") === 1 && col("d0") <= dd, 1).otherwise(0)).as(s"nb$k"),
+        sum(when(col("arm") === 0 && col("dc") <= dd, 1).otherwise(0)).as(s"ca$k"),
+        sum(when(col("arm") === 1 && col("dc") <= dd, 1).otherwise(0)).as(s"cb$k"))
+    }
+    val m = u.agg(condSums.head, condSums.tail: _*)
+    val t = looks.map { k =>
+      m.select(lit(k.toLong).as("look"), lit(lookDay(k)).as("day"),
+        col(s"na$k").as("na"), col(s"nb$k").as("nb"),
+        col(s"ca$k").as("ca"), col(s"cb$k").as("cb"))
+    }.reduce(_ unionByName _)
+    def nz(c0: org.apache.spark.sql.Column) =
+      when(c0 === 0, lit(null)).otherwise(c0)
+    val pa = col("ca") * lit(1.0) / nz(col("na"))
+    val pb = col("cb") * lit(1.0) / nz(col("nb"))
+    val pp = (col("ca") + col("cb")) * lit(1.0) / (col("na") + col("nb"))
+    val se = sqrt(pp * (lit(1) - pp)
+      * (lit(1.0) / nz(col("na")) + lit(1.0) / nz(col("nb"))))
+    val z = det.snap9((pa - pb) / nz(se))
+    val boundary = det.snap9(lit(c.toDouble) / sqrt(col("look") / lit(5.0)))
+    t.select(col("look").cast("long").as("look"),
+        col("day").cast("long").as("day"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("ca").cast("long").as("conv_a"), col("cb").cast("long").as("conv_b"),
+        z.as("z"), boundary.as("boundary"),
+        (abs(z) > boundary).as("crossed"))
+      .orderBy(col("look"))
+  }
 }

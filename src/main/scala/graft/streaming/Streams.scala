@@ -456,6 +456,71 @@ object Streams {
       }
       .start()
 
+  /** Streaming group-sequential experiment monitor — the live twin of
+    * `ev_sequential_test`: arriving events (user_id, day, purchase
+    * flag) fold into per-user (arm, first-activity day,
+    * first-conversion day) state via an epoch-keyed snapshot merge
+    * (pairwise `least` on a full-outer join — min is commutative /
+    * idempotent, so replays and arrival order cannot change state),
+    * then the monitoring table is recomputed from the snapshot by the
+    * SAME batch operator ([[graft.operators.Sequential.lookTable]])
+    * and published with the idempotent epoch write. Converges to the
+    * batch query for any batch slicing or restart; snapshot GC keeps
+    * ≤ 2 epochs on disk (the concurrencyMonitor contract). */
+  def sequentialMonitor(
+      events: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      nLogPartitions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val sp = batch.sparkSession
+        val snapBase = s"$outDir/snapshot"
+        val cur = batch
+          .groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"),
+            min(when(col("purchase"), col("day"))).as("dc"))
+        val basePath = new org.apache.hadoop.fs.Path(snapBase)
+        val fs = basePath.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        val epochs: Seq[Long] =
+          if (!fs.exists(basePath)) Seq.empty
+          else fs.listStatus(basePath).toSeq.map(_.getPath.getName)
+            .collect { case s if s.startsWith("epoch=") => s.drop(6).toLong }
+        val prevEpoch = epochs.filter(_ < epochId).maxOption
+        val merged = prevEpoch match {
+          case Some(pe) =>
+            val prev = sp.read.parquet(s"$snapBase/epoch=$pe")
+              .select(col("user_id"), col("d0").as("p_d0"), col("dc").as("p_dc"))
+            prev.join(cur, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                least(col("p_d0"), col("d0")).as("d0"),
+                least(col("p_dc"), col("dc")).as("dc"))
+          case None => cur
+        }
+        merged.write.mode("overwrite").parquet(s"$snapBase/epoch=$epochId")
+        val table = graft.operators.Sequential.lookTable(
+          sp.read.parquet(s"$snapBase/epoch=$epochId")
+            .select(col("user_id"), (col("user_id") % 2).as("arm"),
+              col("d0"), col("dc")))
+        graft.io.CommitLog.writeEpoch(s"$outDir/log", nLogPartitions, epochId,
+          table.select(
+            lit(epochId * 1000000L).as("ts"),
+            col("look").cast("string").as("key"),
+            concat_ws("|", col("day"), col("n_a"), col("n_b"),
+              col("conv_a"), col("conv_b"),
+              coalesce(col("z").cast("string"), lit("-")),
+              col("boundary"),
+              coalesce(col("crossed").cast("string"), lit("-"))).as("value")))
+        prevEpoch.foreach { pe =>
+          epochs.filter(_ < pe).foreach { e =>
+            fs.delete(new org.apache.hadoop.fs.Path(s"$snapBase/epoch=$e"), true)
+          }
+        }
+      }
+      .start()
+
   /** Live sessionization — the stateful half of the streaming
     * concurrency monitor. Per-user state is the full (event_id, t)
     * set; each micro-batch that touches a user re-derives ALL that
@@ -548,7 +613,7 @@ object Streams {
             .select(col("user_id"), col("session_no"), col("s"), col("e")))
         graft.io.CommitLog.writeEpoch(s"$outDir/log", nLogPartitions, epochId,
           counts.select(
-            lit(epochId).as("ts"),
+            lit(epochId * 1000000L).as("ts"),
             concat_ws("|", col("user_id"), col("session_no")).as("key"),
             concat_ws("|", col("session_start"), col("session_end"),
               col("n_overlaps")).as("value")))
