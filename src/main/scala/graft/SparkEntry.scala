@@ -107,7 +107,12 @@ object SparkEntry {
       operators.HoltWinters.defs ++
       operators.LjungBox.defs ++
       operators.Preference.defs ++
-      operators.SnapshotDiff.defs
+      operators.SnapshotDiff.defs ++
+      operators.Pacf.defs ++
+      operators.Stress.defs ++
+      operators.Uplift.defs ++
+      operators.SchemaDrift.defs ++
+      operators.Stylometry.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
