@@ -112,7 +112,11 @@ object SparkEntry {
       operators.Stress.defs ++
       operators.Uplift.defs ++
       operators.SchemaDrift.defs ++
-      operators.Stylometry.defs
+      operators.Stylometry.defs ++
+      operators.Jackknife.defs ++
+      operators.Haar.defs ++
+      operators.Moments.defs ++
+      operators.UnitRoot.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
