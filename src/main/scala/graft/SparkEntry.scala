@@ -116,7 +116,11 @@ object SparkEntry {
       operators.Jackknife.defs ++
       operators.Haar.defs ++
       operators.Moments.defs ++
-      operators.UnitRoot.defs
+      operators.UnitRoot.defs ++
+      operators.Katz.defs ++
+      operators.TemporalReach.defs ++
+      operators.Kappa.defs ++
+      operators.Propensity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
