@@ -120,7 +120,11 @@ object SparkEntry {
       operators.Katz.defs ++
       operators.TemporalReach.defs ++
       operators.Kappa.defs ++
-      operators.Propensity.defs
+      operators.Propensity.defs ++
+      operators.Silhouette.defs ++
+      operators.Sax.defs ++
+      operators.SynthControl.defs ++
+      operators.PixelEntropy.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
