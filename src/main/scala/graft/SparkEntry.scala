@@ -124,7 +124,11 @@ object SparkEntry {
       operators.Silhouette.defs ++
       operators.Sax.defs ++
       operators.SynthControl.defs ++
-      operators.PixelEntropy.defs
+      operators.PixelEntropy.defs ++
+      operators.Hurst.defs ++
+      operators.Qlm.defs ++
+      operators.Switchback.defs ++
+      operators.WavPitch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
