@@ -128,7 +128,10 @@ object SparkEntry {
       operators.Hurst.defs ++
       operators.Qlm.defs ++
       operators.Switchback.defs ++
-      operators.WavPitch.defs
+      operators.WavPitch.defs ++
+      operators.Rake.defs ++
+      operators.RegDiscontinuity.defs ++
+      operators.Sharpness.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
