@@ -131,7 +131,11 @@ object SparkEntry {
       operators.WavPitch.defs ++
       operators.Rake.defs ++
       operators.RegDiscontinuity.defs ++
-      operators.Sharpness.defs
+      operators.Sharpness.defs ++
+      operators.SubgroupEffects.defs ++
+      operators.SpanCorruption.defs ++
+      operators.Burstiness.defs ++
+      operators.FdCheck.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
