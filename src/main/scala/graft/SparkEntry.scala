@@ -135,7 +135,11 @@ object SparkEntry {
       operators.SubgroupEffects.defs ++
       operators.SpanCorruption.defs ++
       operators.Burstiness.defs ++
-      operators.FdCheck.defs
+      operators.FdCheck.defs ++
+      operators.Cointegration.defs ++
+      operators.MdePlanner.defs ++
+      operators.MotifCensus.defs ++
+      operators.AmsSketch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
