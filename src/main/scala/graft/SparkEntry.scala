@@ -139,7 +139,8 @@ object SparkEntry {
       operators.Cointegration.defs ++
       operators.MdePlanner.defs ++
       operators.MotifCensus.defs ++
-      operators.AmsSketch.defs
+      operators.AmsSketch.defs ++
+      operators.Pareto.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

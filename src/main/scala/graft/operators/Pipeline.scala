@@ -1332,4 +1332,42 @@ object Pipeline {
       .withColumn("run_sum", element_at(offsetMap, col("pid")) + sum(col("rsv")).over(w))
       .drop("pid", "rsv")
   }
+
+  /** Scale-safe STRICT prefix max of a LONG column in a total order:
+    * `pre_max` on each row equals `MAX(value) OVER (ORDER BY ... ROWS
+    * BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` — null on the
+    * global first row — built like [[globalRunningSum]]: range-shard,
+    * per-shard window, per-shard max offsets (one long per shard of
+    * driver traffic) so no single-partition window ever forms. Same
+    * TOTAL-order contract on `order` as globalRunningSum. The strict
+    * (exclusive) frame is what staircase algorithms (skyline,
+    * record-breaking scans) need. */
+  def globalPrefixMax(df: org.apache.spark.sql.DataFrame,
+                      order: Seq[org.apache.spark.sql.Column],
+                      value: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(p, order: _*)
+      .withColumn("pid", spark_partition_id())
+      .withColumn("pmv", value.cast("long"))
+      .localCheckpoint()
+    val maxes = ranged.groupBy(col("pid")).agg(max(col("pmv")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offset(i) = max over shards strictly before i; None when empty
+    val offsets = (0 until p).scanLeft(Option.empty[Long]) { (acc, i) =>
+      (acc.toSeq ++ maxes.get(i).toSeq).reduceOption((a, b) => math.max(a, b))
+    }
+    val offsetMap = typedLit((0 until p).flatMap(i =>
+      offsets(i).map(o => i -> o)).toMap)
+    val w = Window.partitionBy(col("pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("pre_max",
+        greatest(
+          coalesce(element_at(offsetMap, col("pid")), lit(Long.MinValue)),
+          coalesce(max(col("pmv")).over(w), lit(Long.MinValue))))
+      .withColumn("pre_max",
+        when(col("pre_max") === Long.MinValue, lit(null).cast("long"))
+          .otherwise(col("pre_max")))
+      .drop("pid", "pmv")
+  }
 }

@@ -292,6 +292,28 @@ object Streams {
       .groupBy(col("variant"))
       .agg(count(lit(1)).as("n"), sum(col("dv")).as("sv"), sum(col("dv2")).as("sv2"))
 
+  /** Streaming switchback monitor — the live side of ev_switchback:
+    * per hour-parity arm, the all-events and burn-in-excluded ("core",
+    * ≥10 min into the hour) counts and cent-scaled value sums. All
+    * four counters are commutative monoids, so the Update-mode
+    * aggregate converges to the batch arms under any micro-batch
+    * slicing or restart; the burn-in contrast derived from the final
+    * emission equals the batch query's. State is two rows. */
+  def switchbackMoments(events: DataFrame): DataFrame =
+    events
+      .select(
+        (expr("unix_micros(ts) div 3600000000") % 2).as("arm"),
+        when(expr("unix_micros(ts) % 3600000000") >= 600000000L, 1L)
+          .otherwise(0L).as("core"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(col("v")).as("s_all"),
+        sum(col("core")).as("n_core"),
+        sum(when(col("core") === 1L, col("v"))
+          .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+          .as("s_core"))
+
   /** Streaming drift monitor — the live side of ev_psi: per value-bin
     * pre/post purchase counts. Integer counts are a commutative
     * monoid, so the Update-mode aggregate converges to the batch bins

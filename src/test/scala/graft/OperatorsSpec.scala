@@ -491,6 +491,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("globalPrefixMax equals the single-partition strict prefix max on every row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i.toLong, ((i * 13) % 31).toLong)).toDF("id", "v")
+      .repartition(7)
+    val got = Pipeline.globalPrefixMax(df, Seq($"v".desc, $"id"), $"v")
+      .select($"id", $"pre_max").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val want = df.select($"id",
+        max($"v").over(Window.orderBy($"v".desc, $"id")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("pm"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == want)
+  }
+
   test("top-k plans as TakeOrderedAndProject (no global sort)") {
     val plan = SparkEntry.queries("q09_top_events_by_value")(spark, sf)
       .queryExecution.executedPlan.toString
