@@ -140,7 +140,11 @@ object SparkEntry {
       operators.MdePlanner.defs ++
       operators.MotifCensus.defs ++
       operators.AmsSketch.defs ++
-      operators.Pareto.defs
+      operators.Pareto.defs ++
+      operators.Interarrival.defs ++
+      operators.Kpss.defs ++
+      operators.Elasticity.defs ++
+      operators.CategoricalPsi.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
