@@ -144,7 +144,11 @@ object SparkEntry {
       operators.Interarrival.defs ++
       operators.Kpss.defs ++
       operators.Elasticity.defs ++
-      operators.CategoricalPsi.defs
+      operators.CategoricalPsi.defs ++
+      operators.GoodTuring.defs ++
+      operators.OffPolicy.defs ++
+      operators.TurningPoints.defs ++
+      operators.JsTimeDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
