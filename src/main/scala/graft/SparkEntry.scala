@@ -148,7 +148,10 @@ object SparkEntry {
       operators.GoodTuring.defs ++
       operators.OffPolicy.defs ++
       operators.TurningPoints.defs ++
-      operators.JsTimeDrift.defs
+      operators.JsTimeDrift.defs ++
+      operators.GoldenRecord.defs ++
+      operators.RfmMigration.defs ++
+      operators.SeasonalStrength.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
