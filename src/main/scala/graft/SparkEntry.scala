@@ -151,7 +151,10 @@ object SparkEntry {
       operators.JsTimeDrift.defs ++
       operators.GoldenRecord.defs ++
       operators.RfmMigration.defs ++
-      operators.SeasonalStrength.defs
+      operators.SeasonalStrength.defs ++
+      operators.BlobCount.defs ++
+      operators.KmvSketch.defs ++
+      operators.NdcgEval.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
