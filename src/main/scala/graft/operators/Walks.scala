@@ -84,19 +84,31 @@ object Walks {
           // reused by all L step joins; partitioned on the join key
           .repartition(col("src"))
           .persist()
+        // per-node degree as its own keyed relation: the step picks its
+        // neighbor RANK on the frontier side first, so the adjacency
+        // join is a true two-key equi-join on (src, idx) — one matching
+        // row per walk, never a neighbor fan-out filtered after the fact
+        val degrees = adj.groupBy(col("src").as("d_node"))
+          .agg(max(col("deg")).as("d_deg"))
         var frontier: DataFrame = adj.select(col("src").as("node")).distinct()
           .crossJoin(s.range(0, W).select(col("id").as("walk")))
           .select(col("node").as("start"), col("walk"), col("node").as("cur"))
+          .localCheckpoint()
         val out = Seq.newBuilder[DataFrame]
         out += frontier.select(col("start"), col("walk"),
           lit(0L).as("step"), col("cur").as("node"))
         for (k <- 1 to L) {
           val choice = PortableHash.h32(concat(
             col("cur").cast("string"), lit(":"),
-            col("walk").cast("string"), lit(":"), lit(k.toString))) % col("deg")
+            col("walk").cast("string"), lit(":"), lit(k.toString))) % col("d_deg")
+          // eager checkpoint per step: the L output branches below must
+          // read materialized state, not re-derive k joins each
           frontier = frontier
-            .join(adj, col("src") === col("cur") && col("idx") === choice)
+            .join(degrees, col("d_node") === col("cur"))
+            .withColumn("pick", choice)
+            .join(adj, col("src") === col("cur") && col("idx") === col("pick"))
             .select(col("start"), col("walk"), col("dst").as("cur"))
+            .localCheckpoint()
           out += frontier.select(col("start"), col("walk"),
             lit(k.toLong).as("step"), col("cur").as("node"))
         }
