@@ -154,7 +154,11 @@ object SparkEntry {
       operators.SeasonalStrength.defs ++
       operators.BlobCount.defs ++
       operators.KmvSketch.defs ++
-      operators.NdcgEval.defs
+      operators.NdcgEval.defs ++
+      operators.SesSelect.defs ++
+      operators.WeibullFit.defs ++
+      operators.Rendezvous.defs ++
+      operators.DedupCostModel.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
