@@ -158,7 +158,9 @@ object SparkEntry {
       operators.SesSelect.defs ++
       operators.WeibullFit.defs ++
       operators.Rendezvous.defs ++
-      operators.DedupCostModel.defs
+      operators.DedupCostModel.defs ++
+      operators.ControlChart.defs ++
+      operators.BloomFpr.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -182,6 +182,37 @@ object Streams {
       }
   }
 
+  /** Streaming KMV (bottom-k theta) sketch state: the k smallest
+    * distinct portable hashes per key. */
+  final case class KmvState(minima: Seq[Long])
+  final case class KmvEmit(key: String, kth: Long, nKept: Int)
+
+  /** Streaming KMV distinct sketch — the live side of sk_kmv_distinct:
+    * per event type, maintain the k smallest DISTINCT portable hashes
+    * of the user id; the latest emission carries the current k-th
+    * minimum (θ), from which the estimate (k−1)·2³²/θ derives. The
+    * bottom-k-of-a-set is a commutative idempotent merge (union then
+    * re-take k), so the final state converges to the batch order
+    * statistic under any micro-batch slicing or restart. State is k
+    * longs per key — bounded by the sketch, not the stream. */
+  def kmvMinima(events: DataFrame, k: Int = 64): Dataset[KmvEmit] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"),
+        graft.functions.PortableHash.h32(col("user_id").cast("string"))
+          .as("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvEmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.minima).getOrElse(Seq.empty)
+          val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          Iterator.single(KmvEmit(key, merged.last, merged.size))
+      }
+  }
+
   /** Streaming MinHash dedup state: per distinct signature, the
     * canonical (smallest) doc id seen and how many docs mapped to it. */
   final case class SigState(canonicalId: Long, nDocs: Long)
