@@ -160,7 +160,11 @@ object SparkEntry {
       operators.Rendezvous.defs ++
       operators.DedupCostModel.defs ++
       operators.ControlChart.defs ++
-      operators.BloomFpr.defs
+      operators.BloomFpr.defs ++
+      operators.Hurdle.defs ++
+      operators.Doulion.defs ++
+      operators.ClusterPurity.defs ++
+      operators.FormatDispatch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
