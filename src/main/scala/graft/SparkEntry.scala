@@ -164,7 +164,10 @@ object SparkEntry {
       operators.Hurdle.defs ++
       operators.Doulion.defs ++
       operators.ClusterPurity.defs ++
-      operators.FormatDispatch.defs
+      operators.FormatDispatch.defs ++
+      operators.Absorption.defs ++
+      operators.Streaks.defs ++
+      operators.Reconcile.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
