@@ -167,7 +167,11 @@ object SparkEntry {
       operators.FormatDispatch.defs ++
       operators.Absorption.defs ++
       operators.Streaks.defs ++
-      operators.Reconcile.defs
+      operators.Reconcile.defs ++
+      operators.LooValue.defs ++
+      operators.IdGaps.defs ++
+      operators.Qte.defs ++
+      operators.EmWeights.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
