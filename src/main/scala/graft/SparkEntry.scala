@@ -171,7 +171,11 @@ object SparkEntry {
       operators.LooValue.defs ++
       operators.IdGaps.defs ++
       operators.Qte.defs ++
-      operators.EmWeights.defs
+      operators.EmWeights.defs ++
+      operators.GrowthAccounting.defs ++
+      operators.CountSketch.defs ++
+      operators.FightinWords.defs ++
+      operators.PowerLaw.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
