@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   */
 object KmvSketch {
 
-  private val k = 64
+  private val k = 8
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
