@@ -175,7 +175,10 @@ object SparkEntry {
       operators.GrowthAccounting.defs ++
       operators.CountSketch.defs ++
       operators.FightinWords.defs ++
-      operators.PowerLaw.defs
+      operators.PowerLaw.defs ++
+      operators.ClusterStability.defs ++
+      operators.BudgetAllocation.defs ++
+      operators.Gumbel.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
