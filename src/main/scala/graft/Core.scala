@@ -74,7 +74,7 @@ object sources {
       * parallel downstream compute. At production scale the file
       * listing already yields ≥ parallelism splits and this is a no-op.
       */
-    private def balanced(df: DataFrame): DataFrame = {
+    def balanced(df: DataFrame): DataFrame = {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < target) df.repartition(target) else df
     }
@@ -119,4 +119,28 @@ object det {
 
   /** SQL mirror of [[snap9]]. */
   def sqlSnap9(e: String): String = s"round(($e) * 1e9) / 1e9"
+
+  /** Magnitude-safe snap for large values: [[snap9]] silently diverges
+    * between engines once |x|·1e9 exceeds 2^53 (|x| ≳ 9e6 — cent-scaled
+    * daily sums hit this at sf0.1, the r7 `ts_forecast_reconcile` red
+    * row). The 1e-6 grid keeps x·1e6 exact up to |x| ≈ 9e9. Use for any
+    * snapped operand that can reach millions at the largest fixture. */
+  def snap6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
+
+  /** SQL mirror of [[snap6]]. */
+  def sqlSnap6(e: String): String = s"round(($e) * 1e6) / 1e6"
+}
+
+/** Log hygiene for the driver-run entry points (Bench/Verify): the
+  * driver keeps only the last ~2000 chars of stdout+stderr, and at a
+  * ~400-query surface the WindowExec "No Partition Defined" warning —
+  * emitted once per bounded-frame window (top-k already limited,
+  * ≤31-day calendars, decile tables; all audited bounded) — floods
+  * that tail with 20 copies of itself and zero signal (r7 verdict). */
+object logs {
+  def quietWindowWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 }

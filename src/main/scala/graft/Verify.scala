@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    logs.quietWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated subset for local iteration (driver never
     // sets it, so the gate always runs the full suite).

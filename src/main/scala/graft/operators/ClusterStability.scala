@@ -92,18 +92,14 @@ object ClusterStability {
       (s, d) => {
         import s.implicits._
         val cust = customer(s, d)
-        val attrs = cust.select($"c_custkey", $"c_nationkey", $"c_mktsegment")
-        val medges = EntityRes.edit1Pairs(cust)
-          .join(attrs.select($"c_custkey".as("a"),
-            $"c_nationkey".as("na"), $"c_mktsegment".as("sa")), "a")
-          .join(attrs.select($"c_custkey".as("b"),
-            $"c_nationkey".as("nb"), $"c_mktsegment".as("sb")), "b")
-          .filter($"na" === $"nb" && $"sa" === $"sb")
-          .select($"a", $"b")
+        val medges = EntityRes.matchEdges(cust)
           .localCheckpoint() // consumed by both clusterings + counts
+        // no checkpoint: the only consumers are ccLabels (which
+        // checkpoints its own deduped edge input immediately) and the
+        // fused edge-count aggregate below, both reading the medges
+        // checkpoint through one cheap filter.
         val dropped = medges.filter(PortableHash.h32(concat(
           $"a".cast("string"), lit("~"), $"b".cast("string"))) % 2 === 0)
-          .localCheckpoint()
         def labels(es: org.apache.spark.sql.DataFrame, name: String) = {
           val lab = Dedup.ccLabels(es.select($"a".as("u"), $"b".as("v")))
             .select($"u".as("c_custkey"), $"v".as("rep"))
@@ -112,20 +108,31 @@ object ClusterStability {
             .select($"c_custkey",
               coalesce(least($"c_custkey", $"rep"), $"c_custkey").as(name))
         }
+        // Eager checkpoint: `both` feeds the contingency table AND the
+        // n_records/cluster-count aggregates — without it each of the
+        // three consumers re-runs BOTH CC fixpoints (the r7 bench
+        // tail: 5.8 s for a query whose real work is two fixpoints).
         val both = labels(medges, "lf").join(labels(dropped, "lh"), "c_custkey")
+          .localCheckpoint()
         val nij = both.groupBy($"lf", $"lh").agg(count(lit(1)).as("n"))
           .localCheckpoint()
+        // Fused one-row branches: n/k_full/k_half in ONE aggregate over
+        // `both`, the two edge counts in ONE conditional aggregate over
+        // `medges` (the dropout coin re-evaluated as a count filter) —
+        // every extra one-row branch is a separate exchange + AQE
+        // sub-job, and at this data size scheduling is the runtime.
         val si = nij.groupBy($"lf").agg(sum($"n").as("n"))
           .agg(sum(expr("n * (n - 1) div 2")).as("si"))
         val sj = nij.groupBy($"lh").agg(sum($"n").as("n"))
           .agg(sum(expr("n * (n - 1) div 2")).as("sj"))
         val sij = nij.agg(sum(expr("n * (n - 1) div 2")).as("sij"))
-        val tot = both.agg(count(lit(1)).as("n"))
-        val ks = both.agg(countDistinct($"lf").as("k_full"),
+        val tot = both.agg(count(lit(1)).as("n"),
+          countDistinct($"lf").as("k_full"),
           countDistinct($"lh").as("k_half"))
-        val ef = medges.agg(count(lit(1)).as("edges_full"))
-        val eh = dropped.agg(count(lit(1)).as("edges_half"))
-        tot.crossJoin(ks).crossJoin(ef).crossJoin(eh)
+        val ecnt = medges.agg(count(lit(1)).as("edges_full"),
+          count(when(PortableHash.h32(concat($"a".cast("string"), lit("~"),
+            $"b".cast("string"))) % 2 === 0, 1)).as("edges_half"))
+        tot.crossJoin(ecnt)
           .crossJoin(si).crossJoin(sj).crossJoin(sij)
           .select($"n".cast("long").as("n_records"),
             $"k_full".cast("long").as("clusters_full"),

@@ -413,24 +413,43 @@ object Dedup {
     * NON-minimum node (the minimum has no row — callers coalesce to
     * self). Deterministic: the fixpoint is unique. */
   private[operators] def ccLabels(rawEdges: DataFrame): DataFrame = {
+    // LAZY checkpoints + ONE action per round: on post-blocking edge
+    // sets (a few thousand edges) the fixpoint's cost is pure
+    // job-scheduling floor, so the loop is engineered down to a single
+    // job per round — the convergence aggregate below computes `next`
+    // (materializing its lazy checkpoint, which truncates lineage for
+    // the NEXT round) and reads `cur` (materialized last round) and
+    // decides set-equality in the same pass. The r7 version paid three
+    // actions per round (eager checkpoint + count + union-distinct
+    // count). One star pair per checkpoint is still deliberate: each
+    // star's output feeds TWO subtrees of the next (the mins join side
+    // and the union side), so batching two pairs per checkpoint
+    // doubles the uncheckpointed lineage per level and re-executes the
+    // first pair — measured 40% SLOWER than checkpointing every pair.
+    // (Measured dead end, for the record: disabling AQE around the
+    // fixpoint — on the theory that per-exchange materialization
+    // sub-jobs are the floor — made every CC consumer 10-15% SLOWER;
+    // AQE's single-partition coalescing of these kilobyte exchanges
+    // outweighs its sub-job overhead.)
     val edges0 = rawEdges
       .where(col("u") =!= col("v"))
-      .distinct().localCheckpoint()
-    var cur = ccSmallStar(ccLargeStar(edges0)).localCheckpoint()
-    var curCnt = cur.count()
-    var converged = curCnt == 0L
+      .distinct().localCheckpoint(false)
+    var cur = ccSmallStar(ccLargeStar(edges0)).localCheckpoint(false)
+    var converged = false
     while (!converged) {
-      // One star pair per checkpoint is deliberate: each star's output
-      // feeds TWO subtrees of the next (the mins join side and the
-      // union side), so batching two pairs per checkpoint doubles the
-      // uncheckpointed lineage per level and re-executes the first
-      // pair — measured 40% SLOWER than checkpointing every pair.
-      val next = ccSmallStar(ccLargeStar(cur)).localCheckpoint()
-      val nextCnt = next.count()
-      converged = nextCnt == curCnt &&
-        next.union(cur).distinct().count() == curCnt
+      val next = ccSmallStar(ccLargeStar(cur)).localCheckpoint(false)
+      // Set equality in one job: tag-sum over the union — a pair in
+      // both sides sums to 3; the sets are equal iff every distinct
+      // pair is (n_union == n_both). An empty fixpoint (no edges)
+      // gives 0 == 0 — converged.
+      val stats = next.select(col("u"), col("v"), lit(1).as("s"))
+        .union(cur.select(col("u"), col("v"), lit(2).as("s")))
+        .groupBy(col("u"), col("v")).agg(sum(col("s")).as("s"))
+        .agg(count(lit(1)).as("n_union"),
+          count(when(col("s") === 3, 1)).as("n_both"))
+        .head()
+      converged = stats.getLong(0) == stats.getLong(1)
       cur = next
-      curCnt = nextCnt
     }
     cur
   }

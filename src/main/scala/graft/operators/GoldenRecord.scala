@@ -88,48 +88,63 @@ object GoldenRecord {
       """.trim),
       (s, d) => {
         val cust = customer(s, d)
-        val attrs = cust.select(col("c_custkey"),
-          col("c_nationkey"), col("c_mktsegment"))
-        val edges = EntityRes.edit1Pairs(cust)
-          .join(attrs.select(col("c_custkey").as("a"),
-            col("c_nationkey").as("na"), col("c_mktsegment").as("sa")), "a")
-          .join(attrs.select(col("c_custkey").as("b"),
-            col("c_nationkey").as("nb"), col("c_mktsegment").as("sb")), "b")
-          .filter(col("na") === col("nb") && col("sa") === col("sb"))
+        val edges = EntityRes.matchEdges(cust)
           .select(col("a").as("u"), col("b").as("v"))
         val labels = Dedup.ccLabels(edges)
           .select(col("u").as("c_custkey"), col("v").as("rep0"))
+        // Eager checkpoint: `labeled` fans out to five consumers (the
+        // entity agg, the member filter, two vote aggregates, two
+        // distinct-counts) — without it each consumer re-derives the
+        // FastSS pairs subtree AND the CC fixpoint from scratch (the
+        // r7 bench tail: 4.9 s; the same r6 fix the core four er
+        // queries already carry).
         val labeled = cust
           .join(labels, Seq("c_custkey"), "left")
           .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
             col("c_acctbal"),
             coalesce(least(col("c_custkey"), col("rep0")), col("c_custkey"))
               .as("rep"))
+          .localCheckpoint()
         val multi = labeled.groupBy(col("rep"))
           .agg(count(lit(1)).as("entity_size"),
             max(col("c_acctbal")).as("golden_acctbal"))
           .filter(col("entity_size") >= 2)
         val members = labeled.join(multi.select(col("rep")), "rep")
-        def vote(field: String, golden: String, conflict: String) = {
-          val v = members.groupBy(col("rep"), col(field).as("v"))
-            .agg(count(lit(1)).as("c"))
-          val w = Window.partitionBy(col("rep"))
-            .orderBy(col("c").desc, col("v").asc)
-          val dist = members.groupBy(col("rep"))
-            .agg(countDistinct(col(field)).as("nd"))
-          v.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .join(dist, "rep")
-            .select(col("rep"), col("v").as(golden),
-              (col("nd") > 1).as(conflict))
-        }
-        val nbest = vote("c_nationkey", "golden_nation", "nation_conflict")
-        val sbest = vote("c_mktsegment", "golden_segment", "segment_conflict")
-        multi.join(nbest, "rep").join(sbest, "rep")
+        // One melted vote pass for BOTH attributes: explode each member
+        // to (rep, fld, value), count votes in one aggregate, rank and
+        // count-distinct-values in one window pass (nd = rows per
+        // (rep, fld) group = distinct values, since the group is the
+        // post-count relation), then pivot the two winners back in one
+        // rollup. The per-field version ran 2 aggregates + 2 windows +
+        // 2 distinct-aggregates + 3 joins — at this data size every
+        // extra exchange is pure scheduling floor. Nation values ride
+        // as zero-padded strings (0..24 → 2 digits) so the "smaller
+        // value" tiebreak stays numeric under the string sort.
+        val voted = members.select(col("rep"),
+            explode(map(
+              lit("n"), lpad(col("c_nationkey").cast("string"), 2, "0"),
+              lit("s"), col("c_mktsegment"))).as(Seq("fld", "v")))
+          .groupBy(col("rep"), col("fld"), col("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("rep"), col("fld"))
+          .orderBy(col("c").desc, col("v").asc)
+        val wc = Window.partitionBy(col("rep"), col("fld"))
+        val best = voted
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nd", count(lit(1)).over(wc))
+          .filter(col("rn") === 1)
+        val golden = best.groupBy(col("rep")).agg(
+          max(when(col("fld") === "n", col("v"))).as("gn"),
+          max(when(col("fld") === "n", col("nd"))).as("ndn"),
+          max(when(col("fld") === "s", col("v"))).as("gs"),
+          max(when(col("fld") === "s", col("nd"))).as("nds"))
+        multi.join(golden, "rep")
           .select(col("rep").as("entity_rep"),
             col("entity_size").cast("long").as("entity_size"),
-            col("golden_nation").cast("long").as("golden_nation"),
-            col("golden_segment"), col("golden_acctbal"),
-            col("nation_conflict"), col("segment_conflict"))
+            col("gn").cast("long").as("golden_nation"),
+            col("gs").as("golden_segment"), col("golden_acctbal"),
+            (col("ndn") > 1).as("nation_conflict"),
+            (col("nds") > 1).as("segment_conflict"))
           .orderBy(col("entity_rep"))
       }))
 }

@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.DecimalType
   * Determinism: daily series are cent-scaled BIGINT; each weekday
   * mean is an exact sum/count ratio; comparisons are fixed-order
   * doubles from exact sums, snapped; bottom-up sums fold in DECIMAL.
+  * All snaps convert to DOLLAR scale first and use the 1e-6 grid:
+  * the cent-scale means reach ~1e8 at sf0.1, and snapping those on
+  * the 1e-9 grid runs x·1e9 past 2^53 where rounding is
+  * engine-build-dependent — the r7 flapping red row.
   *
   * Scale: one daily hash aggregate (calendar-bounded), weekday-mean
   * aggregates over 21 rows/type, a 7-row join.
@@ -48,7 +52,7 @@ object Reconcile {
           SELECT wd, SUM(zt) * 1.0 / COUNT(*) AS f
           FROM tot_daily WHERE di < 21 GROUP BY wd),
         bu AS (
-          SELECT wd, CAST(SUM(CAST(${det.sqlSnap9("f")} AS DECIMAL(28,9)))
+          SELECT wd, CAST(SUM(CAST(${det.sqlSnap6("f / 100.0")} AS DECIMAL(28,9)))
             AS DOUBLE) AS f_bu
           FROM fc_type GROUP BY wd),
         test AS (
@@ -58,12 +62,12 @@ object Reconcile {
           JOIN bu ON bu.wd = t.wd
           WHERE t.di >= 21 AND t.di < 28)
         SELECT CAST(day AS VARCHAR) AS day,
-               ${det.sqlSnap9("zt / 100.0")} AS actual,
-               ${det.sqlSnap9("f_direct / 100.0")} AS direct,
-               ${det.sqlSnap9("f_bu / 100.0")} AS bottom_up,
-               ${det.sqlSnap9("(f_direct - f_bu) / 100.0")} AS incoherence,
-               ${det.sqlSnap9("abs(zt - f_direct) / 100.0")} AS err_direct,
-               ${det.sqlSnap9("abs(zt - f_bu) / 100.0")} AS err_bottom_up
+               ${det.sqlSnap6("zt / 100.0")} AS actual,
+               ${det.sqlSnap6("f_direct / 100.0")} AS direct,
+               ${det.sqlSnap6("f_bu")} AS bottom_up,
+               ${det.sqlSnap6("f_direct / 100.0 - f_bu")} AS incoherence,
+               ${det.sqlSnap6("abs(zt - f_direct) / 100.0")} AS err_direct,
+               ${det.sqlSnap6("abs(zt / 100.0 - f_bu)")} AS err_bottom_up
         FROM test
         ORDER BY day
       """.trim),
@@ -87,18 +91,18 @@ object Reconcile {
           .groupBy($"wd".as("t_wd"))
           .agg((sum($"zt") * lit(1.0) / count(lit(1))).as("f_direct"))
         val bu = fcType.groupBy($"ft_wd".as("b_wd"))
-          .agg(sum(det.snap9($"f").cast(DecimalType(28, 9)))
+          .agg(sum(det.snap6($"f" / 100.0).cast(DecimalType(28, 9)))
             .cast("double").as("f_bu"))
         val test = totDaily.filter($"di" >= 21 && $"di" < 28)
           .join(broadcast(fcTotal), $"wd" === $"t_wd")
           .join(broadcast(bu), $"wd" === $"b_wd")
         test.select(date_format($"day", "yyyy-MM-dd").as("day"),
-            det.snap9($"zt" / 100.0).as("actual"),
-            det.snap9($"f_direct" / 100.0).as("direct"),
-            det.snap9($"f_bu" / 100.0).as("bottom_up"),
-            det.snap9(($"f_direct" - $"f_bu") / 100.0).as("incoherence"),
-            det.snap9(abs($"zt" - $"f_direct") / 100.0).as("err_direct"),
-            det.snap9(abs($"zt" - $"f_bu") / 100.0).as("err_bottom_up"))
+            det.snap6($"zt" / 100.0).as("actual"),
+            det.snap6($"f_direct" / 100.0).as("direct"),
+            det.snap6($"f_bu").as("bottom_up"),
+            det.snap6($"f_direct" / 100.0 - $"f_bu").as("incoherence"),
+            det.snap6(abs($"zt" - $"f_direct") / 100.0).as("err_direct"),
+            det.snap6(abs($"zt" / 100.0 - $"f_bu")).as("err_bottom_up"))
           .orderBy($"day")
       }))
 }
