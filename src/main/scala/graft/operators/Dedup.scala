@@ -65,7 +65,7 @@ object Dedup {
       .select(col("doc_id"), shingleUdf(col("text")).as("shs"))
       .filter(col("shs").isNotNull)
 
-  private def sqlShinglesFrom(src: String) = s"""
+  private[operators] def sqlShinglesFrom(src: String) = s"""
     SELECT doc_id, unnest(list_distinct(list_transform(
              range(1, len(string_split(text, ' '))),
              i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1]))) AS sh

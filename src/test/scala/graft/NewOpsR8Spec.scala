@@ -1,0 +1,87 @@
+package graft
+
+/** Pins for the round-8 additions: PNG decode features, b-bit minhash
+  * estimation, length-grouped batching, and the cluster design effect.
+  */
+class NewOpsR8Spec extends SparkSpec {
+
+  test("mm_png_decode: dimensions follow the synth formula, features positive") {
+    val rows = SparkEntry.queries("mm_png_decode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 8 + id % 9, "width")
+      assert(r.getLong(2) === 5 + id % 5, "height")
+      val npx = r.getLong(1) * r.getLong(2)
+      Seq(3, 4, 5).foreach(i => assert(r.getLong(i) <= npx * 255))
+      assert(r.getLong(6) > 0, "wsum")
+    }
+  }
+
+  test("dd_bbit_minhash: n_match in [0,16]; identical docs estimate 1.0") {
+    val rows = SparkEntry.queries("dd_bbit_minhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getLong(2)
+      assert(m >= 0 && m <= 16)
+      val est = r.getDouble(4)
+      // estimator range for k=16, b=2: [(0-4)/12, 1]
+      assert(est >= -1.0 / 3 - 1e-9 && est <= 1.0 + 1e-9)
+      assert(r.getDouble(5) >= 0, "abs_err")
+      // exact duplicates (jac = 1) must agree on every b-bit slot
+      if (r.getDouble(3) === 1.0) assert(m === 16 && est === 1.0)
+    }
+  }
+
+  test("pl_length_batching: length-sorted batching never pads more than arrival") {
+    val rows = SparkEntry.queries("pl_length_batching")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq === Seq("arrival", "length_sorted"))
+    val byPol = rows.map(r => r.getString(0) -> r).toMap
+    // both policies batch the same corpus
+    assert(byPol("arrival").getLong(2) === byPol("length_sorted").getLong(2))
+    assert(byPol("arrival").getLong(1) === byPol("length_sorted").getLong(1))
+    // sorting by length is the padding-minimizing contiguous grouping:
+    // it can never pad MORE than arrival order
+    assert(byPol("length_sorted").getLong(3) <= byPol("arrival").getLong(3))
+    rows.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), "padded >= real")
+      val waste = r.getDouble(4)
+      assert(waste >= 0 && waste < 1)
+    }
+  }
+
+  test("ev_cluster_design_effect: ICC in [-1,1], DEFF consistent with N_eff") {
+    val rows = SparkEntry.queries("ev_cluster_design_effect")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val k = r.getLong(0); val n = r.getLong(1)
+    assert(k > 1 && n > k)
+    val icc = r.getDouble(4); val deff = r.getDouble(5); val effN = r.getDouble(6)
+    assert(icc >= -1.0 && icc <= 1.0)
+    assert(deff > 0)
+    assert(math.abs(effN - n / deff) < 1e-3)
+    // a positive ICC must shrink the effective sample; a ~zero ICC
+    // leaves it ~N
+    if (icc > 0.01) assert(effN < n)
+  }
+
+  test("ev_cluster_design_effect: planted high-ICC clusters are detected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 clusters whose values are constant within cluster: ICC -> 1
+    val planted = (0 until 10).flatMap(c => (0 until 20).map(i =>
+      (c.toLong, s"e$i", new java.sql.Timestamp(86400000L * i), c * 100.0 + 50)))
+      .toDF("user_id", "event_type", "ts", "value")
+    val perUser = planted.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_i"), sum($"value").as("s_i"))
+    val n = 200.0; val kk = 10.0
+    val sumT = perUser.select(sum($"s_i" * $"s_i" / $"n_i")).head().getDouble(0)
+    val s = perUser.select(sum($"s_i")).head().getDouble(0)
+    val sumY2 = planted.select(sum($"value" * $"value")).head().getDouble(0)
+    val msb = (sumT - s * s / n) / (kk - 1)
+    val msw = (sumY2 - sumT) / (n - kk)
+    assert(msw === 0.0, "within-cluster variance must vanish")
+    val icc = (msb - msw) / (msb + (20 - 1) * msw)
+    assert(icc === 1.0, "constant-within-cluster ICC is exactly 1")
+  }
+}
