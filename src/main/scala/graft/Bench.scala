@@ -78,6 +78,12 @@ object Bench {
         val canon = df.queryExecution.executedPlan.canonicalized.treeString
           .replaceAll("plan_id=\\d+", "plan_id=*")
           .replaceAll("cachedrdd_\\d+", "cachedrdd_*")
+          // Scala lambda/UDF identities print as Class$$Lambda$N/0x…@hash
+          // — all three tokens are JVM-session-assigned, so every
+          // UDF-bearing query's fp flapped between sbt sessions (30
+          // spurious "changes" in the r7→r8 comparison)
+          .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
+          .replaceAll("@[0-9a-f]{6,}", "@*")
         java.security.MessageDigest.getInstance("MD5")
           .digest(canon.getBytes("UTF-8"))
           .take(6).map(b => f"${b & 0xff}%02x").mkString
@@ -100,6 +106,8 @@ object Bench {
           .replaceAll("#\\d+", "#*")          // exprIds (belt-and-braces)
           .replaceAll("plan_id=\\d+", "plan_id=*")
           .replaceAll("cachedrdd_\\d+", "cachedrdd_*")
+          .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
+          .replaceAll("@[0-9a-f]{6,}", "@*") // JVM-assigned lambda ids
           .replaceAll("\\bExistingRDD\\b.*", "ExistingRDD *") // RDD ids from localCheckpoint scans
           .replaceAll("\\bLogicalRDD\\b.*", "LogicalRDD *")
         java.security.MessageDigest.getInstance("MD5")
@@ -114,7 +122,7 @@ object Bench {
     // artifact, not a regression). Enumerate and unpersist every
     // persisted RDD, then nudge GC so ContextCleaner reaps broadcast
     // and shuffle state from the finished query too.
-    def isolate(): Unit = {
+    def isolate(full: Boolean = true): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(rdd => try rdd.unpersist(blocking = true)
@@ -124,11 +132,17 @@ object Bench {
       // ContextCleaner thread processes them asynchronously, and the
       // second pass collects what the cleanup itself released. ~100 ms
       // per query buys later queries a driver heap that doesn't carry
-      // 300 queries of broadcast/shuffle state.
+      // 300 queries of broadcast/shuffle state. The ratio pass uses the
+      // light variant (one GC, no drain pause): sf0.01 queries leave a
+      // tenth of the state, and the pass exists only as a superlinearity
+      // tripwire — 400 × 150 ms of extra isolation is driver budget
+      // spent on nothing.
       System.gc()
-      Thread.sleep(50)
-      System.gc()
-      Thread.sleep(50)
+      if (full) {
+        Thread.sleep(50)
+        System.gc()
+        Thread.sleep(50)
+      }
     }
     // debug aid: dump the canonical text per query for fingerprint triage
     val fpDump = sys.env.get("SPARK_GRAFT_FP_DUMP")
@@ -191,12 +205,21 @@ object Bench {
     // failure mode this gate hunts — record it as the -1.0 sentinel
     // (visible in the artifact) instead of silently dropping it from
     // the ratio map.
+    // Only queries that could possibly flag get a small-scale run: the
+    // gate requires big-time >= 1.0 s, so anything under 0.5 s (margin
+    // for round-over-round growth) can never flag — skipping it saves
+    // ~30% of the ratio pass's driver wall-clock at a 400-query
+    // surface (the r7 driver bench died on exactly this budget).
+    val ratioBigMin = 0.5
+    val bigTimes = results.map { case (k, v, _, _) => k -> v }.toMap
     val ratios: Map[String, Double] =
       if (ratioDir.isEmpty || !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(ratioDir))) Map.empty
       else SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .filter { case (name, _) =>
+          only.forall(_.contains(name)) &&
+            bigTimes.getOrElse(name, 0.0) >= ratioBigMin }
         .map { case (name, fn) =>
-          isolate()
+          isolate(full = false)
           try {
             fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
             val t0 = System.nanoTime()
@@ -207,8 +230,7 @@ object Bench {
               .getOrElse(-1.0)
           } catch { case _: Throwable => name -> -1.0 }
         }.toMap
-    val bigTime = results.map { case (k, v, _, _) => k -> v }.toMap
-    val superlinear = flagSuperlinear(ratios, bigTime)
+    val superlinear = flagSuperlinear(ratios, bigTimes)
     val ratioErrors = ratios.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     // One aggregate fingerprint for the (size-capped) stdout line; the
     // per-query map lives in docs/bench_full.json.

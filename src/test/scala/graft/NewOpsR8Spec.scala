@@ -65,6 +65,74 @@ class NewOpsR8Spec extends SparkSpec {
     if (icc > 0.01) assert(effN < n)
   }
 
+  test("er_blocking_sweep: recall is monotone in prefix specificity") {
+    val rows = SparkEntry.queries("er_blocking_sweep")(spark, sf).collect()
+    assert(rows.length === 6)
+    val byScheme = rows.map(r => r.getString(0) -> r).toMap
+    assert(byScheme.keySet === Set("prefix4", "prefix8", "prefix12",
+      "prefix16", "suffix6", "attrs"))
+    // all schemes audit the same truth relation
+    assert(rows.map(_.getLong(3)).distinct.length === 1, "n_true per scheme")
+    // a SHORTER prefix is a coarser partition: it can only merge blocks,
+    // so candidate volume and recall are both monotone non-increasing
+    // with prefix length
+    def pc(s: String) = byScheme(s).getDouble(5)
+    def cand(s: String) = byScheme(s).getLong(2)
+    assert(pc("prefix4") >= pc("prefix8") && pc("prefix8") >= pc("prefix12")
+      && pc("prefix12") >= pc("prefix16"))
+    assert(cand("prefix4") >= cand("prefix8") && cand("prefix8") >= cand("prefix12")
+      && cand("prefix12") >= cand("prefix16"))
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1, "pair completeness")
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1, "reduction ratio")
+      assert(r.getLong(4) <= r.getLong(3), "found <= true")
+    }
+  }
+
+  test("ev_variance_reduction: CUPED never increases variance; reductions consistent") {
+    val rows = SparkEntry.queries("ev_variance_reduction")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("cuped", "raw", "winsorized"))
+    val v = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val red = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(v("raw") > 0)
+    // Var(Y - thetaX) = Var(Y) - Cov^2/Var(X) <= Var(Y) always
+    assert(v("cuped") <= v("raw") + 1e-9)
+    // capping at 2*mean can only remove mass above the cap
+    assert(v("winsorized") <= v("raw") + 1e-9)
+    assert(math.abs(red("raw")) < 1e-9)
+    rows.foreach(r => assert(math.abs(
+      (1.0 - r.getDouble(1) / v("raw")) - r.getDouble(2)) < 1e-6))
+  }
+
+  test("ta_vocab_coverage: coverage is monotone in budget and consistent with OOV") {
+    val rows = SparkEntry.queries("ta_vocab_coverage")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(100L, 500L, 1000L, 2000L))
+    val cov = rows.map(_.getDouble(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => b >= a - 1e-12 },
+      "coverage monotone in budget")
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "types_used <= budget")
+      assert(r.getLong(2) <= r.getLong(3), "covered <= total")
+      assert(math.abs(r.getDouble(4) + r.getDouble(5) - 1.0) < 1e-9,
+        "coverage + oov = 1")
+    }
+    // all budgets report the same corpus total
+    assert(rows.map(_.getLong(3)).distinct.length === 1)
+  }
+
+  test("dq_constraint_mining: learned bands contain the training split by construction") {
+    val rows = SparkEntry.queries("dq_constraint_mining")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2), "lo <= hi")
+      assert(r.getLong(4) <= r.getLong(3), "violations <= rows")
+      assert(r.getLong(7) <= r.getLong(6), "volume violations <= days")
+      val rate = r.getDouble(5)
+      assert(rate >= 0 && rate <= 1)
+    }
+  }
+
   test("ev_cluster_design_effect: planted high-ICC clusters are detected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
