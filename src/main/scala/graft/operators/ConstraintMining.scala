@@ -28,6 +28,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ConstraintMining {
 
+  /** Events with an exact day index (di = days since corpus min) and
+    * the cent-exact value — the split axis for train/validate. */
+  def withDayIndex(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dd = ev.agg(min(col("ts").cast("date")).as("d0"))
+    ev.crossJoin(broadcast(dd))
+      .select(col("event_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"),
+        datediff(col("ts").cast("date"), col("d0")).as("di"))
+  }
+
+  /** The learned per-type value band [lo, hi] (exact decimal min/max ±
+    * 10%) from the TRAIN split (even days) — the profile artifact the
+    * batch query AND the streaming monitor twin validate against. */
+  def learnedBounds(evDays: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tol = lit(BigDecimal("0.1")).cast(DecimalType(6, 2))
+    evDays.filter(col("di") % 2 === 0)
+      .groupBy(col("event_type"))
+      .agg((min(col("v")) - tol * abs(min(col("v")))).as("lo"),
+        (max(col("v")) + tol * abs(max(col("v")))).as("hi"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dq_constraint_mining",
@@ -75,18 +96,10 @@ object ConstraintMining {
         ORDER BY l.event_type
       """.trim),
       (s, d) => {
-        val evRaw = events(s, d)
-        val dd = evRaw.agg(min(col("ts").cast("date")).as("d0"))
-        val ev = evRaw.crossJoin(broadcast(dd))
-          .select(col("event_type"),
-            col("value").cast(DecimalType(18, 2)).as("v"),
-            datediff(col("ts").cast("date"), col("d0")).as("di"))
+        val ev = withDayIndex(events(s, d))
+          .drop("event_id")
           .localCheckpoint() // train profile + two serving passes
-        val tol = lit(BigDecimal("0.1")).cast(DecimalType(6, 2))
-        val learned = ev.filter(col("di") % 2 === 0)
-          .groupBy(col("event_type"))
-          .agg((min(col("v")) - tol * abs(min(col("v")))).as("lo"),
-            (max(col("v")) + tol * abs(max(col("v")))).as("hi"))
+        val learned = learnedBounds(ev)
         val lvol = ev.filter(col("di") % 2 === 0)
           .groupBy(col("event_type"), col("di"))
           .agg(count(lit(1)).as("cnt"))

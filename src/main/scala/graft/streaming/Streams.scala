@@ -488,6 +488,39 @@ object Streams {
     * stream output converges exactly to the batch twin for any batch
     * slicing or restart; epoch-keyed idempotent writes make replays
     * no-ops (same contract as [[incrementalAdmit]]). */
+  /** Streaming learned-constraint monitor — the live twin of
+    * `dq_constraint_mining`'s validation half: arriving events
+    * (event_id, event_type, cent-exact value) are scored micro-batch
+    * by micro-batch against the STATIC learned bounds artifact
+    * ([[graft.operators.ConstraintMining.learnedBounds]], persisted by
+    * the profiling job). The verdict per record — ok / violation /
+    * unknown_type — depends ONLY on the bounds table, never on other
+    * records, so the stream output converges exactly to the batch
+    * validation for any batch slicing or restart; epoch-keyed
+    * idempotent writes make replays no-ops (same contract as
+    * [[erAdmit]]). This is the alert path a 100 TB ingest runs against
+    * yesterday's profile. */
+  def constraintMonitor(
+      records: DataFrame,
+      learned: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      nLogPartitions: Int = 2): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val verdict = batch.join(broadcast(learned), Seq("event_type"), "left")
+          .select(col("event_id").cast("string").as("key"),
+            concat_ws("|", col("event_type"),
+              when(col("lo").isNull, lit("unknown_type"))
+                .when(col("v") < col("lo") || col("v") > col("hi"),
+                  lit("violation"))
+                .otherwise(lit("ok"))).as("value"))
+        graft.io.CommitLog.writeEpoch(outDir, nLogPartitions, epochId, verdict)
+      }
+      .start()
+
   def erAdmit(
       records: DataFrame,
       registry: DataFrame,

@@ -133,6 +133,49 @@ class NewOpsR8Spec extends SparkSpec {
     }
   }
 
+  test("dd_shard_local_recall: recall degrades with shard count toward 1/k") {
+    val rows = SparkEntry.queries("dd_shard_local_recall")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(4L, 16L, 64L))
+    // same truth relation at every k
+    assert(rows.map(_.getLong(1)).distinct.length === 1)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === r.getLong(1), "within + missed = total")
+      val recall = r.getDouble(4)
+      assert(recall >= 0 && recall <= 1)
+      // content-blind hash sharding co-locates a pair w.p. 1/k; allow a
+      // wide band but pin the order of magnitude (the query's POINT is
+      // that this collapses)
+      val k = r.getLong(0).toDouble
+      assert(recall < math.min(1.0, 6.0 / k) + 0.2,
+        s"recall $recall at k=$k looks content-aware; hash sharding shouldn't be")
+    }
+    val byK = rows.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(byK(4L) >= byK(16L) && byK(16L) >= byK(64L), "recall monotone in k")
+  }
+
+  test("dq_ks_drift: D in [0,1]; planted shifted type is flagged, identical is not") {
+    val rows = SparkEntry.queries("dq_ks_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getDouble(3)
+      assert(d >= 0 && d <= 1)
+      assert(r.getDouble(4) > 0, "critical value positive")
+      assert(r.getBoolean(5) === (d > r.getDouble(4)), "flag consistent with D vs crit")
+    }
+    // unit pin of the binned-KS core: two identical distributions give
+    // D = 0; disjoint supports give D = 1
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sameBins = (0 until 100).map(b => (b, 5L, 5L)).toDF("bin", "ca", "cb")
+    val dSame = sameBins
+      .withColumn("cuma", sum($"ca").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"bin")))
+      .withColumn("cumb", sum($"cb").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"bin")))
+      .agg(max(abs($"cuma" / 500.0 - $"cumb" / 500.0))).head().getDouble(0)
+    assert(dSame === 0.0)
+  }
+
   test("ev_cluster_design_effect: planted high-ICC clusters are detected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
