@@ -176,6 +176,21 @@ class NewOpsR8Spec extends SparkSpec {
     assert(dSame === 0.0)
   }
 
+  test("mm_av_offset: every planted offset is recovered through both real codecs") {
+    val rows = SparkEntry.queries("mm_av_offset")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (id % 11) - 5, "planted offset formula")
+      assert(r.getLong(2) >= -8 && r.getLong(2) <= 8, "lag within sweep")
+      assert(r.getLong(3) > 0, "peak correlation positive")
+      assert(r.getBoolean(4), s"doc $id: estimated ${r.getLong(2)} != planted ${r.getLong(1)}")
+    }
+    // the fixture exercises the full offset range, both BMP parities
+    // and both WAV chunk layouts
+    assert(rows.map(_.getLong(1)).distinct.length === 11)
+  }
+
   test("ev_cluster_design_effect: planted high-ICC clusters are detected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
