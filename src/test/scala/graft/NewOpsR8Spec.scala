@@ -191,6 +191,19 @@ class NewOpsR8Spec extends SparkSpec {
     assert(rows.map(_.getLong(1)).distinct.length === 11)
   }
 
+  test("ev_doubly_robust: estimates are finite and DR interpolates its components") {
+    val rows = SparkEntry.queries("ev_doubly_robust")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) > 0)
+    val dr = r.getDouble(1); val ips = r.getDouble(2); val dm = r.getDouble(3)
+    Seq(dr, ips, dm).foreach(v => assert(!v.isNaN && !v.isInfinite && v > 0))
+    assert(r.getDouble(4) >= 1.0 / 5 - 1e-9, "max weight sane") // >= pi/max-share
+    // DR = DM + IPS-style correction; with a decent q-hat the three
+    // estimates agree on order of magnitude
+    assert(dr > 0.2 * math.min(ips, dm) && dr < 5 * math.max(ips, dm))
+  }
+
   test("ev_cluster_design_effect: planted high-ICC clusters are detected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
