@@ -204,6 +204,35 @@ class NewOpsR8Spec extends SparkSpec {
     assert(dr > 0.2 * math.min(ips, dm) && dr < 5 * math.max(ips, dm))
   }
 
+  test("mm_decode_triage: every corruption class is rediscovered by real decode failures") {
+    val rows = SparkEntry.queries("mm_decode_triage")(spark, sf).collect()
+    val census = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the 7 planted classes collapse to exactly these 7 census cells
+    assert(census.keySet === Set(
+      ("bmp", "ok"), ("bmp", "bad_magic"),
+      ("wav", "ok"), ("wav", "truncated"),
+      ("png", "ok"), ("png", "crc_mismatch"), ("png", "truncated")))
+    assert(census(("png", "ok")) > 0 && census(("png", "crc_mismatch")) > 0)
+    assert(census(("png", "truncated")) > 0)
+    assert(census(("wav", "truncated")) > 0 && census(("bmp", "bad_magic")) > 0)
+    // nothing fell into the parse_error catch-all: every planted
+    // corruption maps to its SPECIFIC class
+    assert(!rows.exists(_.getString(1) == "parse_error"))
+    assert(rows.map(_.getLong(2)).sum ===
+      sources.Tables.documents(spark, sf).count())
+  }
+
+  test("DecodeTriage.classify maps decoder messages to quarantine classes") {
+    import graft.operators.DecodeTriage.classify
+    assert(classify("PNG parse: CRC mismatch in tEXt") === "crc_mismatch")
+    assert(classify("BMP parse: bad magic") === "bad_magic")
+    assert(classify("PNG parse: bad signature") === "bad_magic")
+    assert(classify("WAV parse: chunk 'data' overruns RIFF payload") === "truncated")
+    assert(classify("PNG parse: truncated chunk header") === "truncated")
+    assert(classify("something else entirely") === "parse_error")
+    assert(classify(null) === "parse_error")
+  }
+
   test("ev_cluster_design_effect: planted high-ICC clusters are detected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
