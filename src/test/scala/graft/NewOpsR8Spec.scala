@@ -233,6 +233,20 @@ class NewOpsR8Spec extends SparkSpec {
     assert(classify(null) === "parse_error")
   }
 
+  test("pl_krippendorff_alpha: alpha sits in the designed imperfect-agreement band") {
+    val rows = SparkEntry.queries("pl_krippendorff_alpha")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === r.getLong(0) * 3, "3 ratings per unit")
+    assert(r.getLong(2) === 4, "4 categories")
+    val alpha = r.getDouble(4)
+    // 20% per-rater flip noise over 4 categories: expected pairwise
+    // disagreement ~0.27 vs chance ~0.75 -> alpha ~0.6-0.7; assert the
+    // designed band generously
+    assert(alpha > 0.3 && alpha < 0.95, s"alpha $alpha outside designed band")
+    assert(r.getLong(3) > 0, "some disagreement exists")
+  }
+
   test("ev_cluster_design_effect: planted high-ICC clusters are detected") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
