@@ -50,16 +50,25 @@ class SnapMagnitudeSpec extends SparkSpec {
       "1e-6 grid must stay exactly decidable at 1e8 magnitudes")
   }
 
-  test("the reconcile query's operands stay inside its snap6 grid at 100x fixture scale") {
-    // ts_forecast_reconcile snaps DOLLAR-scale magnitudes: at sf0.1 the
-    // largest is ~5e6; grid-safety margin is 9e9/5e6 > 1000x. Assert on
-    // the fixture: every output double is far below the snap6 bound.
+  test("the reconcile query's doubles are exact BIGINT micro-dollars (r9 integer interior)") {
+    // ts_forecast_reconcile (driver-red in r7 AND r8 under two
+    // different snap grids) now keeps its whole interior in BIGINT
+    // micro-dollars and divides by 1e6 only in the final projection.
+    // Pin BOTH halves of that contract: every output double times 1e6
+    // is an exact integer (so any engine build divides to identical
+    // bits), and the magnitudes stay far inside the 2^53/1e6 exactness
+    // bound even at 100x this fixture.
     val df = SparkEntry.queries("ts_forecast_reconcile")(spark, sf)
     val doubles = df.schema.fields.filter(_.dataType.typeName == "double").map(_.name)
-    val maxes = df.select(doubles.map(c => max(abs(col(c)))).toSeq: _*).head()
-    doubles.indices.foreach { i =>
-      val m = maxes.getDouble(i)
-      assert(m < 9.0e9, s"${doubles(i)} magnitude $m breaches the snap6 bound")
+    val rows = df.select(doubles.map(c => col(c)).toSeq: _*).collect()
+    rows.foreach { r =>
+      doubles.indices.foreach { i =>
+        val v = r.getDouble(i)
+        assert(math.rint(v * 1e6) === v * 1e6,
+          s"${doubles(i)} value $v is not an exact micro-dollar integer")
+        assert(math.abs(v) < 9.0e9,
+          s"${doubles(i)} magnitude $v breaches the 1e-6 exactness bound")
+      }
     }
   }
 }
