@@ -48,7 +48,9 @@ object DoublyRobust {
                  CAST(SUM(CAST(r AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS q
           FROM base WHERE is_train GROUP BY x, a),
         vhat AS (
-          SELECT q.x, SUM(q.q) / k.n_types AS v
+          SELECT q.x,
+                 CAST(SUM(CAST(${det.sqlSnap9("q.q")} AS DECIMAL(28,12)))
+                   AS DOUBLE) / k.n_types AS v
           FROM qhat q CROSS JOIN k GROUP BY q.x, k.n_types),
         mu AS (
           SELECT x, a, COUNT(*) AS c,
@@ -97,9 +99,14 @@ object DoublyRobust {
           .groupBy($"x".as("q_x"), $"a".as("q_a"))
           .agg((sum($"r".cast(DecimalType(28, 9))).cast("double")
             / count(lit(1))).as("q"))
+        // the one Σ here not previously routed through DECIMAL — a
+        // plain double sum is partition-order-dependent and feeds the
+        // snapped outputs downstream (r8 advice); snap9 is safe (q is
+        // a per-cell mean of event values, |q| < 1e3)
         val vhat = qhat.crossJoin(broadcast(k))
           .groupBy($"q_x".as("v_x"))
-          .agg((sum($"q") / first($"n_types")).as("v"))
+          .agg((sum(det.snap9($"q").cast(DecimalType(28, 12))).cast("double")
+            / first($"n_types")).as("v"))
         val mu = base.filter(!$"is_train")
           .groupBy($"x".as("m_x"), $"a".as("m_a"))
           .agg(count(lit(1)).as("c"))

@@ -85,5 +85,6 @@ class StreamingConstraintSpec extends SparkSpec {
     val kinds = streamed.map(_._2.split('|').last).toSet
     assert(kinds.contains("ok"))
     assert(kinds.contains("unknown_type"), "planted unseen type must surface")
+    assert(kinds.contains("violation"), "planted out-of-bounds value must surface")
   }
 }

@@ -33,7 +33,9 @@ def main():
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
             continue
-        t = pq.read_table(files[0])
+        # read EVERY part: a multi-part output can breach the limit in
+        # a partition the first file never sees (r8 advice)
+        t = pq.read_table(d)
         for col in t.schema.names:
             if str(t.schema.field(col).type) != "double":
                 continue
