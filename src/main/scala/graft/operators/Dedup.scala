@@ -408,10 +408,22 @@ object Dedup {
     * per component" is the canonical keep-one policy. The (vastly
     * larger) singleton set never enters the loop — it joins back after
     * the fixpoint with rep = doc_id. */
-  /** The alternating-star fixpoint itself, reusable for any edge list:
-    * returns (u → v) where v is u's component minimum, one row per
-    * NON-minimum node (the minimum has no row — callers coalesce to
-    * self). Deterministic: the fixpoint is unique. */
+  /** Hybrid size gate for [[ccLabels]]: a post-blocking match graph at
+    * or under this many deduped edges is labeled by a DRIVER union-find
+    * (≤ ~8 MB collected, microseconds of CPU) instead of the
+    * distributed star fixpoint, whose cost on kilobyte edge sets is
+    * pure job-scheduling floor (~6 sequential jobs × 4–6 rounds ≈ 3–4 s
+    * at 32 slots, measured via graft.Profile on sim_dbscan). Above the
+    * gate — web-scale dup rates where the candidate graph itself is
+    * huge — the hash-partitioned star rounds take over unchanged. Both
+    * paths produce the IDENTICAL unique labeling (node → component
+    * minimum, no row for the minimum itself). */
+  private val ccDriverMaxEdges = 500000L
+
+  /** The CC labeling, reusable for any edge list: returns (u → v)
+    * where v is u's component minimum, one row per NON-minimum node
+    * (the minimum has no row — callers coalesce to self).
+    * Deterministic: the labeling is unique, on either path. */
   private[operators] def ccLabels(rawEdges: DataFrame): DataFrame = {
     // LAZY checkpoints + ONE action per round: on post-blocking edge
     // sets (a few thousand edges) the fixpoint's cost is pure
@@ -434,6 +446,10 @@ object Dedup {
     val edges0 = rawEdges
       .where(col("u") =!= col("v"))
       .distinct().localCheckpoint(false)
+    // the count doubles as the lazy checkpoint's materializing action
+    // (the first star round paid it before)
+    val nEdges = edges0.count()
+    if (nEdges <= ccDriverMaxEdges) return ccLabelsDriver(edges0)
     var cur = ccSmallStar(ccLargeStar(edges0)).localCheckpoint(false)
     var converged = false
     while (!converged) {
@@ -452,6 +468,47 @@ object Dedup {
       cur = next
     }
     cur
+  }
+
+  /** Driver-side union-find for the small-graph path of [[ccLabels]]:
+    * min-root invariant (the larger root always attaches under the
+    * smaller) plus full path compression, so every tree root IS its
+    * component minimum and every non-minimum node holds a parent entry
+    * pointing (transitively) at it. Result is a LocalRelation — the
+    * downstream node joins see exact stats and broadcast it. Keys are
+    * collected as LONG and cast back to the input column types so the
+    * output schema matches the distributed path exactly. */
+  private def ccLabelsDriver(edges0: DataFrame): DataFrame = {
+    val s = edges0.sparkSession
+    val uT = edges0.schema(0).dataType
+    val vT = edges0.schema(1).dataType
+    val arr = edges0
+      .select(col(edges0.columns(0)).cast("long"),
+        col(edges0.columns(1)).cast("long"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var c = x
+      while (c != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    arr.foreach { row =>
+      val a = find(row.getLong(0))
+      val b = find(row.getLong(1))
+      if (a < b) parent.put(b, a)
+      else if (b < a) parent.put(a, b)
+    }
+    import scala.jdk.CollectionConverters._
+    val out = parent.keySet().asScala.toSeq.sorted
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(out.asJava, schema)
+      .select(col("u").cast(uT).as("u"), col("v").cast(vT).as("v"))
   }
 
   def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {

@@ -981,9 +981,16 @@ object Graph {
     val m = e0.agg(count(lit(1)).as("m"))
     val dsum = labels.join(deg, "node")
       .groupBy(col("lbl").as("community")).agg(sum(col("deg")).as("dc"))
+    // shuffle_hash on the label side: the checkpointed label table has
+    // no stats (ExistingRDD defaults to non-broadcastable), so Spark
+    // plans SMJ and AQE coalesces the kilobyte exchanges to ONE task —
+    // which then SORTS the 1M+-row edge list single-threaded (~1 s per
+    // join, measured). Hash build over the small side skips the sort.
     val intra = e0
-      .join(labels.select(col("node").as("u"), col("lbl").as("lu")), "u")
-      .join(labels.select(col("node").as("v"), col("lbl").as("lv")), "v")
+      .join(labels.select(col("node").as("u"), col("lbl").as("lu"))
+        .hint("shuffle_hash"), "u")
+      .join(labels.select(col("node").as("v"), col("lbl").as("lv"))
+        .hint("shuffle_hash"), "v")
       .filter(col("lu") === col("lv"))
       .groupBy(col("lu").as("community")).agg(count(lit(1)).as("lc"))
     dsum.join(intra, Seq("community"), "left")
@@ -1001,13 +1008,25 @@ object Graph {
   }
 
   /** The hashed (order, part) co-occurrence graph shared by the
-    * community queries, as a SYMMETRIC (src, dst) edge list. */
+    * community queries, as a SYMMETRIC (src, dst) edge list.
+    * Persisted: gx_modularity alone consumes it from FOUR subtrees
+    * (LPA rounds, degree table, canonical e0 twice) and each re-derive
+    * is a full lineitem scan + distinct + union (~1 s at sf0.1,
+    * measured as three concurrent 64-task stages) — the CacheManager
+    * dedupes the identical plan across consumers within a query. */
   private def cooccurSym(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val e = canonicalEdges(lineitem(s, d)
       .select((col("l_orderkey") % 29989).as("a"),
         (col("l_partkey") % 29989).as("b")))
     e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
+      // one-time shuffle to a few src-keyed partitions before caching:
+      // the raw union is 2x32 scan splits, so every cached consumer
+      // would otherwise pay 64 task launches per scan (5 consumers in
+      // gx_modularity); src keying feeds the degree groupBy and the
+      // intra-edge joins shuffle-free
+      .repartition(8, col("src"))
+      .persist()
   }
 
   /** Shared oracle CTEs: co-occurrence graph (`e0` canonical, `e`
@@ -1085,7 +1104,14 @@ object Graph {
     * i's plan doesn't embed round i-1 twice. State is one (node,
     * label) row per node — nothing is broadcast or collected. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.repartition(col("dst")).persist()
+    // Explicit small partition count for the iterated frame: at 32
+    // shuffle partitions every round pays 32 task launches per stage
+    // on a ~1M-row cached frame (measured 2.7s@8cpus vs 6.5s@32 for
+    // gx_modularity, same plan) — AQE only coalesces post-shuffle
+    // reads, never a cached scan. 8 partitions ≈ 150k rows each at
+    // sf0.1; at real scale partition count follows data volume, and
+    // this co-partitioned join shape is unchanged.
+    val e = edges.repartition(8, col("dst")).persist()
     // LINEAR lineage, one job: each round's label table is consumed by
     // exactly one downstream join, so (as in [[hits]]) intermediate
     // checkpoints only add a sequential materialization barrier per

@@ -77,19 +77,32 @@ object Walks {
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
         val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        val ws = Window.partitionBy(col("src"))
+        val ws = Window.partitionBy(col("src")).orderBy(col("dst"))
         val adj = e
-          .withColumn("idx", row_number().over(ws.orderBy(col("dst"))) - 1)
-          .withColumn("deg", count(lit(1)).over(ws))
-          // reused by all L step joins; partitioned on the join key
-          .repartition(col("src"))
+          .withColumn("idx", row_number().over(ws) - 1)
+          // same partition+order spec as idx with an explicit full
+          // frame: both land in ONE WindowExec (one shuffle, one sort)
+          // instead of two window passes over the edge list
+          .withColumn("deg", count(lit(1)).over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          // reused by all L step joins; partitioned on the join key.
+          // Explicit small count: the frame is ~1M narrow rows at
+          // sf0.1, and every one of the L step joins launches one task
+          // per cached partition — 32-slot default partitioning pays
+          // 4x the task launches for zero parallelism gain (the gx
+          // weak-row lesson; partition count follows data volume)
+          .repartition(8, col("src"))
           .persist()
         // per-node degree as its own keyed relation: the step picks its
         // neighbor RANK on the frontier side first, so the adjacency
         // join is a true two-key equi-join on (src, idx) — one matching
         // row per walk, never a neighbor fan-out filtered after the fact
+        // materialized once: every one of the L step joins probes this
+        // ~|V|-row table, and without the checkpoint each step re-runs
+        // the adjacency-cache scan + aggregate
         val degrees = adj.groupBy(col("src").as("d_node"))
           .agg(max(col("deg")).as("d_deg"))
+          .localCheckpoint()
         var frontier: DataFrame = adj.select(col("src").as("node")).distinct()
           .crossJoin(s.range(0, W).select(col("id").as("walk")))
           .select(col("node").as("start"), col("walk"), col("node").as("cur"))
@@ -104,7 +117,11 @@ object Walks {
           // eager checkpoint per step: the L output branches below must
           // read materialized state, not re-derive k joins each
           frontier = frontier
-            .join(degrees, col("d_node") === col("cur"))
+            // broadcast: the checkpointed degree table has no stats so
+            // Spark would shuffle both sides; |V| (~30k) is well under
+            // the broadcast threshold here — at billion-node scale this
+            // reverts to the co-partitioned join with one hint change
+            .join(broadcast(degrees), col("d_node") === col("cur"))
             .withColumn("pick", choice)
             .join(adj, col("src") === col("cur") && col("idx") === col("pick"))
             .select(col("start"), col("walk"), col("dst").as("cur"))
