@@ -45,7 +45,7 @@ object Katz {
   }
 
   private def katz(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.repartition(col("src")).persist()
+    val e = edges.repartition(8, col("src")).persist() // partition count follows data volume (gx weak-row lesson)
     val nodes = e.select(col("src").as("node")).distinct().persist()
     var x = nodes.withColumn("x", lit(1.0))
     for (_ <- 1 to iters) {

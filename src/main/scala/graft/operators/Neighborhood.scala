@@ -51,7 +51,12 @@ object Neighborhood {
           .join(lineitem(s, d), $"o_orderkey" === $"l_orderkey")
           .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
           .distinct()
+        // one-time shuffle to a few src-keyed partitions before caching:
+        // the raw union is 2x32 scan splits, so every per-round join
+        // would pay 64 task launches per cached scan (the gx weak-row
+        // lesson; partition count follows data volume, ~1M narrow rows)
         val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+          .repartition(8, $"src")
           .persist()
         val seeds = e.filter($"src" % 2 === 0).select($"src").distinct()
           .orderBy($"src").limit(10).select($"src".as("seed"))
@@ -134,7 +139,11 @@ object Neighborhood {
             $"o_orderkey" === $"l_orderkey")
           .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
           .distinct()
+        // few-partition cache for the same reason as gx_neighborhood's;
+        // src keying serves the exact arm's frontier join (the HLL
+        // arm's dst-keyed ship join reshuffles 8 small partitions)
         val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+          .repartition(8, $"src")
           .persist()
         e.count() // materialize once before both arms fork
         val nodes = e.select($"src".as("node")).distinct()

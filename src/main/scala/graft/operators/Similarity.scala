@@ -95,10 +95,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     // The corpus is scanned 2×iters+1 times during training (assignment
-    // + means per iteration, plus init) — cache it for the duration.
+    // + means per iteration, plus init) — cache it for the duration,
+    // at a partition count matched to the corpus (a 2k-vector fixture
+    // on 32 default partitions pays 32 task launches per scan × ~11
+    // scans for 62 rows each; partition count follows data volume).
     // Model state (k·dim floats) is the only thing that ever reaches
     // the driver, same contract as MLlib's distributed k-means.
-    val cached = emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = emb.repartition(4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Seq[(Long, Seq[Float])] = cached.filter(col("vec_id") < k)
         .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]

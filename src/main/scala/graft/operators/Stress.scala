@@ -110,7 +110,7 @@ object Stress {
           .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
           .distinct()
         val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-          .repartition(col("u")).persist()
+          .repartition(8, col("u")).persist() // partition count follows data volume (gx weak-row lesson)
         val seeds = sym.select(col("u").as("node")).distinct()
           .filter(col("node") % 11 === 3)
         val tau = backward(sym, forward(sym, seeds))
