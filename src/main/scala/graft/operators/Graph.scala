@@ -52,7 +52,7 @@ object Graph {
     // UnknownPartitioning, reintroducing an |edges| exchange per
     // iteration, while a cached plan keeps its child's hash
     // partitioning (and is partitioning-stable under AQE by default).
-    val e = edges.repartition(col("src")).persist()
+    val e = edges.repartition(8, col("src")).persist() // partition count follows data volume (gx weak-row lesson)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg")).persist()
     val n = nodes.count()
@@ -96,8 +96,8 @@ object Graph {
     // list is a fact-fact join + distinct, and two independent
     // partitioned copies would each recompute it from scratch (the
     // dominant cost of the whole query at sf0.1)
-    val eC = edges.repartition(col("c")).persist()
-    val eS = eC.repartition(col("s")).persist()
+    val eC = edges.repartition(8, col("c")).persist() // partition count follows data volume
+    val eS = eC.repartition(8, col("s")).persist()
     // EXACT INTEGER recurrence, ONE normalization at the end: in exact
     // arithmetic per-step L1 normalization only rescales by a scalar,
     // so normalizing once after the last step yields the identical

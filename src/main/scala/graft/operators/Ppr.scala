@@ -25,7 +25,7 @@ object Ppr {
     * distribution and as the per-iteration teleport target. */
   def ppr(edges: DataFrame, seeds: DataFrame, nSeeds: Int,
       iters: Int, damping: Double): DataFrame = {
-    val e = edges.repartition(col("src")).persist()
+    val e = edges.repartition(8, col("src")).persist() // partition count follows data volume
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg")).persist()
     iterate(e, nodes, seeds, nSeeds, iters, damping)
@@ -38,7 +38,7 @@ object Ppr {
     * two redundant degree aggregates over the fact-fact join. */
   def pprTopDegree(edges: DataFrame, nSeeds: Int,
       iters: Int, damping: Double): DataFrame = {
-    val e = edges.repartition(col("src")).persist()
+    val e = edges.repartition(8, col("src")).persist() // partition count follows data volume
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg")).persist()
     val seeds = nodes.orderBy(col("deg").desc, col("node"))
