@@ -449,7 +449,16 @@ object Dedup {
     // the count doubles as the lazy checkpoint's materializing action
     // (the first star round paid it before)
     val nEdges = edges0.count()
-    if (nEdges <= ccDriverMaxEdges) return ccLabelsDriver(edges0)
+    if (nEdges <= ccDriverMaxEdges) ccLabelsDriver(edges0)
+    else ccLabelsStars(edges0)
+  }
+
+  /** The distributed star-fixpoint path of [[ccLabels]] — exposed
+    * (package-wide) so the randomized equivalence spec can pin
+    * driver-path == star-path == union-find even though real callers
+    * only reach it past the size gate. Expects deduped u≠v edges,
+    * lazily checkpointed. */
+  private[graft] def ccLabelsStars(edges0: DataFrame): DataFrame = {
     var cur = ccSmallStar(ccLargeStar(edges0)).localCheckpoint(false)
     var converged = false
     while (!converged) {
@@ -478,7 +487,7 @@ object Dedup {
     * downstream node joins see exact stats and broadcast it. Keys are
     * collected as LONG and cast back to the input column types so the
     * output schema matches the distributed path exactly. */
-  private def ccLabelsDriver(edges0: DataFrame): DataFrame = {
+  private[graft] def ccLabelsDriver(edges0: DataFrame): DataFrame = {
     val s = edges0.sparkSession
     val uT = edges0.schema(0).dataType
     val vT = edges0.schema(1).dataType

@@ -39,4 +39,28 @@ class CcRandomSpec extends SparkSpec {
       assert(got == want, s"trial $trial: n=$n edges=$edges")
     }
   }
+
+  test("driver union-find path and distributed star path produce the identical labeling") {
+    // ccLabels now size-gates to a driver union-find on small graphs,
+    // so duplicateClusters above no longer exercises the star rounds —
+    // this pins both paths against each other (and the reference
+    // union-find) on the same seeded random graphs.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 4).foreach { trial =>
+      val n = 10 + rnd.nextInt(14)
+      val edges = Seq.fill(rnd.nextInt(3 * n)) {
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter { case (a, b) => a != b }.distinct
+      val edges0 = edges.toDF("u", "v").localCheckpoint()
+      val viaDriver = graft.operators.Dedup.ccLabelsDriver(edges0)
+        .as[(Long, Long)].collect().toMap
+      val viaStars = graft.operators.Dedup.ccLabelsStars(edges0)
+        .as[(Long, Long)].collect().toMap
+      assert(viaDriver == viaStars, s"trial $trial: edges=$edges")
+      val want = unionFind(n, edges).filter { case (k, v) => k != v }
+      assert(viaDriver == want, s"trial $trial vs union-find: edges=$edges")
+    }
+  }
 }
