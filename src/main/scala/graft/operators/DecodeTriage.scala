@@ -17,10 +17,11 @@ import org.apache.spark.sql.types._
   * instead of failing loudly (or fails with the WRONG class) breaks
   * the census, and the oracle knows the planted truth in closed form.
   *
-  * Corruption classes by doc_id % 7: 0 ok BMP, 1 ok WAV, 2 ok PNG,
+  * Corruption classes by doc_id % 9: 0 ok BMP, 1 ok WAV, 2 ok PNG,
   * 3 PNG with a flipped byte inside the CRC-protected tEXt chunk,
   * 4 WAV truncated mid-data, 5 BMP with a bad magic, 6 PNG truncated
-  * mid-IDAT.
+  * mid-IDAT, 7 ok JPEG, 8 JPEG truncated inside the entropy-coded
+  * scan (the fourth codec joins the quarantine census).
   *
   * Scale: encode → corrupt → decode → classify is partition-local over
   * payloads that never shuffle; the census is one tiny groupBy.
@@ -49,15 +50,16 @@ object DecodeTriage {
       Some("""
         WITH plan AS (
           SELECT doc_id,
-                 CASE doc_id % 7
+                 CASE doc_id % 9
                    WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'png'
                    WHEN 3 THEN 'png' WHEN 4 THEN 'wav' WHEN 5 THEN 'bmp'
-                   ELSE 'png' END AS container,
-                 CASE doc_id % 7
+                   WHEN 6 THEN 'png' ELSE 'jpeg' END AS container,
+                 CASE doc_id % 9
                    WHEN 3 THEN 'crc_mismatch'
                    WHEN 4 THEN 'truncated'
                    WHEN 5 THEN 'bad_magic'
                    WHEN 6 THEN 'truncated'
+                   WHEN 8 THEN 'truncated'
                    ELSE 'ok' END AS status
           FROM documents)
         SELECT container, status, CAST(COUNT(*) AS BIGINT) AS n
@@ -69,7 +71,7 @@ object DecodeTriage {
         val rdd = docs.rdd.mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
-            val cls = (id % 7).toInt
+            val cls = (id % 9).toInt
             def bmpBytes: Array[Byte] = {
               val w = 5; val h = 4
               val rgb = Array.tabulate(w * h * 3)(i =>
@@ -96,14 +98,19 @@ object DecodeTriage {
                 val b = pngBytes; b(42) = (b(42) ^ 0x40).toByte; ("png", b)
               case 4 => ("wav", wavBytes.dropRight(10))
               case 5 => val b = bmpBytes; b(0) = 'X'.toByte; ("bmp", b)
-              case _ => ("png", pngBytes.dropRight(30))
+              case 6 => ("png", pngBytes.dropRight(30))
+              case 7 => ("jpeg", JpegMedia.synthJpeg(id))
+              case _ => // cut inside the entropy-coded scan: the bit
+                // reader must run out of stuffed bytes, not crash
+                ("jpeg", JpegMedia.synthJpeg(id).dropRight(12))
             }
             val status =
               try {
                 container match {
-                  case "bmp" => BmpMedia.BmpCodec.decode(payload)
-                  case "wav" => WavMedia.WavCodec.decode(payload)
-                  case _     => PngMedia.PngCodec.decode(payload)
+                  case "bmp"  => BmpMedia.BmpCodec.decode(payload)
+                  case "wav"  => WavMedia.WavCodec.decode(payload)
+                  case "jpeg" => JpegMedia.JpegCodec.decode(payload)
+                  case _      => PngMedia.PngCodec.decode(payload)
                 }
                 "ok"
               } catch {

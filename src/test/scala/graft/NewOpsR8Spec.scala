@@ -207,14 +207,16 @@ class NewOpsR8Spec extends SparkSpec {
   test("mm_decode_triage: every corruption class is rediscovered by real decode failures") {
     val rows = SparkEntry.queries("mm_decode_triage")(spark, sf).collect()
     val census = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    // the 7 planted classes collapse to exactly these 7 census cells
+    // the 9 planted classes collapse to exactly these 9 census cells
     assert(census.keySet === Set(
       ("bmp", "ok"), ("bmp", "bad_magic"),
       ("wav", "ok"), ("wav", "truncated"),
-      ("png", "ok"), ("png", "crc_mismatch"), ("png", "truncated")))
+      ("png", "ok"), ("png", "crc_mismatch"), ("png", "truncated"),
+      ("jpeg", "ok"), ("jpeg", "truncated")))
     assert(census(("png", "ok")) > 0 && census(("png", "crc_mismatch")) > 0)
     assert(census(("png", "truncated")) > 0)
     assert(census(("wav", "truncated")) > 0 && census(("bmp", "bad_magic")) > 0)
+    assert(census(("jpeg", "ok")) > 0 && census(("jpeg", "truncated")) > 0)
     // nothing fell into the parse_error catch-all: every planted
     // corruption maps to its SPECIFIC class
     assert(!rows.exists(_.getString(1) == "parse_error"))
