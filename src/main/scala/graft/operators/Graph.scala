@@ -1014,7 +1014,7 @@ object Graph {
     * is a full lineitem scan + distinct + union (~1 s at sf0.1,
     * measured as three concurrent 64-task stages) — the CacheManager
     * dedupes the identical plan across consumers within a query. */
-  private def cooccurSym(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[operators] def cooccurSym(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val e = canonicalEdges(lineitem(s, d)
       .select((col("l_orderkey") % 29989).as("a"),
         (col("l_partkey") % 29989).as("b")))

@@ -1,0 +1,40 @@
+package graft
+
+/** Pins for the round-9 additions beyond the codec specs: the Louvain
+  * local-move pass semantics and the JPEG decode query surface.
+  */
+class NewOpsR9Spec extends SparkSpec {
+
+  test("mm_jpeg_decode: dimensions follow the synth formula, features positive") {
+    val rows = SparkEntry.queries("mm_jpeg_decode")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === 16 * (1 + id % 3), "width")
+      assert(r.getLong(2) === 16 * (1 + id % 2), "height")
+      val npx = r.getLong(1) * r.getLong(2)
+      Seq(3, 4, 5).foreach(i => assert(r.getLong(i) <= npx * 255))
+      assert(r.getLong(6) > 0, "wsum")
+    }
+  }
+
+  test("gx_louvain: a synchronized pass only ever improves singleton modularity") {
+    val rows = SparkEntry.queries("gx_louvain")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (nodes, edges, moves, comms) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (q0, q1) = (r.getDouble(4), r.getDouble(5))
+    assert(nodes > 0 && edges > 0)
+    // the co-occurrence graph is sparse: most nodes find a positive-
+    // gain neighbor (2m >> ki*kj), so the pass must actually move
+    assert(moves > 0 && moves <= nodes)
+    assert(comms < nodes, "moves must merge communities")
+    assert(q0 < 0, "singleton modularity is -sum(k^2)/4m^2 < 0")
+    // every applied move had strictly positive gain evaluated on the
+    // singleton state; synchronous application can't be worse than
+    // doing nothing on this objective's singleton baseline
+    assert(q1 > q0, s"pass must improve modularity: $q0 -> $q1")
+    assert(q1 <= 1.0 + 1e-12)
+  }
+}
