@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.QueryDef
+import graft.sources.Tables._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Kernel MMD two-sample drift over the embedding column — the
+  * distribution-shift monitor the dq_ family was missing for VECTOR
+  * features (dq_ks_drift covers scalars, dq_categorical_psi covers
+  * categories). Maximum Mean Discrepancy with a random-feature kernel:
+  *
+  *   z_p(x) = sign(w_p . x) / sqrt(D)   (D = 32 integer hyperplanes)
+  *   MMD^2  = || mean_X z - mean_Y z ||^2
+  *
+  * Random sign features approximate the angular (arccos) kernel, so
+  * this is a real kernel two-sample statistic — and because the
+  * features are SIGNS of DECIMAL-summed integer projections, the whole
+  * statistic reduces to exact integer arithmetic:
+  *
+  *   MMD^2 = sum_p (Sx_p * ny - Sy_p * nx)^2 / (D * nx^2 * ny^2)
+  *
+  * with Sx/Sy the +/-1 feature sums — one double division at the end,
+  * bit-portable across engines and partitionings.
+  *
+  * Three splits calibrate each other, the readout a drift dashboard
+  * actually alerts on:
+  *   - `random_split` (even/odd vec_id): the empirical null,
+  *     MMD^2 ~ (1/nx + 1/ny);
+  *   - `planted_drift`: odd vectors get a deterministic additive shift
+  *     m_d = ((d mod 3) - 1) * 0.08. The shift passes through the
+  *     projections linearly, so the drifted sign is
+  *     sign(100*s_p + 8*osum_p) with osum_p = SUM_d w_pd*((d mod 3)-1)
+  *     an exact integer — no decimal-precision hazards. The monitor
+  *     must light this up well clear of the null (measured ~7x);
+  *   - `label_shift` (labels 0-4 vs 5-9): a REAL mixture shift that is
+  *     deliberately subtle at fixture scale — the honest hard case.
+  *
+  * Scale: one explode + one (vec, plane)-keyed aggregation, then a
+  * 3 x D-row reduce — sublinear exchange after the first groupBy; the
+  * raw vectors shuffle once, as (id, dim, value) triples. At 100 TB
+  * the projection pass is the scan itself; D scales only the tiny
+  * side. Reference scope: the reference has no drift monitoring; dq_
+  * additions follow SURVEY §2's data-quality charter.
+  */
+object DriftMmd {
+
+  private val D = 32
+
+  /** Deterministic pseudo-random hyperplane coefficient in [-3, 3] —
+    * same LCG family as the LSH planes but an independent seed, so the
+    * MMD features are uncorrelated with the ANN bucket structure. */
+  private def coefExpr(p: Int, d: Column): Column =
+    (lit(1103515245L) * (lit(p) * 64 + d) + 999331L)
+      .divide(lit(65536L)).cast("long") % 7 - 3
+
+  private def sqlCoef(p: String, d: String): String =
+    s"(((1103515245 * (($p) * 64 + ($d)) + 999331) // 65536) % 7 - 3)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dq_mmd_drift",
+      Some(s"""
+        WITH proj AS (
+          SELECT vec_id, label, p,
+                 SUM(CAST(embedding[d + 1] AS DECIMAL(18,9))
+                     * ${sqlCoef("p", "d")}) AS s
+          FROM embeddings, range(0, 64) t(d), range(0, $D) r(p)
+          GROUP BY vec_id, label, p),
+        off AS (
+          SELECT p, SUM(${sqlCoef("p", "d")} * ((d % 3) - 1)) AS osum
+          FROM range(0, 64) t(d), range(0, $D) r(p)
+          GROUP BY p),
+        feat AS (
+          SELECT proj.vec_id, proj.label, proj.p,
+                 CASE WHEN s >= 0 THEN 1 ELSE -1 END AS z,
+                 CASE WHEN s * 100 + 8 * osum >= 0 THEN 1 ELSE -1 END AS zd
+          FROM proj JOIN off ON off.p = proj.p),
+        splits AS (
+          SELECT 'random_split' AS split,
+                 CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS grp, p, z
+          FROM feat
+          UNION ALL
+          SELECT 'label_shift', CASE WHEN label < 5 THEN 0 ELSE 1 END, p, z
+          FROM feat
+          UNION ALL
+          SELECT 'planted_drift', 0, p, z FROM feat WHERE vec_id % 2 = 0
+          UNION ALL
+          SELECT 'planted_drift', 1, p, zd FROM feat WHERE vec_id % 2 = 1),
+        agg AS (
+          SELECT split, p,
+                 SUM(CASE WHEN grp = 0 THEN z ELSE 0 END) AS sx,
+                 SUM(CASE WHEN grp = 1 THEN z ELSE 0 END) AS sy,
+                 SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS nx,
+                 SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS ny
+          FROM splits GROUP BY split, p)
+        SELECT split,
+               CAST(MIN(nx) AS BIGINT) AS nx,
+               CAST(MIN(ny) AS BIGINT) AS ny,
+               CAST($D AS BIGINT) AS n_features,
+               CAST(SUM((sx * ny - sy * nx) * (sx * ny - sy * nx)) AS DOUBLE)
+                 / ($D.0 * MIN(nx) * MIN(nx) * MIN(ny) * MIN(ny)) AS mmd2
+        FROM agg GROUP BY split
+        ORDER BY split
+      """.trim),
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val exploded = emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        // ONE aggregation carries all D plane sums AND their drift
+        // offsets (the offset sum is data-independent, but computing it
+        // in the same pass keeps the plan a single exchange)
+        val planeSums = exploded.groupBy(col("vec_id"), col("label"))
+          .agg(
+            sum(col("v").cast(DecimalType(18, 9)) * coefExpr(0, col("d"))).as("s0"),
+            (1 until D).map(p =>
+              sum(col("v").cast(DecimalType(18, 9)) * coefExpr(p, col("d"))).as(s"s$p")) ++
+            (0 until D).map(p =>
+              sum(coefExpr(p, col("d")) * (col("d") % 3 - 1)).as(s"o$p")): _*)
+        val feat = planeSums.select(col("vec_id"), col("label"),
+          posexplode(array((0 until D).map(p => struct(
+            when(col(s"s$p") >= 0, lit(1L)).otherwise(lit(-1L)).as("z"),
+            when(col(s"s$p") * 100 + lit(8) * col(s"o$p") >= 0, lit(1L))
+              .otherwise(lit(-1L)).as("zd"))): _*)).as(Seq("p", "zz")))
+          .select(col("vec_id"), col("label"), col("p"),
+            col("zz.z").as("z"), col("zz.zd").as("zd"))
+        val splits = feat.select(lit("random_split").as("split"),
+            when(col("vec_id") % 2 === 0, lit(0)).otherwise(lit(1)).as("grp"),
+            col("p"), col("z"))
+          .union(feat.select(lit("label_shift").as("split"),
+            when(col("label") < 5, lit(0)).otherwise(lit(1)).as("grp"),
+            col("p"), col("z")))
+          .union(feat.filter(col("vec_id") % 2 === 0)
+            .select(lit("planted_drift").as("split"), lit(0).as("grp"),
+              col("p"), col("z")))
+          .union(feat.filter(col("vec_id") % 2 === 1)
+            .select(lit("planted_drift").as("split"), lit(1).as("grp"),
+              col("p"), col("zd").as("z")))
+        val agg = splits.groupBy(col("split"), col("p"))
+          .agg(sum(when(col("grp") === 0, col("z")).otherwise(lit(0L))).as("sx"),
+            sum(when(col("grp") === 1, col("z")).otherwise(lit(0L))).as("sy"),
+            sum(when(col("grp") === 0, 1L).otherwise(0L)).as("nx"),
+            sum(when(col("grp") === 1, 1L).otherwise(0L)).as("ny"))
+        agg.groupBy(col("split"))
+          .agg(min(col("nx")).as("nx"), min(col("ny")).as("ny"),
+            sum((col("sx") * col("ny") - col("sy") * col("nx"))
+              * (col("sx") * col("ny") - col("sy") * col("nx"))).as("num"))
+          .select(col("split"),
+            col("nx").cast("long").as("nx"),
+            col("ny").cast("long").as("ny"),
+            lit(D.toLong).as("n_features"),
+            (col("num").cast("double")
+              / (lit(D.toDouble) * col("nx") * col("nx") * col("ny") * col("ny")))
+              .as("mmd2"))
+          .orderBy(col("split"))
+      }))
+}

@@ -37,4 +37,22 @@ class NewOpsR9Spec extends SparkSpec {
     assert(q1 > q0, s"pass must improve modularity: $q0 -> $q1")
     assert(q1 <= 1.0 + 1e-12)
   }
+
+  test("dq_mmd_drift: planted drift alerts well clear of the empirical null") {
+    val rows = SparkEntry.queries("dq_mmd_drift")(spark, sf).collect()
+    val bySplit = rows.map(r => r.getString(0) -> r).toMap
+    assert(bySplit.keySet === Set("random_split", "label_shift", "planted_drift"))
+    val mmd = bySplit.view.mapValues(_.getDouble(4)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getLong(3) === 32)
+      assert(r.getDouble(4) >= 0, "MMD^2 of mean embeddings is a squared norm")
+    }
+    // the monitor's contract: the planted ingestion drift must stand
+    // well clear of the same-distribution null; the label mixture
+    // shift is the deliberately subtle real case (non-negative, small)
+    assert(mmd("planted_drift") > 3 * mmd("random_split"),
+      s"planted ${mmd("planted_drift")} vs null ${mmd("random_split")}")
+    assert(mmd("random_split") < 0.05, "null split should be near zero")
+  }
 }
