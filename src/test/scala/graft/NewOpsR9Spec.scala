@@ -55,4 +55,25 @@ class NewOpsR9Spec extends SparkSpec {
       s"planted ${mmd("planted_drift")} vs null ${mmd("random_split")}")
     assert(mmd("random_split") < 0.05, "null split should be near zero")
   }
+
+  test("ta_nfc_audit: composing cases all change, invariant cases never do") {
+    val rows = SparkEntry.queries("ta_nfc_audit")(spark, sf).collect()
+    val by = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(by.keySet === Set("ascii_only", "combining_acute",
+      "decomposed_ring_umlaut", "precomposed", "hangul_jamo",
+      "ligature_fi_nfc_invariant"))
+    // composing cases: every doc changes, codepoints shrink by a known amount
+    Seq("combining_acute" -> 1L, "decomposed_ring_umlaut" -> 2L,
+      "hangul_jamo" -> 1L).foreach { case (k, delta) =>
+      val (n, changed, before, after) = by(k)
+      assert(changed === n, s"$k must change every doc")
+      assert(before - after === n * delta, s"$k codepoint delta")
+    }
+    // NFC-invariant cases: nothing changes (ligature pins NFC-not-NFKC)
+    Seq("ascii_only", "precomposed", "ligature_fi_nfc_invariant").foreach { k =>
+      val (_, changed, before, after) = by(k)
+      assert(changed === 0 && before === after, s"$k must be invariant")
+    }
+  }
 }
