@@ -76,4 +76,22 @@ class NewOpsR9Spec extends SparkSpec {
       assert(changed === 0 && before === after, s"$k must be invariant")
     }
   }
+
+  test("dq_dp_release: seeded Laplace noise actually perturbs, post-processing clamps") {
+    val rows = SparkEntry.queries("dq_dp_release")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0, "released counts are clamped at zero")
+      assert(r.getDouble(5) === 1.0, "composed budget eps1+eps2")
+      // released = max(0, round(true + noise)) — re-derive per row
+      val expect = math.max(0L, math.round(r.getLong(2) + r.getDouble(4)))
+      assert(r.getLong(3) === expect, s"release formula at ${r.getString(1)}")
+    }
+    // the mechanism must actually add noise (mean |noise| ~ b = 2)
+    val absNoise = rows.map(r => math.abs(r.getDouble(4)))
+    assert(absNoise.max > 0.5, "noise present")
+    val mean = absNoise.sum / absNoise.length
+    assert(mean > 0.4 && mean < 8.0, s"mean |noise| $mean off Laplace(2) scale")
+    assert(rows.exists(r => r.getLong(2) != r.getLong(3)), "some cell perturbed")
+  }
 }
