@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object BayesAb {
 
   /** A&S 7.1.26 erf approximation (|eps| <= 1.5e-7), Horner order. */
-  private def erfApprox(x: Column): Column = {
+  private[operators] def erfApprox(x: Column): Column = {
     val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
     val poly = t * (lit(0.254829592) + t * (lit(-0.284496736)
       + t * (lit(1.421413741) + t * (lit(-1.453152027)
@@ -37,7 +37,7 @@ object BayesAb {
     lit(1.0) - poly * exp(-(x * x))
   }
 
-  private def sqlErf(x: String): String = {
+  private[operators] def sqlErf(x: String): String = {
     val t = s"(1.0 / (1.0 + 0.3275911 * ($x)))"
     s"(1.0 - $t * (0.254829592 + $t * (-0.284496736 + $t * (1.421413741 + $t * (-1.453152027 + $t * 1.061405429)))) * exp(-(($x) * ($x))))"
   }

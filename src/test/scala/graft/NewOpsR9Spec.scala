@@ -77,6 +77,37 @@ class NewOpsR9Spec extends SparkSpec {
     }
   }
 
+  test("gx_louvain2: leftover singletons join frozen communities, Q keeps rising") {
+    val rows = SparkEntry.queries("gx_louvain2")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (moves1, moves2, comms) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val (q1, q2) = (r.getDouble(4), r.getDouble(5))
+    assert(moves2 > 0, "pass 2 must find joinable singletons")
+    assert(comms > 0)
+    // every pass-2 move has strictly positive gain into a FROZEN
+    // size>=2 community; the second pass must keep improving
+    assert(q2 > q1, s"pass 2 must improve modularity: $q1 -> $q2")
+    val _ = moves1
+  }
+
+  test("ev_mann_whitney: U identities and probability ranges hold") {
+    val rows = SparkEntry.queries("ev_mann_whitney")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val (ua, ub, auc) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(na > 0 && nb > 0)
+    // fundamental identity: U_A + U_B = n_A * n_B
+    assert(math.abs(ua + ub - na.toDouble * nb) < 1e-6)
+    assert(auc >= 0.0 && auc <= 1.0, "AUC_A = U_A / (nA nB)")
+    val p = r.getDouble(6)
+    assert(p >= 0.0 && p <= 1.0 + 1e-12)
+    // assignment is a hash split of the same population: the test
+    // should NOT scream (p not absurdly small)
+    assert(p > 1e-6, s"null-ish split produced p=$p")
+  }
+
   test("dq_dp_release: seeded Laplace noise actually perturbs, post-processing clamps") {
     val rows = SparkEntry.queries("dq_dp_release")(spark, sf).collect()
     assert(rows.nonEmpty)
