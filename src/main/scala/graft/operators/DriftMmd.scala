@@ -58,6 +58,19 @@ object DriftMmd {
   private def sqlCoef(p: String, d: String): String =
     s"(((1103515245 * (($p) * 64 + ($d)) + 999331) // 65536) % 7 - 3)"
 
+  /** Drift offsets sum_d w_pd * ((d mod 3) - 1) are data-independent —
+    * plan-time constants here (the measured cost of computing them as
+    * 32 extra per-vector aggregates was ~1s at sf0.1); the oracle
+    * keeps deriving them in SQL, so any transcription slip between the
+    * two derivations fails the hash-compare. Positive operands make
+    * Long truncation == the SQL floor division. */
+  private val offConst: Array[Long] = Array.tabulate(D) { p =>
+    (0 until 64).map { dd =>
+      val w = ((1103515245L * (p * 64 + dd) + 999331L) / 65536L) % 7L - 3L
+      w * ((dd % 3) - 1)
+    }.sum
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dq_mmd_drift",
@@ -108,20 +121,17 @@ object DriftMmd {
         val emb = embeddings(s, d)
         val exploded = emb.select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("d", "v")))
-        // ONE aggregation carries all D plane sums AND their drift
-        // offsets (the offset sum is data-independent, but computing it
-        // in the same pass keeps the plan a single exchange)
+        // ONE aggregation carries all D plane sums; the drift offsets
+        // are plan-time constants ([[offConst]])
         val planeSums = exploded.groupBy(col("vec_id"), col("label"))
           .agg(
             sum(col("v").cast(DecimalType(18, 9)) * coefExpr(0, col("d"))).as("s0"),
             (1 until D).map(p =>
-              sum(col("v").cast(DecimalType(18, 9)) * coefExpr(p, col("d"))).as(s"s$p")) ++
-            (0 until D).map(p =>
-              sum(coefExpr(p, col("d")) * (col("d") % 3 - 1)).as(s"o$p")): _*)
+              sum(col("v").cast(DecimalType(18, 9)) * coefExpr(p, col("d"))).as(s"s$p")): _*)
         val feat = planeSums.select(col("vec_id"), col("label"),
           posexplode(array((0 until D).map(p => struct(
             when(col(s"s$p") >= 0, lit(1L)).otherwise(lit(-1L)).as("z"),
-            when(col(s"s$p") * 100 + lit(8) * col(s"o$p") >= 0, lit(1L))
+            when(col(s"s$p") * 100 + lit(8L * offConst(p)) >= 0, lit(1L))
               .otherwise(lit(-1L)).as("zd"))): _*)).as(Seq("p", "zz")))
           .select(col("vec_id"), col("label"), col("p"),
             col("zz.z").as("z"), col("zz.zd").as("zd"))

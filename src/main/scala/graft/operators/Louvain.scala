@@ -162,15 +162,14 @@ object Louvain {
       "gx_louvain2",
       Some(s"""
         WITH $phase1Ctes,
-        csize AS (SELECT lbl AS c, COUNT(*) AS sz FROM lbl GROUP BY lbl),
-        sdsum AS (
-          SELECT l.lbl AS c, SUM(d.deg) AS dc
+        cstats AS (
+          SELECT l.lbl AS c, COUNT(*) AS sz, SUM(d.deg) AS dc
           FROM lbl l JOIN deg d ON d.node = l.node
           GROUP BY l.lbl),
         singles AS (
           SELECT l.node, d.deg AS ki
           FROM lbl l
-          JOIN csize cs ON cs.c = l.lbl
+          JOIN cstats cs ON cs.c = l.lbl
           JOIN deg d ON d.node = l.node
           WHERE cs.sz = 1),
         cand2 AS (
@@ -178,12 +177,12 @@ object Louvain {
           FROM singles s
           JOIN e ON e.src = s.node
           JOIN lbl ln ON ln.node = e.dst
-          JOIN csize cs ON cs.c = ln.lbl AND cs.sz >= 2
+          JOIN cstats cs ON cs.c = ln.lbl AND cs.sz >= 2
           GROUP BY s.node, s.ki, ln.lbl),
         gain AS (
           SELECT c2.node, c2.c,
                  2 * m.m * c2.kic - c2.ki * d1.dc AS g
-          FROM cand2 c2 JOIN sdsum d1 ON d1.c = c2.c
+          FROM cand2 c2 JOIN cstats d1 ON d1.c = c2.c
           CROSS JOIN m),
         best2 AS (
           SELECT node, c FROM (
@@ -196,37 +195,40 @@ object Louvain {
           FROM lbl l LEFT JOIN best2 b ON b.node = l.node),
         mv1 AS (SELECT COUNT(*) AS n FROM lbl WHERE lbl <> node),
         mv2 AS (SELECT COUNT(*) AS n FROM best2),
-        ${qCtes("lbl", "p1")},
         ${qCtes("lbl2", "p2")},
-        q1 AS (SELECT COUNT(*) AS nc, SUM(num) AS snum FROM p1terms),
         q2 AS (SELECT COUNT(*) AS nc, SUM(num) AS snum FROM p2terms)
         SELECT CAST(m.m AS BIGINT) AS edges,
                CAST(mv1.n AS BIGINT) AS n_moves1,
                CAST(mv2.n AS BIGINT) AS n_moves2,
                CAST(q2.nc AS BIGINT) AS n_communities,
-               CAST(q1.snum AS DOUBLE) / (4.0 * m.m * m.m) AS q_after1,
                CAST(q2.snum AS DOUBLE) / (4.0 * m.m * m.m) AS q_after2
-        FROM m, mv1, mv2, q1, q2
+        FROM m, mv1, mv2, q2
       """.trim),
       (s, d) => {
         val (sym, deg, m, lbl) = phase1(s, d)
-        val csize = lbl.groupBy(col("lbl").as("c")).agg(count(lit(1)).as("sz"))
-        val dsum = lbl.join(deg, "node")
-          .groupBy(col("lbl").as("c")).agg(sum(col("deg")).as("dc"))
-        val singles = lbl.join(csize, lbl("lbl") === csize("c"))
-          .filter(col("sz") === 1)
+        // one aggregate carries both community size and degree sum;
+        // the result is O(#communities) rows — broadcastable
+        val cstats = lbl.join(deg, "node")
+          .groupBy(col("lbl").as("c"))
+          .agg(count(lit(1)).as("sz"), sum(col("deg")).as("dc"))
+          .persist()
+        val singles = lbl
+          .join(broadcast(cstats.filter(col("sz") === 1).select(col("c"))),
+            lbl("lbl") === col("c"))
           .join(deg, "node")
           .select(col("node"), col("deg").as("ki"))
         // k_{i,c}: edges from each remaining singleton into each
         // neighbor community of size >= 2 (frozen targets)
+        // singles and lbl are O(|V|) rows — broadcast all three small
+        // sides so the 2m-row edge scan is the only big input and the
+        // per-candidate count is the single exchange
         val cand2 = sym.select(col("src").as("node"), col("dst"))
-          .join(singles, "node")
-          .join(lbl.select(col("node").as("dst"), col("lbl").as("c")), "dst")
-          .join(csize.filter(col("sz") >= 2).select(col("c")), "c")
-          .groupBy(col("node"), col("ki"), col("c"))
+          .join(broadcast(singles), "node")
+          .join(broadcast(lbl.select(col("node").as("dst"), col("lbl").as("c"))), "dst")
+          .join(broadcast(cstats.filter(col("sz") >= 2).select(col("c"), col("dc"))), "c")
+          .groupBy(col("node"), col("ki"), col("c"), col("dc"))
           .agg(count(lit(1)).as("kic"))
         val gain = cand2
-          .join(dsum.select(col("c"), col("dc")), "c")
           .crossJoin(broadcast(m))
           .select(col("node"), col("c"),
             (lit(2) * col("m") * col("kic") - col("ki") * col("dc")).as("g"))
@@ -236,16 +238,13 @@ object Louvain {
           .select(col("node"), col("mn.c").as("c2"))
         val lbl2 = lbl.join(best2, Seq("node"), "left")
           .select(col("node"), coalesce(col("c2"), col("lbl")).as("lbl"))
-          .persist()
         val mv1 = lbl.filter(col("lbl") =!= col("node")).agg(count(lit(1)).as("n_moves1"))
         val mv2 = best2.agg(count(lit(1)).as("n_moves2"))
-        val mod1 = Graph.modularity(sym, lbl)
-          .select(col("edges"), col("q_modularity").as("q_after1"))
         val mod2 = Graph.modularity(sym, lbl2)
-          .select(col("n_communities"), col("q_modularity").as("q_after2"))
-        mod1.crossJoin(broadcast(mv1)).crossJoin(broadcast(mv2))
-          .crossJoin(broadcast(mod2))
+          .select(col("edges"), col("n_communities"),
+            col("q_modularity").as("q_after2"))
+        mod2.crossJoin(broadcast(mv1)).crossJoin(broadcast(mv2))
           .select(col("edges"), col("n_moves1"), col("n_moves2"),
-            col("n_communities"), col("q_after1"), col("q_after2"))
+            col("n_communities"), col("q_after2"))
       }))
 }

@@ -82,13 +82,16 @@ class NewOpsR9Spec extends SparkSpec {
     assert(rows.length === 1)
     val r = rows.head
     val (moves1, moves2, comms) = (r.getLong(1), r.getLong(2), r.getLong(3))
-    val (q1, q2) = (r.getDouble(4), r.getDouble(5))
+    val q2 = r.getDouble(4)
     assert(moves2 > 0, "pass 2 must find joinable singletons")
     assert(comms > 0)
+    // pass 1's Q comes from gx_louvain's own row (same phase-1 state);
     // every pass-2 move has strictly positive gain into a FROZEN
-    // size>=2 community; the second pass must keep improving
+    // size>=2 community — the second pass must keep improving
+    val q1 = SparkEntry.queries("gx_louvain")(spark, sf).collect().head.getDouble(5)
+    val moves1FromP1 = SparkEntry.queries("gx_louvain")(spark, sf).collect().head.getLong(2)
+    assert(moves1 === moves1FromP1, "both queries report the same pass-1 state")
     assert(q2 > q1, s"pass 2 must improve modularity: $q1 -> $q2")
-    val _ = moves1
   }
 
   test("ev_mann_whitney: U identities and probability ranges hold") {
