@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.QueryDef
 import graft.sources.Tables._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -37,12 +37,17 @@ import org.apache.spark.sql.types.DecimalType
   *   - `label_shift` (labels 0-4 vs 5-9): a REAL mixture shift that is
   *     deliberately subtle at fixture scale — the honest hard case.
   *
-  * Scale: one explode + one (vec, plane)-keyed aggregation, then a
-  * 3 x D-row reduce — sublinear exchange after the first groupBy; the
-  * raw vectors shuffle once, as (id, dim, value) triples. At 100 TB
-  * the projection pass is the scan itself; D scales only the tiny
-  * side. Reference scope: the reference has no drift monitoring; dq_
-  * additions follow SURVEY §2's data-quality charter.
+  * Scale: two interchangeable projection paths, bit-identical because
+  * every intermediate is exact — [[featExchange]] (explode + codegen'd
+  * hash aggregate; the batch query's, measured faster at sf0.1) and
+  * [[featAll]] (row-local DECIMAL fold, no exchange; the streaming
+  * twin's, which needs the split sums to be the single stateful
+  * operator). Either way the statistic's only reduce is 3 x D tiny
+  * rows, and sign sums are a commutative monoid — the live monitor
+  * ([[graft.streaming.Streams.mmdDriftSums]]) converges to the batch
+  * rows under any micro-batch slicing. Reference scope: the reference
+  * has no drift monitoring; dq_ additions follow SURVEY §2's
+  * data-quality charter.
   */
 object DriftMmd {
 
@@ -117,52 +122,91 @@ object DriftMmd {
         FROM agg GROUP BY split
         ORDER BY split
       """.trim),
-      (s, d) => {
-        val emb = embeddings(s, d)
-        val exploded = emb.select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("d", "v")))
-        // ONE aggregation carries all D plane sums; the drift offsets
-        // are plan-time constants ([[offConst]])
-        val planeSums = exploded.groupBy(col("vec_id"), col("label"))
-          .agg(
-            sum(col("v").cast(DecimalType(18, 9)) * coefExpr(0, col("d"))).as("s0"),
-            (1 until D).map(p =>
-              sum(col("v").cast(DecimalType(18, 9)) * coefExpr(p, col("d"))).as(s"s$p")): _*)
-        val feat = planeSums.select(col("vec_id"), col("label"),
-          posexplode(array((0 until D).map(p => struct(
-            when(col(s"s$p") >= 0, lit(1L)).otherwise(lit(-1L)).as("z"),
-            when(col(s"s$p") * 100 + lit(8L * offConst(p)) >= 0, lit(1L))
-              .otherwise(lit(-1L)).as("zd"))): _*)).as(Seq("p", "zz")))
-          .select(col("vec_id"), col("label"), col("p"),
-            col("zz.z").as("z"), col("zz.zd").as("zd"))
-        val splits = feat.select(lit("random_split").as("split"),
-            when(col("vec_id") % 2 === 0, lit(0)).otherwise(lit(1)).as("grp"),
-            col("p"), col("z"))
-          .union(feat.select(lit("label_shift").as("split"),
-            when(col("label") < 5, lit(0)).otherwise(lit(1)).as("grp"),
-            col("p"), col("z")))
-          .union(feat.filter(col("vec_id") % 2 === 0)
-            .select(lit("planted_drift").as("split"), lit(0).as("grp"),
-              col("p"), col("z")))
-          .union(feat.filter(col("vec_id") % 2 === 1)
-            .select(lit("planted_drift").as("split"), lit(1).as("grp"),
-              col("p"), col("zd").as("z")))
-        val agg = splits.groupBy(col("split"), col("p"))
-          .agg(sum(when(col("grp") === 0, col("z")).otherwise(lit(0L))).as("sx"),
-            sum(when(col("grp") === 1, col("z")).otherwise(lit(0L))).as("sy"),
-            sum(when(col("grp") === 0, 1L).otherwise(0L)).as("nx"),
-            sum(when(col("grp") === 1, 1L).otherwise(0L)).as("ny"))
-        agg.groupBy(col("split"))
-          .agg(min(col("nx")).as("nx"), min(col("ny")).as("ny"),
-            sum((col("sx") * col("ny") - col("sy") * col("nx"))
-              * (col("sx") * col("ny") - col("sy") * col("nx"))).as("num"))
-          .select(col("split"),
-            col("nx").cast("long").as("nx"),
-            col("ny").cast("long").as("ny"),
-            lit(D.toLong).as("n_features"),
-            (col("num").cast("double")
-              / (lit(D.toDouble) * col("nx") * col("nx") * col("ny") * col("ny")))
-              .as("mmd2"))
-          .orderBy(col("split"))
-      }))
+      (s, d) => splitSums(featExchange(embeddings(s, d)))
+        .groupBy(col("split"))
+        .agg(min(col("nx")).as("nx"), min(col("ny")).as("ny"),
+          sum((col("sx") * col("ny") - col("sy") * col("nx"))
+            * (col("sx") * col("ny") - col("sy") * col("nx"))).as("num"))
+        .select(col("split"),
+          col("nx").cast("long").as("nx"),
+          col("ny").cast("long").as("ny"),
+          lit(D.toLong).as("n_features"),
+          (col("num").cast("double")
+            / (lit(D.toDouble) * col("nx") * col("nx") * col("ny") * col("ny")))
+            .as("mmd2"))
+        .orderBy(col("split"))))
+
+  /** Batch-path features: explode + one (vec, plane)-keyed CODEGEN'D
+    * hash aggregate. Measured faster than [[featAll]]'s row-local
+    * decimal fold at sf0.1 (2.3 s vs 3.1 s — higher-order decimal
+    * lambdas run interpreted), and exactness makes the two paths
+    * bit-identical, which `StreamingMmdSpec` pins. */
+  private[graft] def featExchange(emb: DataFrame): DataFrame = {
+    val exploded = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("d", "v")))
+    val planeSums = exploded.groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(col("v").cast(DecimalType(18, 9)) * coefExpr(0, col("d"))).as("s0"),
+        (1 until D).map(p =>
+          sum(col("v").cast(DecimalType(18, 9)) * coefExpr(p, col("d"))).as(s"s$p")): _*)
+    planeSums.select(col("vec_id"), col("label"),
+      posexplode(array((0 until D).map(p => struct(
+        when(col(s"s$p") >= 0, lit(1L)).otherwise(lit(-1L)).as("z"),
+        when(col(s"s$p") * 100 + lit(8L * offConst(p)) >= 0, lit(1L))
+          .otherwise(lit(-1L)).as("zd"))): _*)).as(Seq("p", "zz")))
+      .select(col("vec_id"), col("label"), col("p"),
+        col("zz.z").as("z"), col("zz.zd").as("zd"))
+  }
+
+  /** Row-local per-plane sign features: NO exchange — each vector
+    * folds its own 64 dims per plane with an exact DECIMAL
+    * higher-order aggregate (order-independent because exact). This is
+    * the STREAMING path: it leaves the split sums as the single
+    * stateful operator (streaming cannot stack the two aggregates the
+    * batch path uses). Emits (vec_id, label, p, z, zd). */
+  private[graft] def featAll(emb: DataFrame): DataFrame = {
+    // term and accumulator types pinned so decimal-precision capping
+    // (which would silently round the 9th fraction digit) never fires:
+    // (29,9)+(28,9) -> (30,9), cast back exact (|values| << 1e19)
+    def planeSum(p: Int) = aggregate(
+      transform(sequence(lit(0), lit(63)),
+        dd => (element_at(col("embedding"), dd + 1).cast(DecimalType(18, 9))
+          * coefExpr(p, dd)).cast(DecimalType(28, 9))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(29, 9)),
+      (acc, x) => (acc + x).cast(DecimalType(29, 9)))
+    emb.select(col("vec_id"), col("label"),
+      posexplode(array((0 until D).map { p =>
+        val sp = planeSum(p)
+        struct(
+          when(sp >= 0, lit(1L)).otherwise(lit(-1L)).as("z"),
+          when(sp * 100 + lit(8L * offConst(p)) >= 0, lit(1L))
+            .otherwise(lit(-1L)).as("zd"))
+      }: _*)).as(Seq("p", "zz")))
+      .select(col("vec_id"), col("label"), col("p"),
+        col("zz.z").as("z"), col("zz.zd").as("zd"))
+  }
+
+  /** The three calibrating splits reduced to per-(split, plane) sign
+    * sums — a commutative integer monoid, so a streaming Update-mode
+    * aggregate over any micro-batch slicing converges to the batch
+    * rows (the streaming twin's contract). */
+  private[graft] def splitSums(feat: DataFrame): DataFrame = {
+    val splits = feat.select(lit("random_split").as("split"),
+        when(col("vec_id") % 2 === 0, lit(0)).otherwise(lit(1)).as("grp"),
+        col("p"), col("z"))
+      .union(feat.select(lit("label_shift").as("split"),
+        when(col("label") < 5, lit(0)).otherwise(lit(1)).as("grp"),
+        col("p"), col("z")))
+      .union(feat.filter(col("vec_id") % 2 === 0)
+        .select(lit("planted_drift").as("split"), lit(0).as("grp"),
+          col("p"), col("z")))
+      .union(feat.filter(col("vec_id") % 2 === 1)
+        .select(lit("planted_drift").as("split"), lit(1).as("grp"),
+          col("p"), col("zd").as("z")))
+    splits.groupBy(col("split"), col("p"))
+      .agg(sum(when(col("grp") === 0, col("z")).otherwise(lit(0L))).as("sx"),
+        sum(when(col("grp") === 1, col("z")).otherwise(lit(0L))).as("sy"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("nx"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("ny"))
+  }
 }

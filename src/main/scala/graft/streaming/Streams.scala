@@ -351,6 +351,19 @@ object Streams {
     * under any micro-batch slicing or restart, and the PSI derived
     * from the final emission equals the batch gate exactly. State is
     * one row per bin — bounded by the bin count, not the stream. */
+  /** Streaming embedding-drift monitor — the live side of
+    * dq_mmd_drift: per-(split, plane) signed-feature sums over the
+    * vector stream. The projection is row-local (exact DECIMAL fold
+    * per plane, [[graft.operators.DriftMmd.featAll]]) so the only
+    * stateful operator is one Update-mode aggregate whose +/-1 sums
+    * are a commutative monoid: any micro-batch slicing or restart
+    * converges to the batch rows, and the MMD^2 derived from the final
+    * emission equals the batch monitor exactly. State is one row per
+    * (split, plane) — 3 x 32, bounded regardless of stream length. */
+  def mmdDriftSums(embeddings: DataFrame): DataFrame =
+    graft.operators.DriftMmd.splitSums(
+      graft.operators.DriftMmd.featAll(embeddings))
+
   def psiBins(events: DataFrame): DataFrame =
     events.filter(col("event_type") === "purchase")
       .select(least(floor(col("value") / 75), lit(3)).cast("long").as("bin"),
