@@ -111,6 +111,34 @@ class NewOpsR9Spec extends SparkSpec {
     assert(p > 1e-6, s"null-ish split produced p=$p")
   }
 
+  test("ev_james_stein: shrinkage pulls every arm toward the mean, exactly one winner each way") {
+    val rows = SparkEntry.queries("ev_james_stein")(spark, sf).collect()
+    assert(rows.length === 8)
+    val c = rows.head.getDouble(5)
+    assert(c >= 0.0 && c <= 1.0, s"shrink factor $c clipped to [0,1]")
+    val xbar = rows.map(r => r.getDouble(4)).sum / rows.length
+    rows.foreach { r =>
+      val (naive, shrunk) = (r.getDouble(3), r.getDouble(4))
+      // shrunk estimate lies between the naive rate and the grand mean
+      assert((shrunk - naive) * (shrunk - xbar) <= 1e-12,
+        s"arm ${r.getLong(0)}: $shrunk not between $naive and $xbar")
+    }
+    assert(rows.count(_.getBoolean(6)) === 1, "one naive winner")
+    assert(rows.count(_.getBoolean(7)) === 1, "one shrunk winner")
+  }
+
+  test("pl_bandit_mixture: UCB shares normalize and favor small-or-good arms") {
+    val rows = SparkEntry.queries("pl_bandit_mixture")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(5))
+    assert(math.abs(shares.sum - 1.0) < 1e-6, s"shares sum ${shares.sum}")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= r.getDouble(3), "UCB >= mean (bonus is positive)")
+      assert(r.getDouble(5) >= 0.0)
+    }
+    assert(rows.count(_.getBoolean(6)) === 1, "exactly one lead arm")
+  }
+
   test("dq_dp_release: seeded Laplace noise actually perturbs, post-processing clamps") {
     val rows = SparkEntry.queries("dq_dp_release")(spark, sf).collect()
     assert(rows.nonEmpty)
