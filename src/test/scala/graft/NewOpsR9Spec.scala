@@ -139,6 +139,40 @@ class NewOpsR9Spec extends SparkSpec {
     assert(rows.count(_.getBoolean(6)) === 1, "exactly one lead arm")
   }
 
+  test("mm_thumb_pyramid: levels halve exactly and sums shrink ~4x per level") {
+    val rows = SparkEntry.queries("mm_thumb_pyramid")(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.values.foreach { lv =>
+      assert(lv.map(_.getLong(1)).sorted.toSeq === Seq(0L, 1L, 2L))
+      val l = lv.sortBy(_.getLong(1))
+      for (i <- 1 to 2) {
+        assert(l(i).getLong(2) === l(i - 1).getLong(2) / 2, "width halves")
+        assert(l(i).getLong(3) === l(i - 1).getLong(3) / 2, "height halves")
+        // floor-averaged 2x2 boxes: child channel sum is within
+        // [parent/4 - npx, parent/4] (each box floors away < 1)
+        val npx = l(i).getLong(2) * l(i).getLong(3)
+        for (c <- 4 to 6) {
+          val parent = l(i - 1).getLong(c); val child = l(i).getLong(c)
+          assert(child <= parent / 4 + 1 && child >= parent / 4 - npx,
+            s"level $i channel $c: $child vs parent $parent")
+        }
+      }
+    }
+  }
+
+  test("ev_poisson_bootstrap: CI brackets the mean, se on the sampling-error scale") {
+    val rows = SparkEntry.queries("ev_poisson_bootstrap")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (mean, se, lo, hi) = (r.getDouble(1), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(r.getLong(0) > 0 && r.getLong(2) === 32)
+    assert(lo < hi, "percentile bounds ordered")
+    assert(lo < mean && mean < hi, "full-sample mean inside the 10-90 band")
+    assert(se > 0, "replicates must differ")
+    // se should be commensurate with the percentile spread
+    assert(hi - lo > se / 2 && hi - lo < 10 * se, s"spread ${hi - lo} vs se $se")
+  }
+
   test("dq_dp_release: seeded Laplace noise actually perturbs, post-processing clamps") {
     val rows = SparkEntry.queries("dq_dp_release")(spark, sf).collect()
     assert(rows.nonEmpty)
