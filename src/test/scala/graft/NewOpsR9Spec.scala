@@ -173,6 +173,22 @@ class NewOpsR9Spec extends SparkSpec {
     assert(hi - lo > se / 2 && hi - lo < 10 * se, s"spread ${hi - lo} vs se $se")
   }
 
+  test("ta_kn_bigram: same eval frame as add-one; the measured near-tie is real") {
+    val kn = SparkEntry.queries("ta_kn_bigram")(spark, sf).collect().head
+    val a1 = SparkEntry.queries("ta_bigram_xent")(spark, sf).collect().head
+    // identical tokenization + split => identical eval frame
+    assert(kn.getLong(0) === a1.getLong(0), "same eval bigram count")
+    assert(kn.getLong(2) === a1.getLong(2), "same seen-bigram count")
+    val (knBits, a1Bits) = (kn.getDouble(4), a1.getDouble(4))
+    assert(knBits > 0 && knBits < 64)
+    // the documented harness finding: with ~99.9% bigram coverage the
+    // two smoothers land within a tenth of a bit of each other —
+    // neither catastrophically wins, and a regression in either model
+    // (e.g. a broken continuation table) blows this band
+    assert(math.abs(knBits - a1Bits) < 0.1,
+      s"KN $knBits vs add-one $a1Bits drifted apart")
+  }
+
   test("dq_dp_release: seeded Laplace noise actually perturbs, post-processing clamps") {
     val rows = SparkEntry.queries("dq_dp_release")(spark, sf).collect()
     assert(rows.nonEmpty)
