@@ -18,6 +18,18 @@ object Bench {
         name
     }.toSeq.sorted
 
+  /** The adaptive re-measure trigger as a pure function so a spec can
+    * pin it (r9 verdict #1): the warm run includes Catalyst planning +
+    * Janino compile, so steady-state should come in BELOW its wall —
+    * a measured run 3× ABOVE it is the signature of a transient host
+    * load burst, not the query (two driver rounds in a row carried a
+    * fictitious multi-row tail this rule would have caught). `floor`
+    * keeps sub-threshold rows out: below it, scheduler jitter
+    * dominates and a re-run buys nothing. */
+  private[graft] def needsRemeasure(
+      measured: Double, warmWall: Double, floor: Double): Boolean =
+    measured > 3.0 * warmWall && measured >= floor
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to DRIVER PARITY: the driver harness runs local[32] on a
@@ -219,6 +231,18 @@ object Bench {
           java.nio.file.Files.writeString(pdir.resolve(s"$name.opt.txt"), canonOpt)
         } catch { case _: Throwable => () }
       }
+    // Adaptive re-measure (r9 verdict #1): two driver runs in a row
+    // carried a fictitious multi-row tail (r8 gx_ktruss 20.6s, r9
+    // gx_lpa 25.0s + a false superlinear flag — all <=3.9s isolated at
+    // the identical plan fingerprint). With ONE measured run per query,
+    // a single host preemption burst fabricates a 10x row. The warm run
+    // is already executed and its wall is free to time, so: when the
+    // measured time exceeds 3x the warm wall (and is >= 1s — below
+    // that the ratio is noise), run once more and report the min,
+    // recording the event in the artifact's "remeasured" list. Bounded
+    // cost (only outlier rows re-run) and honest — steady-state is what
+    // the warm-measurement methodology already claims to report.
+    val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -232,20 +256,33 @@ object Bench {
       // methodology is unchanged: warm run fills this query's caches,
       // measured runs reuse them.
       isolate()
-      // the fingerprint's DataFrame doubles as the unmeasured warm run
+      // the fingerprint's DataFrame doubles as the unmeasured warm run.
+      // The warm wall must bracket CONSTRUCTION too, not just the noop
+      // write: eager localCheckpoint()s run their jobs inside fn(), so
+      // timing only the write undercounts checkpoint-heavy queries and
+      // their honest measured runs would spuriously re-measure.
+      val warmT0 = System.nanoTime()
       val df0 = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+      df0.foreach(df => try df.write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () })
+      val warmWall = (System.nanoTime() - warmT0) / 1e9
       val fp = df0.map(fingerprint).getOrElse("err")
       val fpo = df0.map(fingerprintOpt).getOrElse("err")
       df0.foreach(dumpCanon(name, _))
-      df0.foreach(df => try df.write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () })
       val times = Seq.fill(nRuns) {
         val t0 = System.nanoTime()
         runOnce(fn)
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      instrument(name, times(times.length / 2))
-      (name, times(times.length / 2), fp, fpo)
+      val measured = times(times.length / 2)
+      val finalT = if (needsRemeasure(measured, warmWall, floor = 1.0)) {
+        remeasured += name
+        val t0 = System.nanoTime()
+        runOnce(fn)
+        math.min(measured, (System.nanoTime() - t0) / 1e9)
+      } else measured
+      instrument(name, finalT)
+      (name, finalT, fp, fpo)
     }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -283,10 +320,20 @@ object Bench {
         .map { case (name, fn) =>
           isolate(full = false)
           try {
+            val w0 = System.nanoTime()
             fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
+            val warmSmall = (System.nanoTime() - w0) / 1e9
             val t0 = System.nanoTime()
             fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
-            val small = (System.nanoTime() - t0) / 1e9
+            val small0 = (System.nanoTime() - t0) / 1e9
+            // same load-burst defense as the big scale: an inflated
+            // small-side denominator DEFLATES the ratio and masks a
+            // real superlinearity, so re-measure it too
+            val small = if (needsRemeasure(small0, warmSmall, floor = 0.2)) {
+              val t1 = System.nanoTime()
+              fn(spark, ratioDir).write.format("noop").mode("overwrite").save()
+              math.min(small0, (System.nanoTime() - t1) / 1e9)
+            } else small0
             name -> results.find(_._1 == name)
               .map { case (_, big, _, _) => if (small > 0) big / small else 0.0 }
               .getOrElse(-1.0)
@@ -312,16 +359,27 @@ object Bench {
         .map { case (k, v) => s"\"$k\":" + r3(v) }.mkString(",")
       val sl = superlinear.map(n => s"\"$n\"").mkString(",")
       val re = ratioErrors.map(n => s"\"$n\"").mkString(",")
+      val rm = remeasured.sorted.map(n => s"\"$n\"").mkString(",")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"cpus":$cpus,""" +
         s""""queries":{$qs},"plans":{$fps},"plans_opt":{$fpos},"plans_fp":"$plansFp",""" +
-        s""""ratios":{$rs},"ratio_dir":"$ratioDir","superlinear":[$sl],"ratio_errors":[$re],"sf":"$sfDir"}"""
+        s""""ratios":{$rs},"ratio_dir":"$ratioDir","superlinear":[$sl],"ratio_errors":[$re],""" +
+        s""""remeasured":[$rm],"sf":"$sfDir"}"""
     }
-    // SPARK_GRAFT_BENCH_OUT overrides the artifact path (useful for
-    // subset iteration); without it, subset runs never clobber the
-    // full-surface artifact.
+    // SPARK_GRAFT_BENCH_OUT overrides the artifact path. WITHOUT the
+    // explicit override the artifact goes to an untracked timestamped
+    // file under docs/bench_runs/ (gitignored): the driver's per-round
+    // bench overwrote the committed docs/bench_full.json in place in
+    // r8 AND r9, ending both rounds with the repo's primary perf
+    // record dirty. The committed record is now only ever written
+    // deliberately (SPARK_GRAFT_BENCH_OUT=docs/bench_full.json), and a
+    // driver-initiated run leaves git status clean.
     val outOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    val fullPath = java.nio.file.Paths.get(
-      outOverride.getOrElse("docs/bench_full.json"))
+    val defaultPath = {
+      val ts = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+        .format(new java.util.Date())
+      s"docs/bench_runs/bench_full_cpus${cpus}_$ts.json"
+    }
+    val fullPath = java.nio.file.Paths.get(outOverride.getOrElse(defaultPath))
     if (only.isEmpty || outOverride.isDefined) try {
       Option(fullPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
@@ -371,7 +429,11 @@ object Bench {
     val wfps = watch.flatMap(k => fpMap.get(k).map(fp => s"\"$k\":\"$fp\""))
       .mkString("{", ",", "}")
     val sl = superlinear.map(n => s"\"$n\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"cpus":$cpus,"queries":$qs,"plans_fp":"$plansFp","plans_watch":$wfps,"superlinear":$sl,"full":"docs/bench_full.json","sf":"$sfDir"}""")
+    // stdout is tail-truncated at ~2000 chars by the driver, so the
+    // remeasured list is capped at 10 names here (full list in the
+    // file artifact) with the true count alongside.
+    val rmOut = remeasured.sorted.take(10).map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.length},"cpus":$cpus,"queries":$qs,"plans_fp":"$plansFp","plans_watch":$wfps,"superlinear":$sl,"remeasured":$rmOut,"n_remeasured":${remeasured.length},"full":"${fullPath.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

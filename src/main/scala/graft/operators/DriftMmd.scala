@@ -51,6 +51,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object DriftMmd {
 
+  /** Widen a BIGINT sum to DECIMAL(19,0) so downstream products run in
+    * Spark's exact decimal arithmetic (19,0 × 19,0 → 38,0) instead of
+    * wrap-around Long multiplication. */
+  private def dec19(c: Column): Column = c.cast(DecimalType(19, 0))
+
   private val D = 32
 
   /** Deterministic pseudo-random hyperplane coefficient in [-3, 3] —
@@ -125,8 +130,17 @@ object DriftMmd {
       (s, d) => splitSums(featExchange(embeddings(s, d)))
         .groupBy(col("split"))
         .agg(min(col("nx")).as("nx"), min(col("ny")).as("ny"),
-          sum((col("sx") * col("ny") - col("sy") * col("nx"))
-            * (col("sx") * col("ny") - col("sy") * col("nx"))).as("num"))
+          // DECIMAL interior, not Long: each squared term is bounded by
+          // 4n^4, so a LongType sum silently wraps at ~40k+ vectors per
+          // split while the DuckDB oracle's SUM promotes to HUGEINT and
+          // stays exact — the engines would diverge exactly at scale.
+          // Casting the factors to DECIMAL(19,0) makes every product and
+          // the running sum land in DECIMAL(38,0): exact to 38 digits,
+          // matching the oracle far past any realistic corpus.
+          sum((dec19(col("sx")) * dec19(col("ny"))
+              - dec19(col("sy")) * dec19(col("nx")))
+            * (dec19(col("sx")) * dec19(col("ny"))
+              - dec19(col("sy")) * dec19(col("nx")))).as("num"))
         .select(col("split"),
           col("nx").cast("long").as("nx"),
           col("ny").cast("long").as("ny"),

@@ -114,24 +114,38 @@ object Jl {
           .select(col("vec_id"), array((0 until K).map(p => col(s"s$p")): _*))
           .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
         val dec19 = DecimalType(19, 0)
-        // row-local decimal folds against the query literals — exact,
-        // identical to the oracle's grouped DECIMAL sums
+        // Row-local decimal folds against the query literals — exact,
+        // identical to the oracle's grouped DECIMAL sums. The query
+        // constants ride in ONE array<struct> literal (qid, the K
+        // projected components, the exact decimal norm) and the
+        // per-candidate arithmetic is written ONCE, downstream of the
+        // explode. The previous shape inlined all 10 queries' folds
+        // into the Generate's doConsume — ~1.7k expressions, a
+        // 14k-line janino unit over the 64 KB method limit, silently
+        // falling back to interpreted execution (r9 verdict #3). This
+        // shape is ~40 expressions, stays inside whole-stage codegen,
+        // and shares the candidate norm instead of recomputing it 10×.
+        val qlit = array(qRows.map { case (qid, qs) =>
+          struct(lit(qid).as("qid"),
+            array(qs.map(v => lit(v)): _*).as("qv"),
+            // exact integer norm driver-side — same value as the
+            // oracle's grouped DECIMAL sum
+            lit(qs.map(v => BigDecimal(v) * BigDecimal(v)).sum.bigDecimal)
+              .cast(DecimalType(38, 0)).as("na"))
+        }: _*)
+        val dp = (0 until K).map(p =>
+          element_at(col("q.qv"), p + 1).cast(dec19) * col(s"s$p").cast(dec19))
+          .reduce(_ + _)
+        val nb = (0 until K).map(p =>
+          col(s"s$p").cast(dec19) * col(s"s$p").cast(dec19)).reduce(_ + _)
         val cands = proj.filter(col("vec_id") >= 10)
-          .select(col("vec_id").as("nid"),
-            explode(array(qRows.map { case (qid, qs) =>
-              val dp = (0 until K).map(p =>
-                lit(qs(p)).cast(dec19) * col(s"s$p").cast(dec19)).reduce(_ + _)
-              // exact integer arithmetic driver-side — same value as
-              // the oracle's grouped DECIMAL sum
-              val na = lit(qs.map(v => BigDecimal(v) * BigDecimal(v)).sum
-                .bigDecimal).cast(DecimalType(38, 0))
-              val nb = (0 until K).map(p =>
-                col(s"s$p").cast(dec19) * col(s"s$p").cast(dec19)).reduce(_ + _)
-              struct(lit(qid).as("qid"),
-                (dp.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))))
-                  .as("cos"))
-            }: _*)).as("x"))
-          .select(col("x.qid").as("qid"), col("nid"), col("x.cos").as("cos"))
+          .select(col("vec_id").as("nid")
+            +: (0 until K).map(p => col(s"s$p"))
+            :+ explode(qlit).as("q"): _*)
+          .select(col("q.qid").as("qid"), col("nid"),
+            (dp.cast("double")
+              / (sqrt(col("q.na").cast("double")) * sqrt(nb.cast("double"))))
+              .as("cos"))
         val truth = Similarity.cosineTopK(emb, col("vec_id") < 10, 5)
           .select(col("qid"), col("nid"))
         Similarity.recallTail(truth, cands)

@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   *
   * Freezing is structural, not a tiebreak: movers are singletons,
   * targets are size >= 2 communities, so no target contains a mover —
-  * chains and swaps are impossible by construction. This is exactly
+  * chains and swaps are impossible by construction. (Per-node gains
+  * are still evaluated independently: two singletons co-joining the
+  * SAME target add a pairwise cross-term -k_i*k_j/(2m^2) that no
+  * per-node filter sees, so strict Q-improvement of a synchronous
+  * sweep is a measured property of this graph — pinned by
+  * NewOpsR9Spec — not a structural guarantee.) This is exactly
   * the shape a distributed Louvain sweep wants at 100 TB: per-node
   * decisions are edge-local joins + one argmax groupBy, never a
   * per-community serialization.

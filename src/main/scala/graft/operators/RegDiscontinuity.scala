@@ -54,15 +54,18 @@ object RegDiscontinuity {
                  SUM(CAST(x AS HUGEINT) * y) AS sxy,
                  SUM(CAST(x AS HUGEINT) * x) AS sxx
           FROM w GROUP BY side),
+        fit0 AS (
+          SELECT side, n, sx, sy,
+                 CASE WHEN CAST(n AS HUGEINT) * sxx = sx * sx
+                      THEN CAST(0 AS DOUBLE)
+                      ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+                        / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                 END AS slope
+          FROM mo),
         fit AS (
-          SELECT side, n,
-                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS slope,
-                 CAST(sy AS DOUBLE) / n
-                   - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
-                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
-                     * (CAST(sx AS DOUBLE) / n) AS a0
-          FROM mo)
+          SELECT side, n, slope,
+                 CAST(sy AS DOUBLE) / n - slope * (CAST(sx AS DOUBLE) / n) AS a0
+          FROM fit0)
         SELECT CAST(side AS BIGINT) AS side, CAST(n AS BIGINT) AS n,
                ${det.sqlSnap9("a0")} AS at_cutoff,
                ${det.sqlSnap9("slope")} AS slope
@@ -95,8 +98,17 @@ object RegDiscontinuity {
           .agg(count(lit(1)).as("n"),
             sum(dx).as("sx"), sum(dy).as("sy"),
             sum(dx * $"y").as("sxy"), sum(dx * $"x").as("sxx"))
-        val slope = ($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n") /
-          ($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n")
+        // Degenerate-side guard (found by the r10 CodegenTriage sweep,
+        // latent since birth: at sf0.001 one side's windowed users all
+        // share one score, the x-variance is exactly 0 and the ANSI
+        // double division throws — count()-shaped gates pruned the
+        // projection so no spec ever evaluated it). Zero variance ⇒
+        // slope undefined; define slope = 0, a0 = mean(y), decided by
+        // the EXACT integer predicate n·sxx = sx² in both engines.
+        val degen = $"n".cast(DecimalType(38, 0)) * $"sxx" === $"sx" * $"sx"
+        val slope = when(degen, lit(0.0)).otherwise(
+          ($"sxy".cast("double") - $"sx".cast("double") * $"sy" / $"n") /
+            ($"sxx".cast("double") - $"sx".cast("double") * $"sx" / $"n"))
         val fit = mo.select($"side", $"n", slope.as("slope"),
           ($"sy".cast("double") / $"n"
             - slope * ($"sx".cast("double") / $"n")).as("a0"))

@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Truss {
 
-  /** One peel round: (surviving edges, edges-in, triangles). */
+  /** One peel round: (surviving edges, per-edge support). The triangle
+    * set itself is NEVER materialized — at scale triangles can dwarf
+    * edges by orders of magnitude, so it streams through the explode →
+    * hash-aggregate and only the per-edge support table (bounded by
+    * |E|) is cached. The round's triangle count falls out of it
+    * exactly as sum(s) / 3 (every triangle contributes support to
+    * precisely three edges). r10 job-count cut vs r9 (the repeat
+    * exposure-concentrator in two driver bench runs): tri.persist
+    * dropped, caches sized to data volume (coalesce 8, the r9
+    * LPA/modularity lesson) rather than the 32 shuffle slots. */
   private def peel(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = Graph.degrees(e)
     val oriented = e
@@ -33,36 +42,41 @@ object Truss {
           struct(col("u").as("src"), col("v").as("dst")))
           .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      .coalesce(8)
       .persist()
-    val tri = oriented.select(col("src"), col("dst").as("x"))
+    // each triangle (wedge src→x, src→y closed by edge (x,y)) supports
+    // its three edges; supports spread via ONE explode pass,
+    // canonicalized to (u < v), straight into the hash aggregate
+    val sup = oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") < col("y"))
       .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
-      .persist()
-    // each triangle (src < x < y after orientation-independent
-    // canonicalization below) supports its three edges; supports
-    // spread via ONE explode pass, canonicalized to (u < v)
-    val sup = tri.select(explode(array(
+      .select(explode(array(
         struct(least(col("src"), col("x")).as("u"), greatest(col("src"), col("x")).as("v")),
         struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v")),
         struct(least(col("src"), col("y")).as("u"), greatest(col("src"), col("y")).as("v"))))
         .as("ed"))
       .select(col("ed.u").as("u"), col("ed.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+      .coalesce(8)
+      .persist()
+    // s >= k−2 = 1 for the 3-truss: vacuous on a count aggregate, kept
+    // to mirror the oracle's EXISTS … s.s >= 1 and the general-k shape
     val kept = e.join(sup.filter(col("s") >= 1).select(col("u"), col("v")),
       Seq("u", "v"), "left_semi")
     // eager checkpoint between rounds: round 2 references the survivor
     // set ~6 times (degrees ×2, orientation ×2, two semi-joins) and a
     // lazily-cached plan re-embeds all of round 1 in each — the same
     // lineage-truncation rule as the pagerank/BFS loops
-    (kept.localCheckpoint(), tri)
+    (kept.coalesce(8).localCheckpoint(), sup)
   }
 
   private def roundStats(round: Int, eIn: DataFrame, eOut: DataFrame,
-                         tri: DataFrame): DataFrame =
+                         sup: DataFrame): DataFrame =
     eIn.agg(count(lit(1)).as("edges_in"))
       .crossJoin(eOut.agg(count(lit(1)).as("edges_kept")))
-      .crossJoin(tri.agg(count(lit(1)).as("triangles")))
+      // exact integer: 3 support entries per triangle, so SUM(s) DIV 3
+      .crossJoin(sup.agg(expr("CAST(SUM(s) DIV 3 AS BIGINT)").as("triangles")))
       .select(lit(round.toLong).as("round"), col("edges_in"),
         col("edges_kept"), col("triangles"))
 
@@ -105,13 +119,18 @@ object Truss {
         ORDER BY round
       """.trim),
       (s, d) => {
+        // e0 is referenced 4× in round 1 (degrees, orientation join,
+        // wedge-closure semi-join, edges_in count) and each reference
+        // would re-run the scan + DISTINCT shuffle — checkpoint it once
+        // at data volume, same as the inter-round survivor sets
         val e0 = Graph.canonicalEdges(lineitem(s, d)
           .select((col("l_orderkey") % 29989).as("a"),
             (col("l_partkey") % 29989).as("b")))
-        val (e1, tri0) = peel(e0)
-        val (e2, tri1) = peel(e1)
-        roundStats(1, e0, e1, tri0)
-          .unionByName(roundStats(2, e1, e2, tri1))
+          .coalesce(8).localCheckpoint()
+        val (e1, sup0) = peel(e0)
+        val (e2, sup1) = peel(e1)
+        roundStats(1, e0, e1, sup0)
+          .unionByName(roundStats(2, e1, e2, sup1))
           .select(col("round"), col("edges_in").cast("long").as("edges_in"),
             col("edges_kept").cast("long").as("edges_kept"),
             col("triangles").cast("long").as("triangles"))

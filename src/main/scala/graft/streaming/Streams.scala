@@ -345,12 +345,6 @@ object Streams {
           .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 2))))
           .as("s_core"))
 
-  /** Streaming drift monitor — the live side of ev_psi: per value-bin
-    * pre/post purchase counts. Integer counts are a commutative
-    * monoid, so the Update-mode aggregate converges to the batch bins
-    * under any micro-batch slicing or restart, and the PSI derived
-    * from the final emission equals the batch gate exactly. State is
-    * one row per bin — bounded by the bin count, not the stream. */
   /** Streaming embedding-drift monitor — the live side of
     * dq_mmd_drift: per-(split, plane) signed-feature sums over the
     * vector stream. The projection is row-local (exact DECIMAL fold
@@ -364,6 +358,12 @@ object Streams {
     graft.operators.DriftMmd.splitSums(
       graft.operators.DriftMmd.featAll(embeddings))
 
+  /** Streaming drift monitor — the live side of ev_psi: per value-bin
+    * pre/post purchase counts. Integer counts are a commutative
+    * monoid, so the Update-mode aggregate converges to the batch bins
+    * under any micro-batch slicing or restart, and the PSI derived
+    * from the final emission equals the batch gate exactly. State is
+    * one row per bin — bounded by the bin count, not the stream. */
   def psiBins(events: DataFrame): DataFrame =
     events.filter(col("event_type") === "purchase")
       .select(least(floor(col("value") / 75), lit(3)).cast("long").as("bin"),

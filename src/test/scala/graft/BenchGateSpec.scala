@@ -39,4 +39,22 @@ class BenchGateSpec extends AnyFunSuite {
   test("missing big-scale time defaults to not-flagged") {
     assert(Bench.flagSuperlinear(Map("q_x" -> 50.0), Map.empty).isEmpty)
   }
+
+  test("re-measure fires on the r9 driver pathology, not on steady state") {
+    // the archetype: gx_lpa measured 25.0s in BENCH_r09 while its warm
+    // run (same process, seconds earlier) ran in ~3s — load burst
+    assert(Bench.needsRemeasure(measured = 25.0, warmWall = 3.0, floor = 1.0))
+    // normal shape: measured BELOW the planning+codegen-laden warm wall
+    assert(!Bench.needsRemeasure(measured = 2.4, warmWall = 3.1, floor = 1.0))
+    // mild in-band noise (under 3x warm) never re-runs
+    assert(!Bench.needsRemeasure(measured = 5.5, warmWall = 2.0, floor = 1.0))
+  }
+
+  test("re-measure floor keeps jitter-dominated sub-threshold rows out") {
+    // 0.3s vs 0.05s warm is 6x but under the 1s floor — scheduler
+    // jitter, not worth a re-run at the big scale
+    assert(!Bench.needsRemeasure(measured = 0.3, warmWall = 0.05, floor = 1.0))
+    // the ratio pass uses a lower floor: the same row DOES re-run there
+    assert(Bench.needsRemeasure(measured = 0.3, warmWall = 0.05, floor = 0.2))
+  }
 }

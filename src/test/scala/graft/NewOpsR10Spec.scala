@@ -1,0 +1,44 @@
+package graft
+
+/** Pins for the round-10 additions: exact substring-span
+  * decontamination (the anchored-diagonal suffix-array replacement)
+  * and the reg-discontinuity degenerate-side guard.
+  */
+class NewOpsR10Spec extends SparkSpec {
+
+  test("pl_decontam_spans: coverage invariants and a real cross-split leak") {
+    val rows = SparkEntry.queries("pl_decontam_spans")(spark, sf).collect()
+    // one row per eval doc, including zero-hit docs
+    assert(rows.length === 13)
+    rows.foreach { r =>
+      val (n, cov, regions, longest) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(cov >= 0 && cov <= n, s"coverage within the doc: $cov of $n")
+      assert(longest <= cov, "the longest exact span is part of the coverage")
+      // an exact span is at least one full 8-gram anchor long
+      assert(cov == 0 || longest >= 8, s"spans are >= 8 tokens, got $longest")
+      assert((regions == 0) == (cov == 0), "regions and coverage agree on emptiness")
+      assert(regions <= cov / 8 + 1, "each merged region covers >= 8 tokens")
+      // flag is the integer predicate, restated
+      assert(r.getBoolean(5) === (5 * cov > n))
+    }
+    // the planted near-dup families leak across the %41 split: the
+    // audit must actually find verbatim spans, not report all-zeros
+    assert(rows.map(_.getLong(2)).sum > 0, "no exact spans found at all")
+  }
+
+  test("ev_reg_discontinuity: runs at sf0.001 where one side is degenerate") {
+    // latent since birth, found by the r10 CodegenTriage sweep: at
+    // sf0.001 one side's windowed users all share one score, the
+    // x-variance is exactly 0 and the un-guarded ANSI double division
+    // threw DIVIDE_BY_ZERO — but only under full materialization
+    // (count()-shaped gates pruned the projection away). collect()
+    // forces every output column.
+    val rows = SparkEntry.queries("ev_reg_discontinuity")(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite, "at_cutoff finite")
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite, "slope finite")
+    }
+  }
+}

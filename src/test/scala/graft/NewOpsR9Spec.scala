@@ -32,8 +32,10 @@ class NewOpsR9Spec extends SparkSpec {
     assert(comms < nodes, "moves must merge communities")
     assert(q0 < 0, "singleton modularity is -sum(k^2)/4m^2 < 0")
     // every applied move had strictly positive gain evaluated on the
-    // singleton state; synchronous application can't be worse than
-    // doing nothing on this objective's singleton baseline
+    // singleton state; co-moving pairs add an unmodelled cross-term
+    // (-ki*kj/2m^2 when two movers land in one target), so Q1 > Q0 is
+    // a measured property of this fixture, asserted here, not a
+    // structural guarantee of the synchronous sweep
     assert(q1 > q0, s"pass must improve modularity: $q0 -> $q1")
     assert(q1 <= 1.0 + 1e-12)
   }
@@ -86,8 +88,10 @@ class NewOpsR9Spec extends SparkSpec {
     assert(moves2 > 0, "pass 2 must find joinable singletons")
     assert(comms > 0)
     // pass 1's Q comes from gx_louvain's own row (same phase-1 state);
-    // every pass-2 move has strictly positive gain into a FROZEN
-    // size>=2 community — the second pass must keep improving
+    // every pass-2 move has strictly positive per-node gain into a
+    // FROZEN size>=2 community, but two singletons co-joining the same
+    // target still interact via an unmodelled -ki*kj/2m^2 cross-term —
+    // Q2 > Q1 is measured on this fixture, not structurally guaranteed
     val q1 = SparkEntry.queries("gx_louvain")(spark, sf).collect().head.getDouble(5)
     val moves1FromP1 = SparkEntry.queries("gx_louvain")(spark, sf).collect().head.getLong(2)
     assert(moves1 === moves1FromP1, "both queries report the same pass-1 state")
