@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * `pl_contamination_ngrams`'s gram-fraction approximates. A fraction
   * audit says "many 8-grams collide"; this one says "tokens 12..70 of
   * this eval doc are literally inside train doc 457", which is the
-  * evidence an actual decontamination pass deletes by.
+  * evidence an actual decontamination pass deletes by — and
+  * `pl_decontam_scrub` performs that deletion, reconstructing each
+  * eval doc with the contaminated spans removed.
   *
   * Suffix arrays are the classic single-node tool here; the
   * distributed re-expression is the anchored-diagonal device: join
@@ -35,6 +37,13 @@ import org.apache.spark.sql.functions._
   * in AQE's skew-join splitter). Both windows are partitioned by doc
   * (pair), never global. All outputs are exact integers; the flag is
   * the integer predicate 5·covered > n_tokens (no float threshold).
+  *
+  * The scrub's cross-engine check is deliberately brutal: both engines
+  * md5 the space-joined surviving tokens, so one off-by-one anywhere
+  * in anchoring, diagonals, run-merging, interval-merging, or the
+  * positional anti-join flips the hash. Positions are 0-based on the
+  * Spark side and 1-based in the oracle — invisible, because every
+  * reported quantity is a position difference or a reconstruction.
   */
 object Decontam {
 
@@ -44,9 +53,7 @@ object Decontam {
 
   /** Positioned distinct-position 8-gram anchors, single pass over the
     * token array (the expression formulation re-splits the string per
-    * element — the shingleUdf lesson from Dedup.scala). 0-based
-    * positions; the oracle's are 1-based, which is invisible to the
-    * output because every reported quantity is a position DIFFERENCE. */
+    * element — the shingleUdf lesson from Dedup.scala). */
   private val gram8Udf = udf { text: String =>
     if (text == null) null
     else {
@@ -67,11 +74,46 @@ object Decontam {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(
-    QueryDef(
-      "pl_decontam_spans",
-      Some(s"""
-        WITH toks AS (
+  /** Distinct maximal exact-match spans (e_doc, s, e) of the eval
+    * slice against the training side, token positions inclusive. */
+  private def exactSpans(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(gram8Udf(col("text"))).as("pg"))
+      .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("gram"))
+    val ev = grams.filter(col("doc_id") % evalMod === evalRes)
+      .select(col("doc_id").as("e_doc"), col("pos").as("e_pos"), col("gram"))
+    val tr = grams.filter(col("doc_id") % evalMod =!= evalRes)
+      .select(col("doc_id").as("t_doc"), col("pos").as("t_pos"), col("gram"))
+    val m = ev.join(tr, "gram")
+      .select(col("e_doc"), col("e_pos"), col("t_doc"),
+        (col("t_pos") - col("e_pos")).as("diag"))
+    val wRun = Window.partitionBy(col("e_doc"), col("t_doc"), col("diag"))
+      .orderBy(col("e_pos"))
+    m.withColumn("rid", col("e_pos") - row_number().over(wRun))
+      .groupBy(col("e_doc"), col("t_doc"), col("diag"), col("rid"))
+      .agg(min(col("e_pos")).as("s"), (max(col("e_pos")) + lit(K - 1)).as("e"))
+      .select(col("e_doc"), col("s"), col("e")).distinct()
+  }
+
+  /** Merge overlapping/adjacent spans into disjoint per-doc coverage
+    * intervals — the gaps-and-islands pass over (start, end) pairs. */
+  private def mergeIntervals(spans: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("e_doc")).orderBy(col("s"), col("e"))
+    spans
+      .withColumn("pmax",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("pmax").isNull || col("s") > col("pmax") + 1, 1)
+          .otherwise(0)).over(wOrd))
+      .groupBy(col("e_doc"), col("island"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select(col("e_doc"), col("s"), col("e"))
+  }
+
+  /** Shared oracle CTE chain ending in `merged(e_doc, s, e)` (plus the
+    * intermediates), 1-based positions. */
+  private val spanCtes = s"""
+        toks AS (
           SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         g AS (
           SELECT doc_id, i AS pos,
@@ -106,15 +148,22 @@ object Decontam {
         merged AS (
           SELECT e_doc, island, MIN(s) AS s, MAX(e) AS e
           FROM isl GROUP BY e_doc, island),
+        base AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents WHERE doc_id % $evalMod = $evalRes)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "pl_decontam_spans",
+      Some(s"""
+        WITH $spanCtes,
         cov AS (
           SELECT e_doc, COUNT(*) AS n_regions, SUM(e - s + 1) AS covered
           FROM merged GROUP BY e_doc),
         longest AS (
           SELECT e_doc, MAX(e - s + 1) AS longest_exact
-          FROM spans GROUP BY e_doc),
-        base AS (
-          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-          FROM documents WHERE doc_id % $evalMod = $evalRes)
+          FROM spans GROUP BY e_doc)
         SELECT b.doc_id,
                CAST(b.n_tokens AS BIGINT) AS n_tokens,
                CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
@@ -127,33 +176,8 @@ object Decontam {
         ORDER BY b.doc_id
       """.trim),
       (s, d) => {
-        val grams = documents(s, d)
-          .select(col("doc_id"), explode(gram8Udf(col("text"))).as("pg"))
-          .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("gram"))
-        val ev = grams.filter(col("doc_id") % evalMod === evalRes)
-          .select(col("doc_id").as("e_doc"), col("pos").as("e_pos"), col("gram"))
-        val tr = grams.filter(col("doc_id") % evalMod =!= evalRes)
-          .select(col("doc_id").as("t_doc"), col("pos").as("t_pos"), col("gram"))
-        val m = ev.join(tr, "gram")
-          .select(col("e_doc"), col("e_pos"), col("t_doc"),
-            (col("t_pos") - col("e_pos")).as("diag"))
-        val wRun = Window.partitionBy(col("e_doc"), col("t_doc"), col("diag"))
-          .orderBy(col("e_pos"))
-        val spans = m
-          .withColumn("rid", col("e_pos") - row_number().over(wRun))
-          .groupBy(col("e_doc"), col("t_doc"), col("diag"), col("rid"))
-          .agg(min(col("e_pos")).as("s"), (max(col("e_pos")) + lit(K - 1)).as("e"))
-          .select(col("e_doc"), col("s"), col("e")).distinct()
-        val wOrd = Window.partitionBy(col("e_doc")).orderBy(col("s"), col("e"))
-        val merged = spans
-          .withColumn("pmax",
-            max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-          .withColumn("island",
-            sum(when(col("pmax").isNull || col("s") > col("pmax") + 1, 1)
-              .otherwise(0)).over(wOrd))
-          .groupBy(col("e_doc"), col("island"))
-          .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-        val cov = merged.groupBy(col("e_doc"))
+        val spans = exactSpans(documents(s, d))
+        val cov = mergeIntervals(spans).groupBy(col("e_doc"))
           .agg(count(lit(1)).as("n_regions"),
             sum(col("e") - col("s") + 1).as("covered"))
           .withColumnRenamed("e_doc", "doc_id")
@@ -171,6 +195,62 @@ object Decontam {
             coalesce(col("longest_exact"), lit(0L)).cast("long").as("longest_exact"),
             (lit(5) * coalesce(col("covered"), lit(0L)) > col("n_tokens"))
               .as("contaminated"))
+          .orderBy(col("doc_id"))
+      }),
+
+    QueryDef(
+      "pl_decontam_scrub",
+      Some(s"""
+        WITH $spanCtes,
+        toksev AS (
+          SELECT doc_id, i AS pos, tk[i] AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                FROM documents WHERE doc_id % $evalMod = $evalRes) q,
+               UNNEST(range(1, len(tk) + 1)) AS r(i)),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM toksev t LEFT JOIN merged m
+            ON m.e_doc = t.doc_id AND t.pos BETWEEN m.s AND m.e
+          WHERE m.e_doc IS NULL),
+        clean AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+          FROM kept GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(c.clean_md5, md5('')) AS clean_md5
+        FROM base b LEFT JOIN clean c ON c.doc_id = b.doc_id
+        ORDER BY b.doc_id
+      """.trim),
+      (s, d) => {
+        val merged = mergeIntervals(exactSpans(documents(s, d)))
+        val toksev = documents(s, d)
+          .filter(col("doc_id") % evalMod === evalRes)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        // positional anti-join deletes every covered token; merged
+        // intervals are disjoint, so each position hits at most one
+        val kept = toksev.join(merged,
+          toksev("doc_id") === merged("e_doc")
+            && toksev("pos").between(merged("s"), merged("e")),
+          "left_anti")
+        // order-preserving reconstruction: collect_list is unordered,
+        // array_sort on (pos, tok) structs restores document order
+        // (pos is unique per doc), then the md5 of the re-joined text
+        // must equal the oracle's byte for byte
+        val clean = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")), " ")).as("clean_md5"))
+        val base = documents(s, d).filter(col("doc_id") % evalMod === evalRes)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        base.join(clean, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+            coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
           .orderBy(col("doc_id"))
       }))
 }

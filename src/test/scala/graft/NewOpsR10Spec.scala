@@ -27,6 +27,25 @@ class NewOpsR10Spec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "no exact spans found at all")
   }
 
+  test("pl_decontam_scrub: kept + covered partition every doc's tokens") {
+    val scrub = SparkEntry.queries("pl_decontam_scrub")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val spans = SparkEntry.queries("pl_decontam_spans")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrub.keySet === spans.keySet)
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    scrub.foreach { case (doc, (n, kept, md5)) =>
+      // the scrub deletes EXACTLY the covered tokens — the two queries
+      // must partition each doc between them
+      assert(kept + spans(doc) === n, s"doc $doc: $kept kept + ${spans(doc)} covered != $n")
+      assert((kept == 0) === (md5 == emptyMd5), s"doc $doc empty-hash consistency")
+      assert(md5.length === 32 && md5.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+    }
+    // at least one doc must actually lose tokens, and not all of them
+    assert(scrub.values.exists { case (n, kept, _) => kept < n })
+    assert(scrub.values.exists { case (_, kept, _) => kept > 0 })
+  }
+
   test("ev_reg_discontinuity: runs at sf0.001 where one side is degenerate") {
     // latent since birth, found by the r10 CodegenTriage sweep: at
     // sf0.001 one side's windowed users all share one score, the
