@@ -64,7 +64,10 @@ object Explain {
     "ev_srm", "ts_ar2", "pl_ppl_filter", "ta_textrank", "ts_granger",
     "dq_expectations", "ev_scd2_intervals", "ts_backtest",
     "jx_interval_overlap", "pl_split_leakage",
-    "ev_rolling_distinct", "ev_rolling_distinct_hll")
+    "ev_rolling_distinct", "ev_rolling_distinct_hll",
+    // r10: the exact-substring span family + the degenerate-guarded RDD
+    "pl_decontam_spans", "pl_decontam_scrub", "dd_exact_substr",
+    "sim_jl_recall", "ev_reg_discontinuity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

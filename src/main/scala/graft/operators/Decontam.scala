@@ -49,12 +49,12 @@ object Decontam {
 
   private val evalMod = 41L
   private val evalRes = 7L
-  private val K = 8
+  private[operators] val K = 8
 
   /** Positioned distinct-position 8-gram anchors, single pass over the
     * token array (the expression formulation re-splits the string per
     * element — the shingleUdf lesson from Dedup.scala). */
-  private val gram8Udf = udf { text: String =>
+  private[operators] val gram8Udf = udf { text: String =>
     if (text == null) null
     else {
       val tk = text.split(" ", -1)
@@ -97,7 +97,7 @@ object Decontam {
 
   /** Merge overlapping/adjacent spans into disjoint per-doc coverage
     * intervals — the gaps-and-islands pass over (start, end) pairs. */
-  private def mergeIntervals(spans: DataFrame): DataFrame = {
+  private[operators] def mergeIntervals(spans: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("e_doc")).orderBy(col("s"), col("e"))
     spans
       .withColumn("pmax",

@@ -46,6 +46,34 @@ class NewOpsR10Spec extends SparkSpec {
     assert(scrub.values.exists { case (_, kept, _) => kept > 0 })
   }
 
+  test("dd_exact_substr: exact-duplicate docs are fully covered, invariants hold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("dd_exact_substr")(spark, sf).collect()
+    assert(rows.nonEmpty, "the planted dup families must surface shared spans")
+    val byDoc = rows.map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    byDoc.foreach { case (doc, (n, dup, regions, fully)) =>
+      assert(dup >= 8 && dup <= n, s"doc $doc: dup span coverage $dup of $n")
+      assert(regions >= 1 && regions <= dup / 8 + 1)
+      assert(fully === (dup == n))
+    }
+    // cross-pin vs the hash dedup: every doc whose md5(text) collides
+    // with another doc (and is long enough to carry an 8-gram anchor)
+    // is a verbatim copy — ExactSubstr must report it FULLY covered
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).as("n"))
+    val dupIds = docs.alias("x").join(docs.alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") =!= col("y.doc_id"), "left_semi")
+      .filter(col("n") >= 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // sf0.001 plants near-dups but no byte-identical pairs; the md5
+    // cross-pin only binds where the fixture has them (sf0.01: 24 docs)
+    dupIds.foreach { id =>
+      assert(byDoc.contains(id) && byDoc(id)._4, s"exact-dup doc $id must be fully_dup")
+    }
+  }
+
   test("ev_reg_discontinuity: runs at sf0.001 where one side is degenerate") {
     // latent since birth, found by the r10 CodegenTriage sweep: at
     // sf0.001 one side's windowed users all share one score, the
