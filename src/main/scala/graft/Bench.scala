@@ -30,6 +30,22 @@ object Bench {
       measured: Double, warmWall: Double, floor: Double): Boolean =
     measured > 3.0 * warmWall && measured >= floor
 
+  /** Committed-artifact floor (r10 verdict #2), pure so a spec can pin
+    * it: under SUSTAINED host load warm and measured walls inflate
+    * together and [[needsRemeasure]] never fires. The committed bench
+    * record is an independent quiet-box reference — fire the same
+    * single re-run when this row's composition-stable optimized fp
+    * matches the committed one (plan provably unchanged) and measured
+    * exceeds 3× the committed time. An fp mismatch must NOT fire: a
+    * real plan change may legitimately cost more and has to stay
+    * visible in the artifact. */
+  private[graft] def committedFloorFires(
+      measured: Double, fpo: String,
+      committed: Option[(Double, String)]): Boolean =
+    committed.exists { case (t, fp) =>
+      fpo != "err" && fp == fpo && measured >= 1.0 && measured > 3.0 * t
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to DRIVER PARITY: the driver harness runs local[32] on a
@@ -192,7 +208,13 @@ object Bench {
             case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
             case e @ (_: And | _: Or | _: Add | _: Multiply | _: EqualTo
                       | _: MultiCommutativeOp) =>
-              val sorted = e.children.sortBy(_.toString)
+              // sort by a NORMALIZED key: this runs before the text-level
+              // @hash/#id scrubs, so an operand whose rendering embeds a
+              // lambda/object identity would otherwise order per-session
+              val sorted = e.children.sortBy(_.toString
+                .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
+                .replaceAll("@[0-9a-f]{6,}", "@*")
+                .replaceAll("#\\d+", "#*"))
               if (sorted == e.children) e else e.withNewChildren(sorted)
           }
         }
@@ -332,6 +354,55 @@ object Bench {
     // cost (only outlier rows re-run) and honest — steady-state is what
     // the warm-measurement methodology already claims to report.
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Committed-artifact floor (r10 verdict #2): the warm-wall trigger
+    // is blind to SUSTAINED host load — warm and measured inflate
+    // together and nothing fires (driver r10: sim_margin_bitext 4.16s
+    // vs 2.13s judge-isolated with remeasured=[]). The committed bench
+    // record is an independent reference measured deliberately on a
+    // quiet box: when a row's composition-stable optimized fp MATCHES
+    // the committed artifact's (the plan is provably unchanged — safe
+    // to compare as of the 360880f normalization) and its measured
+    // time exceeds 3× the committed time, grant the same single
+    // re-run. fp-mismatched rows never fire — a real plan change may
+    // legitimately cost more and must stay visible. Only comparable at
+    // the same cpu config (r8: never compare times/fps across cpus).
+    val committedRef: Map[String, (Double, String)] = try {
+      val p = java.nio.file.Paths.get("docs/bench_full.json")
+      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      else {
+        import graft.functions.AgentText.{JObj, JNum, JStr}
+        graft.functions.AgentText.parseJson5ish(
+            new String(java.nio.file.Files.readAllBytes(p), "UTF-8")) match {
+          case Some(JObj(root)) =>
+            val sameCpus = root.get("cpus") match {
+              case Some(JNum(c)) => c.toInt.toString == cpus
+              case Some(JStr(c)) => c == cpus
+              case _ => false
+            }
+            // same-scale only: an sf1 run must not re-measure against
+            // sf0.1 committed times (fps differ too — scan paths are in
+            // the canonical text — but don't rely on that alone)
+            val sameSf = root.get("sf") match {
+              case Some(JStr(s)) => s == sfDir
+              case _ => false
+            }
+            if (!sameCpus || !sameSf) Map.empty
+            else {
+              val times = root.get("queries") match {
+                case Some(JObj(qs)) => qs.collect { case (k, JNum(v)) => k -> v }
+                case _ => Map.empty[String, Double]
+              }
+              val fps = root.get("plans_opt") match {
+                case Some(JObj(qs)) => qs.collect { case (k, JStr(v)) => k -> v }
+                case _ => Map.empty[String, String]
+              }
+              times.flatMap { case (k, t) =>
+                fps.get(k).map(fp => k -> (t, fp)) }.toMap
+            }
+          case _ => Map.empty
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -374,7 +445,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       val measured = times(times.length / 2)
-      val finalT = if (needsRemeasure(measured, warmWall, floor = 1.0)) {
+      val committedFloor =
+        committedFloorFires(measured, fpo, committedRef.get(name))
+      val finalT = if (needsRemeasure(measured, warmWall, floor = 1.0)
+          || committedFloor) {
         remeasured += name
         val t0 = System.nanoTime()
         runOnce(fn)
@@ -459,10 +533,17 @@ object Bench {
       val sl = superlinear.map(n => s"\"$n\"").mkString(",")
       val re = ratioErrors.map(n => s"\"$n\"").mkString(",")
       val rm = remeasured.sorted.map(n => s"\"$n\"").mkString(",")
+      // Attribution fields (r10 verdict #3): the committed record was
+      // clobbered four rounds running by *something* passing an explicit
+      // SPARK_GRAFT_BENCH_OUT. Echo the override value and the write
+      // timestamp INTO the artifact so the next clobber names itself.
+      val benchOutAttr = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(v => v.replace("\\", "\\\\").replace("\"", "\\\"")).getOrElse("")
+      val writtenAt = java.time.Instant.now().toString
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"cpus":$cpus,""" +
         s""""queries":{$qs},"plans":{$fps},"plans_opt":{$fpos},"plans_fp":"$plansFp",""" +
         s""""ratios":{$rs},"ratio_dir":"$ratioDir","superlinear":[$sl],"ratio_errors":[$re],""" +
-        s""""remeasured":[$rm],"sf":"$sfDir"}"""
+        s""""remeasured":[$rm],"bench_out":"$benchOutAttr","written_at":"$writtenAt","sf":"$sfDir"}"""
     }
     // SPARK_GRAFT_BENCH_OUT overrides the artifact path. WITHOUT the
     // explicit override the artifact goes to an untracked timestamped

@@ -60,7 +60,10 @@ object CodegenTriage {
         } catch {
           case e: Throwable if isCodegen(e) =>
             bad += 1
-            println(s"CODEGEN_FAIL $name :: ${e.getMessage.take(200)}")
+            // isCodegen can match on a nested cause while the top-level
+            // getMessage is null — guard like the OTHER_FAIL branch
+            println(s"CODEGEN_FAIL $name :: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           case e: Throwable =>
             println(s"OTHER_FAIL $name :: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
             if (sys.env.contains("SPARK_GRAFT_TRIAGE_TRACE")) {

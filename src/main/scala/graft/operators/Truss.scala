@@ -75,8 +75,11 @@ object Truss {
                          sup: DataFrame): DataFrame =
     eIn.agg(count(lit(1)).as("edges_in"))
       .crossJoin(eOut.agg(count(lit(1)).as("edges_kept")))
-      // exact integer: 3 support entries per triangle, so SUM(s) DIV 3
-      .crossJoin(sup.agg(expr("CAST(SUM(s) DIV 3 AS BIGINT)").as("triangles")))
+      // exact integer: 3 support entries per triangle, so SUM(s) DIV 3.
+      // COALESCE: on a triangle-free round the support table is empty and
+      // SUM(s) is NULL, while the oracle's COUNT(*) FROM triN returns 0.
+      .crossJoin(sup.agg(
+        expr("CAST(COALESCE(SUM(s) DIV 3, 0) AS BIGINT)").as("triangles")))
       .select(lit(round.toLong).as("round"), col("edges_in"),
         col("edges_kept"), col("triangles"))
 

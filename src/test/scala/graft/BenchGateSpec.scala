@@ -50,6 +50,26 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.needsRemeasure(measured = 5.5, warmWall = 2.0, floor = 1.0))
   }
 
+  test("committed-fp floor fires on sustained load the warm-wall trigger misses") {
+    // the r10 residue: driver ran the whole session on a hot box, so
+    // warm (4.0) and measured (4.2) co-inflated — needsRemeasure never
+    // fires — but the committed quiet-box record says 1.3s at the SAME
+    // optimized fp: grant the re-run
+    assert(!Bench.needsRemeasure(measured = 4.2, warmWall = 4.0, floor = 1.0))
+    assert(Bench.committedFloorFires(4.2, "abc123", Some((1.3, "abc123"))))
+    // fp mismatch = a real plan change — may legitimately cost more,
+    // must stay visible, never re-run on this trigger
+    assert(!Bench.committedFloorFires(4.2, "abc123", Some((1.3, "def456"))))
+    // err fp can match err in a stale artifact — never fire on it
+    assert(!Bench.committedFloorFires(4.2, "err", Some((1.3, "err"))))
+    // within 3x of the committed time: honest variance, no re-run
+    assert(!Bench.committedFloorFires(3.0, "abc123", Some((1.3, "abc123"))))
+    // sub-second rows stay out (same rationale as the warm-wall floor)
+    assert(!Bench.committedFloorFires(0.9, "abc123", Some((0.2, "abc123"))))
+    // no committed row (new query this round) — nothing to compare
+    assert(!Bench.committedFloorFires(9.9, "abc123", None))
+  }
+
   test("re-measure floor keeps jitter-dominated sub-threshold rows out") {
     // 0.3s vs 0.05s warm is 6x but under the 1s floor — scheduler
     // jitter, not worth a re-run at the big scale
