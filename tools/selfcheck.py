@@ -8,8 +8,19 @@ Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
   - sorts columns by name (like the driver), compares row-by-row in order.
 
 Usage: python3 tools/selfcheck.py <sfDir> <outDir>
+
+Oracle results are cached under .selfcheck_cache/ keyed by
+(oracle SQL, data fingerprint of the sfDir parquet files): the DuckDB
+side of the full-surface sf0.1 gate is a multi-hour job dominated by a
+handful of quadratic formulations, and an oracle whose SQL and input
+bytes are unchanged provably returns the same table — re-running it
+buys nothing. A cache hit skips con.execute and compares the Spark
+output against the cached arrow table, so the comparison itself stays
+exactly the driver's. Disable with SELFCHECK_CACHE=0; the cache dir is
+gitignored.
 """
 import glob
+import hashlib
 import json
 import math
 import os
@@ -39,6 +50,23 @@ def norm(v):
     return v
 
 
+def data_fingerprint(sfdir):
+    """(path, size, mtime_ns) of every table file — parquet files are
+    immutable in practice (testdata is read-only; generators rewrite
+    whole directories), so this is a sound identity for 'same bytes'."""
+    parts = []
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.isfile(p):
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        elif os.path.isdir(p):  # Spark-written directory table
+            for f in sorted(glob.glob(os.path.join(p, "*.parquet"))):
+                st = os.stat(f)
+                parts.append(f"{t}/{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(parts)
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -47,19 +75,53 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    use_cache = os.environ.get("SELFCHECK_CACHE", "1") != "0"
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".selfcheck_cache")
+    data_fp = data_fingerprint(sfdir) if use_cache else ""
+    if use_cache:
+        os.makedirs(cache_dir, exist_ok=True)
+    n_pass = n_fail = n_cached = 0
     for name, sql in sorted(oracles.items()):
         spark_t = load_spark(outdir, name)
         if spark_t is None:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
-        try:
-            duck_t = con.execute(sql).fetch_arrow_table()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
+        cache_path = None
+        duck_t = None
+        if use_cache:
+            key = hashlib.md5((data_fp + "\x00" + sql).encode()).hexdigest()
+            cache_path = os.path.join(cache_dir, f"{key}.parquet")
+            if os.path.exists(cache_path):
+                try:
+                    duck_t = pq.read_table(cache_path)
+                    n_cached += 1
+                except Exception:
+                    duck_t = None
+        if duck_t is None:
+            try:
+                duck_t = con.execute(sql).fetch_arrow_table()
+            except Exception as e:
+                print(f"FAIL {name}: duckdb error: {e}")
+                n_fail += 1
+                continue
+            if cache_path is not None:
+                try:
+                    # write via a temp file so a killed run never leaves a
+                    # torn cache entry, then compare against the READ-BACK
+                    # table: cached and uncached runs see byte-identical
+                    # parquet-normalized types (large_string/timestamp-unit
+                    # shifts are already handled by _norm_type below)
+                    tmp = cache_path + ".tmp"
+                    pq.write_table(duck_t, tmp)
+                    os.replace(tmp, cache_path)
+                    duck_t = pq.read_table(cache_path)
+                except Exception:
+                    try:
+                        os.remove(cache_path)
+                    except OSError:
+                        pass
         # sort columns by name (driver behavior)
         s_cols = sorted(spark_t.column_names)
         d_cols = sorted(duck_t.column_names)
@@ -116,7 +178,8 @@ def main():
         else:
             print(f"PASS {name} ({spark_t.num_rows} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail ==")
+    cached_note = f" ({n_cached} oracle results from cache)" if n_cached else ""
+    print(f"== {n_pass} pass / {n_fail} fail =={cached_note}")
     sys.exit(1 if n_fail else 0)
 
 
