@@ -207,9 +207,16 @@ object Graph {
     val w2 = oriented.select(col("src"), col("dst").as("y"))
     val wedges = w1.join(w2, "src").filter(col("x") < col("y"))
     // the wedge filter guarantees x < y, so the closing-edge lookup is
-    // a plain equi-join against the canonical (u < v) list
+    // a plain equi-join against the canonical (u < v) list. BROADCAST
+    // it: the wedge stream is the Σ outdeg² blowup — a shuffle semi-join
+    // materializes every wedge to shuffle disk (measured at a 10×-deeper
+    // graph: ~10⁹ wedges spilled >79 GB and took the whole session
+    // down), while a broadcast keeps wedges map-side, streamed and never
+    // stored. |E| is the SMALL quadratic defense here; beyond broadcast
+    // reach a bloom-filter pre-join on (x, y) is the standard escalation.
     val closed = wedges.join(
-      e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+      broadcast(e.select(col("u").as("x"), col("v").as("y"))),
+      Seq("x", "y"), "left_semi")
     val tri = closed.agg(count(lit(1)).as("triangles"))
     val stats = e.agg(count(lit(1)).as("edges"))
     val nodes = deg.agg(count(lit(1)).as("nodes"))
@@ -954,9 +961,12 @@ object Graph {
           .filter(col("x") < col("y"))
         // ONE pass over the closed-wedge stream: explode each triangle
         // into its three corners inline (a cached 3-way union re-scans
-        // the triangle set three times — measurably slower at sf0.1)
+        // the triangle set three times — measurably slower at sf0.1).
+        // broadcast closure: wedges stream map-side, never spill (see
+        // triangleCount)
         val perNode = wedges.join(
-          e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+          broadcast(e.select(col("u").as("x"), col("v").as("y"))),
+          Seq("x", "y"), "left_semi")
           .select(explode(array(col("src"), col("x"), col("y"))).as("n"))
           .groupBy(col("n")).agg(count(lit(1)).as("t"))
         deg.filter(col("deg") >= 2)

@@ -50,7 +50,13 @@ object Truss {
     val sup = oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") < col("y"))
-      .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+      // broadcast the closing-edge list: a shuffle semi-join here
+      // materializes the whole Σ outdeg² wedge stream to shuffle disk
+      // (measured at a 10×-deeper graph: >79 GB of spill, session
+      // death); broadcast keeps the stream map-side. |E| is the small
+      // side by construction; bloom pre-join is the next escalation.
+      .join(broadcast(e.select(col("u").as("x"), col("v").as("y"))),
+        Seq("x", "y"), "left_semi")
       .select(explode(array(
         struct(least(col("src"), col("x")).as("u"), greatest(col("src"), col("x")).as("v")),
         struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v")),
