@@ -96,12 +96,20 @@ object ScaleUp {
     val partSpan = span(src("part"), "p_partkey")
     val orderSpan = span(src("orders"), "o_orderkey")
 
+    // names follow the remapped key (source format: Entity#%09d of the
+    // key): replicas are NEW entities, not 10 recurrences of each old
+    // one. With names copied verbatim, every FastSS/blocking group in
+    // the er_ family grows 10× and pairwise work inside groups grows
+    // 100× — a generator artifact (measured: er_edit2_lookup ratio 16
+    // vs ~6 expected), not the organic-growth mode where new data
+    // brings new identities.
     write(union((0 until factor).map { k =>
       src("customer")
         .withColumn("c_acctbal",
           when(lit(k) === 0, col("c_acctbal"))
             .otherwise(round(col("c_acctbal") * pct1(k, col("c_custkey")), 2)))
         .withColumn("c_custkey", col("c_custkey") + lit(k * custSpan))
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
     }), "customer", 4)
 
     write(union((0 until factor).map { k =>
@@ -110,6 +118,7 @@ object ScaleUp {
           when(lit(k) === 0, col("s_acctbal"))
             .otherwise(round(col("s_acctbal") * pct1(k, col("s_suppkey")), 2)))
         .withColumn("s_suppkey", col("s_suppkey") + lit(k * suppSpan))
+        .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))
     }), "supplier", 1)
 
     write(union((0 until factor).map { k =>

@@ -277,6 +277,46 @@ object Graph {
           .select((col("l_orderkey") % 29989).as("a"), (col("l_partkey") % 29989).as("b"))
         triangleCount(edges)
       }),
+    // The same triangle count over a graph whose node space SCALES with
+    // the data: the fixed 29989 modulus above makes 10× rows densify
+    // the graph in place (degrees ×10 → wedge work ×100 → an honest
+    // superlinear flag at the sf1 benchmark), which measures the
+    // FIXTURE's growth mode, not the operator. Here the modulus is
+    // max(29989, |lineitem| DIV 21) — identical graph (and identical
+    // results) at every driver scale up to sf0.1, but at 10× data the
+    // graph grows 10× more NODES at constant degree, the realistic way
+    // a co-occurrence graph scales — so this row pins the operator's
+    // own exponent (~linear) next to its densified twin's. The scalar
+    // rides in on a broadcast cross join; nothing driver-side.
+    QueryDef(
+      "gx_triangles_adaptive",
+      Some("""
+        WITH nn AS (
+          SELECT GREATEST(29989, COUNT(*) // 21) AS m FROM lineitem),
+        raw AS (
+          SELECT l_orderkey % (SELECT m FROM nn) AS a,
+                 l_partkey % (SELECT m FROM nn) AS b
+          FROM lineitem),
+        e AS (
+          SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+          FROM raw WHERE a <> b),
+        nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e)
+        SELECT
+          CAST((SELECT COUNT(*) FROM e x
+                JOIN e y ON y.u = x.v
+                JOIN e z ON z.u = x.u AND z.v = y.v) AS BIGINT) AS triangles,
+          CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS edges,
+          CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS nodes
+      """.trim),
+      (s, d) => {
+        val li = lineitem(s, d)
+        val m = li.agg(
+          greatest(lit(29989L), expr("COUNT(*) DIV 21")).as("m"))
+        val edges = li.crossJoin(broadcast(m))
+          .select((col("l_orderkey") % col("m")).as("a"),
+            (col("l_partkey") % col("m")).as("b"))
+        triangleCount(edges)
+      }),
     QueryDef(
       "gx_pagerank",
       Some(s"""
