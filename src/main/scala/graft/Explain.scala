@@ -67,7 +67,10 @@ object Explain {
     "ev_rolling_distinct", "ev_rolling_distinct_hll",
     // r10: the exact-substring span family + the degenerate-guarded RDD
     "pl_decontam_spans", "pl_decontam_scrub", "dd_exact_substr",
-    "sim_jl_recall", "ev_reg_discontinuity")
+    "sim_jl_recall", "ev_reg_discontinuity",
+    // r11: the semantic decontamination audit + the adaptive-modulus
+    // triangle twin (broadcast wedge closure must show in both)
+    "pl_decontam_semantic", "gx_triangles_adaptive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
