@@ -70,7 +70,10 @@ object EgoDensity {
           .select($"hub", $"v".as("nb"))
         val n2 = nbr.select($"hub".as("h2"), $"nb".as("nb2"))
         val closed = nbr.join(n2, $"h2" === $"hub" && $"nb" < $"nb2")
-          .join(e, $"u" === $"nb" && $"v" === $"nb2", "left_semi")
+          // broadcast closure, same rationale as Graph.triangleCount:
+          // the hub-pair stream is Σ hubdeg² — on a densified graph it
+          // dwarfs |E|, and a shuffle semi-join would spill it
+          .join(broadcast(e), $"u" === $"nb" && $"v" === $"nb2", "left_semi")
           .groupBy($"hub".as("c_hub"))
           .agg(count(lit(1)).as("closed_pairs"))
         hubs.join(closed, $"hub" === $"c_hub", "left")
