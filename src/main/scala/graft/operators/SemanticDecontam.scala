@@ -217,9 +217,6 @@ object SemanticDecontam {
         val bg = docs
           .select(col("doc_id"), explode(bigramUdf(col("text"))).as("pg"))
           .select(col("doc_id"), col("pg._1").as("pos"), col("pg._2").as("bigram"))
-        val tset = bg.filter(col("doc_id") % evalMod =!= evalRes)
-          .groupBy(col("doc_id").as("t_doc"))
-          .agg(collect_set(col("bigram")).as("tb"))
         val base = docs.filter(col("doc_id") % evalMod === evalRes)
           .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
         // docs shorter than one window get a single whole-doc window —
@@ -232,14 +229,31 @@ object SemanticDecontam {
             col("n_tokens"))
           .select(col("e_doc"), col("s"),
             least(col("s") + (W - 1), col("n_tokens") - 1).as("e"))
-        val wset = win.join(bg.withColumnRenamed("doc_id", "e_doc"), Seq("e_doc"))
+        // Containment as ROWS, not arrays: the first formulation built
+        // per-window and per-train-doc bigram SETS and filtered with
+        // array_intersect — byte-small inputs, so AQE coalesced the
+        // join to ONE partition and paid ~440k quadratic-cost array
+        // intersections on a single task (profiled: one 5.1 s stage
+        // carrying 76% of the query). Exploding window bigrams and
+        // counting matches through an equi-join on (t_doc, bigram) is
+        // the same predicate as pure hash joins + hash aggregates —
+        // parallel at any scale, no per-row set scans. The oracle keeps
+        // the list formulation (results are identical; DuckDB
+        // parallelizes it fine).
+        val winB = win.join(bg.withColumnRenamed("doc_id", "e_doc"), Seq("e_doc"))
           .filter(col("pos").between(col("s"), col("e") - 1))
-          .groupBy(col("e_doc"), col("s"), col("e"))
-          .agg(collect_set(col("bigram")).as("wb"))
-        val hits = wset.join(cand, Seq("e_doc"))
-          .join(tset, Seq("t_doc"))
-          .filter(lit(5) * size(array_intersect(col("wb"), col("tb")))
-            >= lit(3) * size(col("wb")))
+          .select(col("e_doc"), col("s"), col("e"), col("bigram"))
+          .distinct()
+        val wsize = winB.groupBy(col("e_doc"), col("s"), col("e"))
+          .agg(count(lit(1)).as("wsize"))
+        val trB = bg.filter(col("doc_id") % evalMod =!= evalRes)
+          .select(col("doc_id").as("t_doc"), col("bigram")).distinct()
+        val hits = winB.join(cand, Seq("e_doc"))
+          .join(trB, Seq("t_doc", "bigram"))
+          .groupBy(col("e_doc"), col("s"), col("e"), col("t_doc"))
+          .agg(count(lit(1)).as("isect"))
+          .join(wsize, Seq("e_doc", "s", "e"))
+          .filter(lit(5) * col("isect") >= lit(3) * col("wsize"))
           .select(col("e_doc"), col("s"), col("e"))
           .distinct()
         val cov = Decontam.mergeIntervals(hits)
