@@ -366,9 +366,26 @@ object Bench {
     // re-run. fp-mismatched rows never fire — a real plan change may
     // legitimately cost more and must stay visible. Only comparable at
     // the same cpu config (r8: never compare times/fps across cpus).
+    // Resolve the committed artifact against the repo root, not the
+    // CWD (ADVICE r11: a bench launched from elsewhere silently
+    // disabled the floor). Heuristic: walk up from CWD to the first
+    // dir containing build.sbt; SPARK_GRAFT_COMMITTED_REF overrides.
+    val committedRefPath: java.nio.file.Path =
+      sys.env.get("SPARK_GRAFT_COMMITTED_REF")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          var d = java.nio.file.Paths.get("").toAbsolutePath
+          while (d != null && !java.nio.file.Files.isRegularFile(d.resolve("build.sbt")))
+            d = d.getParent
+          (if (d == null) java.nio.file.Paths.get("") else d)
+            .resolve("docs/bench_full.json")
+        }
     val committedRef: Map[String, (Double, String)] = try {
-      val p = java.nio.file.Paths.get("docs/bench_full.json")
-      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+      val p = committedRefPath
+      if (!java.nio.file.Files.isRegularFile(p)) {
+        println(s"[bench] note: committed reference not found at $p — committed-floor re-measure disabled")
+        Map.empty
+      }
       else {
         import graft.functions.AgentText.{JObj, JNum, JStr}
         graft.functions.AgentText.parseJson5ish(
@@ -399,10 +416,15 @@ object Bench {
               times.flatMap { case (k, t) =>
                 fps.get(k).map(fp => k -> (t, fp)) }.toMap
             }
-          case _ => Map.empty
+          case _ =>
+            println(s"[bench] note: committed reference at $committedRefPath did not parse — committed-floor re-measure disabled")
+            Map.empty
         }
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable =>
+      println(s"[bench] note: committed reference at $committedRefPath unreadable — committed-floor re-measure disabled")
+      Map.empty
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *    `l_shipdate` move together and date arithmetic stays sane.
   *  - '''documents.text''' gets a per-replica VOCABULARY renaming: each
   *    token t is replaced, with probability 1/3 decided by
-  *    `xxhash64(t, k)`, by a pseudo-word unique to (t, k). Renaming is
+  *    `xxhash64(t, k)`, by a pseudo-word unique to (t, k) — the full
+  *    64-bit hash in hex, so distinct renamed tokens never collide
+  *    within a replica (ADVICE r11; the old 99991 modulus could merge
+  *    two renamed tokens and perturb shingle structure). Renaming is
   *    consistent across a replica, so within-replica duplicate/shingle
   *    structure is preserved EXACTLY (dedup workloads keep their
   *    character and their per-replica candidate counts), while
@@ -65,8 +68,13 @@ object ScaleUp {
 
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
-    def span(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+    def span(df: DataFrame, key: String): Long = {
+      // ADVICE r11: fail with a message on an empty source (max = NULL
+      // would NPE) and accept any integral key type, not just LONG
+      val row = df.agg(max(col(key))).head
+      require(!row.isNullAt(0), s"span($key): source table is empty")
+      row.getAs[Number](0).longValue + 1L
+    }
     /** ±1% multiplicative perturbation, deterministic in (keys…, k). */
     def pct1(k: Int, keys: Column*): Column =
       lit(1.0) + (pmod(xxhash64((keys :+ lit(k)): _*), lit(2001L))
@@ -176,7 +184,7 @@ object ScaleUp {
           s"""array_join(
                 transform(split(text, ' '), t ->
                   CASE WHEN t <> '' AND pmod(xxhash64(t, $k), 3) = 0
-                       THEN concat('zq', pmod(xxhash64(t, $k), 99991))
+                       THEN concat('zq', hex(xxhash64(t, $k)))
                        ELSE t END),
                 ' ')"""))
         .withColumn("n_chars", length(col("text")).cast("long"))

@@ -91,7 +91,12 @@ def main():
         cache_path = None
         duck_t = None
         if use_cache:
-            key = hashlib.md5((data_fp + "\x00" + sql).encode()).hexdigest()
+            # the engine version participates in the key (ADVICE r11): a
+            # duckdb upgrade changes what the oracle WOULD return, so a
+            # cache keyed only on (data, SQL) would silently serve the
+            # old engine's results across the upgrade boundary
+            key = hashlib.md5((duckdb.__version__ + "\x00" + data_fp
+                               + "\x00" + sql).encode()).hexdigest()
             cache_path = os.path.join(cache_dir, f"{key}.parquet")
             if os.path.exists(cache_path):
                 try:
