@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   * Every stage is a key-partitioned shuffle: degree groupBy, two
   * semi-joins onto the core set, the CC fixpoint, one min-agg for
   * borders. At 100 TB the candidate volume is the only knob, and it
-  * belongs to the IVF layer (nCentroids grows with n).
+  * belongs to the IVF layer — HERE nCentroids is a compile-time 16
+  * (the oracle mirrors the literal), so bucket occupancy grows with n;
+  * the data-adaptive formulation that holds occupancy constant is
+  * [[Similarity.ivfAssignTopAdaptive]], measured by
+  * `sim_margin_bitext_adaptive` (r11 verdict #1).
   */
 object Dbscan {
 

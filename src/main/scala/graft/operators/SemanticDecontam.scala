@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   *     family trains ([[Similarity.kmeansCentroids]] /
   *     [[Similarity.kmeansSqlCte]]) — the SemDeDup device that turns
   *     the all-pairs candidate search into k independent (n/k)²
-  *     problems, k growing with the corpus.
+  *     problems. K is COMPILE-TIME FIXED here (8) because the unrolled
+  *     oracle CTE needs a literal k, so bucket occupancy — and with it
+  *     in-bucket pair work — grows with the corpus; at production
+  *     scale k must derive from n to hold occupancy constant, the
+  *     measured device of [[Similarity.ivfAssignTopAdaptive]] /
+  *     `sim_margin_bitext_adaptive` (r11 verdict #1).
   *  3. '''Candidates''' are eval×train pairs INSIDE a bucket whose
   *     doc-level cosine clears τ — never all-pairs; the eval slice
   *     (doc_id % 41 = 7, the split every decontam query uses) is the

@@ -1186,6 +1186,57 @@ object Similarity {
       .dropDuplicates("i", "j")
   }
 
+  /** Data-adaptive centroid count (r11 verdict #1): a FIXED nCentroids
+    * makes every IVF bucket hold n/K vectors, so in-bucket pair work
+    * grows (n/K)² — the one measured above-linear sf1 exponent
+    * (`sim_margin_bitext`, 1.13) traced exactly here. Deriving
+    * K = max(minK, n DIV divisor) from the corpus holds expected
+    * bucket OCCUPANCY (≈ divisor) constant instead, making candidate
+    * volume O(n·divisor·nAssign²) — linear in n. With divisor 128 the
+    * driver fixtures (500/500/2000 vectors) all resolve to K = minK =
+    * 16, so adaptive twins return bit-identical results to their fixed
+    * siblings at every shipped scale; at sf1 (20k vectors) K grows to
+    * 156. The scalar rides in on a 1-row broadcast cross join —
+    * nothing driver-side (the `gx_triangles_adaptive` device). */
+  def ivfAssignTopAdaptive(emb: DataFrame, minK: Int, divisor: Int,
+      nAssign: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val nk = emb.agg(
+      greatest(lit(minK.toLong), expr(s"COUNT(*) DIV $divisor")).as("nk"))
+    val centroids = broadcast(
+      emb.crossJoin(broadcast(nk)).filter(col("vec_id") < col("nk"))
+        .select(col("vec_id").as("centroid"), col("embedding").as("cemb")))
+    emb.crossJoin(centroids)
+      .select(col("vec_id"), col("embedding"),
+        struct((-cosineNative(col("embedding"), col("cemb"))).as("nc"),
+          col("centroid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        slice(array_sort(collect_list(col("sc"))), 1, nAssign).as("top"))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("top.centroid")).as("centroid"))
+  }
+
+  /** SQL mirror of [[ivfAssignTopAdaptive]] — same `assigned` contract
+    * as [[sqlIvfAssignedCte]], with the centroid count derived from
+    * COUNT(*) inside the oracle so both engines compute the identical
+    * data-adaptive relation. */
+  private[operators] def sqlIvfAssignedCteAdaptive(minK: Int, divisor: Int,
+      nAssign: Int): String = s"""
+    nk AS (SELECT GREATEST($minK, COUNT(*) // $divisor) AS k FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid, embedding AS cemb FROM embeddings
+      WHERE vec_id < (SELECT k FROM nk)),
+    assigned AS (
+      SELECT vec_id, embedding, centroid FROM (
+        SELECT e.vec_id, e.embedding, c.centroid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) DESC,
+                          c.centroid) AS rn
+        FROM embeddings e, cents c)
+      WHERE rn <= $nAssign)"""
+
   private[operators] def sqlIvfAssignedCte(nCentroids: Int, nAssign: Int): String = s"""
     cents AS (
       SELECT vec_id AS centroid, embedding AS cemb FROM embeddings WHERE vec_id < $nCentroids),

@@ -23,6 +23,25 @@ class BitextSpec extends SparkSpec {
     }
   }
 
+  test("adaptive twin: identical to fixed-K at driver scale, K derived from n past it") {
+    import org.apache.spark.sql.functions._
+    // At every shipped fixture GREATEST(16, n DIV 128) resolves to 16,
+    // so the adaptive twin must return bit-identical rows to the fixed
+    // one — the gx_triangles_adaptive contract.
+    val fixedRows = SparkEntry.queries("sim_margin_bitext")(spark, sf).collect()
+    val adaptRows = SparkEntry.queries("sim_margin_bitext_adaptive")(spark, sf).collect()
+    assert(fixedRows.toSeq == adaptRows.toSeq)
+    // Past the floor, K grows with the corpus: 2560 one-hot vectors in
+    // 20 residue classes → nk = max(16, 2560/128) = 20 and every class
+    // c < 20 is its own nearest centroid, so centroid ids ≥ 16 appear —
+    // which the fixed assignment can never emit.
+    val emb = spark.range(2560).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), i -> CAST(CASE WHEN i = id % 20 THEN 1.0 ELSE 0.0 END AS FLOAT))").as("embedding"))
+    val assigned = operators.Similarity.ivfAssignTopAdaptive(emb, 16, 128, 1)
+    val maxCent = assigned.agg(max(col("centroid"))).head.getLong(0)
+    assert(maxCent == 19L, s"expected adaptive K=20 to assign centroid 19, max was $maxCent")
+  }
+
   test("candidate generation is bucketed, not a cross product") {
     val plan = SparkEntry.queries("sim_margin_bitext")(spark, sf)
       .queryExecution.executedPlan.toString
