@@ -106,142 +106,14 @@ object Bench {
     // Round-over-round this mechanically separates "the plan changed"
     // from "the host was slow" — identical fingerprint + different time
     // = noise, different fingerprint = a real plan change to audit.
+    // Both fps (and the composition-STABLE optimized one — the full
+    // normalization rationale) live in [[PlanFp]], shared with FpScan.
     def fingerprint(df: org.apache.spark.sql.DataFrame): String =
-      try {
-        // plan_id is a session-global counter (varies run to run on an
-        // identical plan) — strip it, like any other volatile id token
-        val canon = df.queryExecution.executedPlan.canonicalized.treeString
-          .replaceAll("plan_id=\\d+", "plan_id=*")
-          .replaceAll("cachedrdd_\\d+", "cachedrdd_*")
-          // Scala lambda/UDF identities print as Class$$Lambda$N/0x…@hash
-          // — all three tokens are JVM-session-assigned, so every
-          // UDF-bearing query's fp flapped between sbt sessions (30
-          // spurious "changes" in the r7→r8 comparison)
-          .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
-          .replaceAll("@[0-9a-f]{6,}", "@*")
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canon.getBytes("UTF-8"))
-          .take(6).map(b => f"${b & 0xff}%02x").mkString
-      } catch { case _: Throwable => "err" }
-    // Composition-STABLE fingerprint: the canonicalized OPTIMIZED
-    // logical plan, hashed before AQE and before physical planning.
-    // The executed-plan fp above is cache/AQE-composition-sensitive
-    // (r6 carried three different executed fps for dd_minhash_lsh with
-    // zero code change), so it can pin AQE shape but cannot adjudicate
-    // "plan changed vs host noise" across runs with different suite
-    // composition. This one can: with per-query isolation clearing all
-    // cache/persisted state first, the optimized plan is a pure
-    // function of the code + input schema.
-    // Commutative chains (And/Or) canonicalize by child hashCode, and a
-    // ScalaUDF's hashCode is JVM-identity-based — so a UDF-bearing
-    // filter prints its multicommutativeop operands in a per-SESSION
-    // order and the fp flaps with zero code change (observed on
-    // pl_decontaminate). Normalize by sorting each multicommutativeop's
-    // top-level operand list textually (recursing first, so nested
-    // chains sort before their parents), AFTER id normalization so the
-    // sort keys don't depend on exprIds.
-    def sortCommutative(text: String): String = {
-      val marker = "multicommutativeop("
-      val sb = new StringBuilder
-      var i = 0
-      while (i < text.length) {
-        val at = text.indexOf(marker, i)
-        if (at < 0) { sb.append(text.substring(i)); i = text.length }
-        else {
-          sb.append(text.substring(i, at + marker.length))
-          var depth = 1; var j = at + marker.length
-          while (j < text.length && depth > 0) {
-            val c = text.charAt(j)
-            if (c == '(') depth += 1 else if (c == ')') depth -= 1
-            j += 1
-          }
-          val inner = text.substring(at + marker.length, j - 1)
-          val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-          var d = 0; var start = 0; var k = 0
-          while (k < inner.length) {
-            val c = inner.charAt(k)
-            if (c == '(') d += 1 else if (c == ')') d -= 1
-            else if (c == ',' && d == 0) { parts += inner.substring(start, k); start = k + 1 }
-            k += 1
-          }
-          parts += inner.substring(start)
-          sb.append(parts.map(p => sortCommutative(p.trim)).sorted.mkString(", "))
-            .append(')')
-          i = j
-        }
-      }
-      sb.toString
-    }
-    def canonOptText(df: org.apache.spark.sql.DataFrame): String = {
-        // Builder-internal persist() embeds an InMemoryRelation whose
-        // cached PHYSICAL subtree carries live (un-canonicalized)
-        // exprIds, plan/rdd ids — and, once anything has executed
-        // (queries with eager localCheckpoints run jobs during
-        // CONSTRUCTION), the AQE-FINALIZED stage tree (QueryStage
-        // wrappers, runtime Build side): pure runtime state that
-        // flapped gx_louvain's fp between identical-code runs. Replace
-        // the whole node with a stable LocalRelation leaf of the same
-        // schema — the surrounding LOGICAL structure is what this fp
-        // adjudicates; the cached subtree's own shape is execution
-        // detail. (Narrow blind spot, documented: a change INSIDE a
-        // persisted subtree alone won't move this fp — the executed-
-        // plan fp still sees it.)
-        val stableOpt = df.queryExecution.optimizedPlan.transform {
-          case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(imr.output)
-        }
-        // Canonicalization orders commutative operands by hashCode and
-        // a ScalaUDF's hashCode is JVM-identity-based, so any
-        // UDF-bearing AND/OR/arith chain prints in per-session order
-        // (ts_holt_linear's binary `x AND isnotnull(UDF(...))` swapped
-        // sides between identical-code runs). Re-sort commutative
-        // operands by their canonical STRING, bottom-up so parents
-        // compare already-sorted children. Print-only copy — never
-        // evaluated.
-        import org.apache.spark.sql.catalyst.expressions.{Add, And, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Multiply, MultiCommutativeOp, Or}
-        val sortedPlan = stableOpt.canonicalized.transformUp {
-          case p => p.transformExpressionsUp {
-            // comparisons canonicalize direction by child hashCode too:
-            // one session keeps `size(UDF(..)) > 0`, the next prints
-            // `0 < size(UDF(..))` — force every GT(E) to its LT(E) form
-            case GreaterThan(l, r) => LessThan(r, l)
-            case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
-            case e @ (_: And | _: Or | _: Add | _: Multiply | _: EqualTo
-                      | _: MultiCommutativeOp) =>
-              // sort by a NORMALIZED key: this runs before the text-level
-              // @hash/#id scrubs, so an operand whose rendering embeds a
-              // lambda/object identity would otherwise order per-session
-              val sorted = e.children.sortBy(_.toString
-                .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
-                .replaceAll("@[0-9a-f]{6,}", "@*")
-                .replaceAll("#\\d+", "#*"))
-              if (sorted == e.children) e else e.withNewChildren(sorted)
-          }
-        }
-        val canon = sortedPlan.treeString
-          .replaceAll("#\\d+", "#*")          // exprIds (belt-and-braces)
-          .replaceAll("plan_id=\\d+", "plan_id=*")
-          .replaceAll("cachedrdd_\\d+", "cachedrdd_*")
-          .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
-          .replaceAll("@[0-9a-f]{6,}", "@*") // JVM-assigned lambda ids
-          .replaceAll("\\bExistingRDD\\b.*", "ExistingRDD *") // RDD ids from localCheckpoint scans
-          .replaceAll("\\bLogicalRDD\\b.*", "LogicalRDD *")
-          // globalRank embeds its per-shard rank offsets as a literal
-          // map; the offsets depend on runtime shard boundaries (AQE
-          // coalescing) and vary between identical-code runs while the
-          // ranks they produce stay exact — implementation detail, not
-          // plan shape. Elide literal map CONTENTS (narrow blind spot:
-          // a deliberate change to literal map values alone won't move
-          // this fp).
-          .replaceAll("map\\(keys: \\[[^\\]]*\\], values: \\[[^\\]]*\\]\\)", "map(*)")
-        sortCommutative(canon)
-    }
+      PlanFp.fingerprint(df)
+    def canonOptText(df: org.apache.spark.sql.DataFrame): String =
+      PlanFp.canonOptText(df)
     def fingerprintOpt(df: org.apache.spark.sql.DataFrame): String =
-      try {
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(canonOptText(df).getBytes("UTF-8"))
-          .take(6).map(b => f"${b & 0xff}%02x").mkString
-      } catch { case _: Throwable => "err" }
+      PlanFp.fingerprintOpt(df)
     // Per-query isolation beyond the SQL cache: localCheckpoint()ed
     // RDDs are persisted OUTSIDE the catalog cache, so clearCache()
     // never releases them — across a 300-query suite their blocks pin

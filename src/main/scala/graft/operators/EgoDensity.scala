@@ -69,11 +69,12 @@ object EgoDensity {
         val nbr = broadcast(hubs).join(sym, $"u" === $"hub")
           .select($"hub", $"v".as("nb"))
         val n2 = nbr.select($"hub".as("h2"), $"nb".as("nb2"))
-        val closed = nbr.join(n2, $"h2" === $"hub" && $"nb" < $"nb2")
-          // broadcast closure, same rationale as Graph.triangleCount:
-          // the hub-pair stream is Σ hubdeg² — on a densified graph it
-          // dwarfs |E|, and a shuffle semi-join would spill it
-          .join(broadcast(e), $"u" === $"nb" && $"v" === $"nb2", "left_semi")
+        // closure via Graph.closeWedges, same rationale as
+        // triangleCount: the hub-pair stream is Σ hubdeg² — on a
+        // densified graph it dwarfs |E|, and a shuffle semi-join would
+        // spill it; broadcast under the |E| ceiling, bloom past it
+        val closed = Graph.closeWedges(
+          nbr.join(n2, $"h2" === $"hub" && $"nb" < $"nb2"), e, "nb", "nb2")
           .groupBy($"hub".as("c_hub"))
           .agg(count(lit(1)).as("closed_pairs"))
         hubs.join(closed, $"hub" === $"c_hub", "left")

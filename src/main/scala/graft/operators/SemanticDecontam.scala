@@ -206,9 +206,11 @@ object SemanticDecontam {
       (s, d) => {
         val docs = documents(s, d)
         val demb = docEmbeddings(docs).localCheckpoint()
-        val cents = Similarity.kmeansCentroids(demb, K, ITERS, D)
-        val asg = Similarity.ivfAssignments(demb, K, Some(cents))
-          .select(col("vec_id"), col("embedding"), col("centroid"))
+        // literal trainer + shuffle-free assignment (r11 verdict #3):
+        // the model is k·dim driver floats by contract, so both the
+        // per-iteration argmax and the final assignment are projections
+        val cents = Similarity.kmeansCentroidsLocal(demb, K, ITERS, D)
+        val asg = Similarity.assignLiteral(demb, cents)
         val ev = asg.filter(col("vec_id") % evalMod === evalRes)
           .select(col("centroid"), col("vec_id").as("e_doc"),
             col("embedding").as("ee"))

@@ -72,9 +72,9 @@ object Semdedup {
         val emb = embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
           .localCheckpoint()
-        val cents = Similarity.kmeansCentroids(emb, K, ITERS, 64)
-        val asg = Similarity.ivfAssignments(emb, K, Some(cents))
-          .select(col("vec_id"), col("embedding"), col("centroid"))
+        // literal trainer + shuffle-free assignment (r11 verdict #3)
+        val cents = Similarity.kmeansCentroidsLocal(emb, K, ITERS, 64)
+        val asg = Similarity.assignLiteral(emb, cents)
           .localCheckpoint()
         val a = asg.select(col("centroid"), col("vec_id").as("i"), col("embedding").as("ei"))
         val b = asg.select(col("centroid"), col("vec_id").as("j"), col("embedding").as("ej"))
@@ -139,9 +139,9 @@ object Semdedup {
         val emb = embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
           .localCheckpoint()
-        val cents = Similarity.kmeansCentroids(emb, K, ITERS, 64)
-        val asg = Similarity.ivfAssignments(emb, K, Some(cents))
-          .select(col("vec_id"), col("embedding"), col("centroid"))
+        // literal trainer + shuffle-free assignment (r11 verdict #3)
+        val cents = Similarity.kmeansCentroidsLocal(emb, K, ITERS, 64)
+        val asg = Similarity.assignLiteral(emb, cents)
           .localCheckpoint()
         val a = asg.select(col("centroid"), col("vec_id").as("i"), col("embedding").as("ei"))
         val b = asg.select(col("centroid"), col("vec_id").as("j"), col("embedding").as("ej"))

@@ -92,15 +92,29 @@ object Similarity {
     * distributed k-means shape (bounded model state, like MLlib's). */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
+    broadcast(kmeansCentroidsLocal(emb, k, iters, dim)
+      .toDF("centroid", "cemb")
+      .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
+  }
+
+  /** [[kmeansCentroids]] with the model returned driver-side — the k·dim
+    * floats ARE driver state by contract (they re-broadcast every
+    * iteration), so callers that can consume the literal form skip a
+    * round-trip through a DataFrame and can use [[assignLiteral]] for
+    * shuffle-free assignment. */
+  def kmeansCentroidsLocal(emb: DataFrame, k: Int, iters: Int,
+      dim: Int): Seq[(Long, Seq[Float])] = {
+    val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
-    // The corpus is scanned 2×iters+1 times during training (assignment
-    // + means per iteration, plus init) — cache it for the duration,
-    // at a partition count matched to the corpus (a 2k-vector fixture
-    // on 32 default partitions pays 32 task launches per scan × ~11
-    // scans for 62 rows each; partition count follows data volume).
-    // Model state (k·dim floats) is the only thing that ever reaches
-    // the driver, same contract as MLlib's distributed k-means.
+    // The corpus is scanned iters+1 times during training (one fused
+    // assignment+means pass per iteration, plus init) — cache it for
+    // the duration, at a partition count matched to the corpus (a
+    // 2k-vector fixture on 32 default partitions pays 32 task launches
+    // per scan; partition count follows data volume). Model state
+    // (k·dim floats) is the only thing that ever reaches the driver,
+    // same contract as MLlib's distributed k-means.
     val cached = emb.repartition(4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -108,13 +122,21 @@ object Similarity {
         .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
         .collect().sortBy(_._1).toSeq
       for (_ <- 1 to iters) {
-        val centsDf = broadcast(cents.toDF("centroid", "cemb")
-          .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
-        val assigned = nearestCentroid(cached, centsDf)
-        // per-(centroid, dimension) decimal means: k·dim rows total —
-        // assembled into vectors driver-side (no second shuffle)
-        val meanRows = assigned
-          .select(col("centroid"), posexplode(col("embedding")).as(Seq("d", "v")))
+        // Fused assignment+update (r11 verdict #3 — the trainer's
+        // per-iteration job had TWO shuffles: a broadcast crossJoin +
+        // groupBy(vec_id) argmax carrying every embedding, then the
+        // per-(centroid, d) means). The centroids are driver state
+        // already, so the argmax is a pure PROJECTION over literal
+        // centroid arrays ([[argminLiteral]]) — bit-identical cosines
+        // (same cosine_sim expression, same float inputs), same
+        // (ccos desc, centroid asc) tiebreak — and the iteration
+        // becomes scan → project → posexplode → ONE k·dim-row
+        // aggregate. Means accumulate per-dimension in DECIMAL(28,12)
+        // (groupBy sums of doubles are order-dependent), divide in
+        // double, round to float — unchanged arithmetic.
+        val meanRows = cached
+          .select(argminLiteral(col("embedding"), cents).as("centroid"),
+            posexplode(col("embedding")).as(Seq("d", "v")))
           .groupBy(col("centroid"), col("d"))
           .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
             count(lit(1))).cast("float").as("vr"))
@@ -125,9 +147,29 @@ object Similarity {
         }
         cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
       }
-      broadcast(cents.toDF("centroid", "cemb")
-        .select(col("centroid"), col("cemb").cast("array<float>").as("cemb")))
+      cents
     } finally cached.unpersist(blocking = false)
+  }
+
+  /** Nearest-centroid id over a LITERAL centroid set, as one codegen'd
+    * projection: `array_min` over (−cos, centroid) structs reproduces
+    * the (ccos desc, centroid asc) argmax tiebreak exactly. No join, no
+    * shuffle — each row scores k literal arrays in place. */
+  private def argminLiteral(embCol: Column,
+      cents: Seq[(Long, Seq[Float])]): Column =
+    array_min(array(cents.map { case (cid, v) =>
+      struct((-cosineNative(embCol, typedLit(v))).as("nc"),
+        lit(cid).as("centroid"))
+    }: _*)).getField("centroid")
+
+  /** Shuffle-free counterpart of [[ivfAssignments]] for a literal
+    * centroid set: (vec_id, embedding, centroid) via [[argminLiteral]].
+    * Same assignment as `nearestCentroid(emb, toDF(cents))` — the spec
+    * pins the equivalence — at zero exchanges. */
+  def assignLiteral(emb: DataFrame, cents: Seq[(Long, Seq[Float])]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col("vec_id"), col("embedding"),
+      argminLiteral(col("embedding"), cents).as("centroid"))
   }
 
   /** Unrolled SQL mirror of [[kmeansCentroids]]: CTEs c0..c{iters},

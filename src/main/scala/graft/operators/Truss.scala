@@ -47,16 +47,15 @@ object Truss {
     // each triangle (wedge src→x, src→y closed by edge (x,y)) supports
     // its three edges; supports spread via ONE explode pass,
     // canonicalized to (u < v), straight into the hash aggregate
-    val sup = oriented.select(col("src"), col("dst").as("x"))
+    val wedges = oriented.select(col("src"), col("dst").as("x"))
       .join(oriented.select(col("src"), col("dst").as("y")), "src")
       .filter(col("x") < col("y"))
-      // broadcast the closing-edge list: a shuffle semi-join here
-      // materializes the whole Σ outdeg² wedge stream to shuffle disk
-      // (measured at a 10×-deeper graph: >79 GB of spill, session
-      // death); broadcast keeps the stream map-side. |E| is the small
-      // side by construction; bloom pre-join is the next escalation.
-      .join(broadcast(e.select(col("u").as("x"), col("v").as("y"))),
-        Seq("x", "y"), "left_semi")
+    // closure via Graph.closeWedges: broadcast the closing-edge list
+    // under the |E| ceiling (a shuffle semi-join here materializes the
+    // whole Σ outdeg² wedge stream to shuffle disk — measured at a
+    // 10×-deeper graph: >79 GB of spill, session death), bloom
+    // pre-join past broadcast reach.
+    val sup = Graph.closeWedges(wedges, e, "x", "y")
       .select(explode(array(
         struct(least(col("src"), col("x")).as("u"), greatest(col("src"), col("x")).as("v")),
         struct(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v")),
