@@ -47,7 +47,13 @@ object Profile {
       .foreach(r => try r.unpersist(blocking = true) catch { case _: Throwable => () })
     System.gc(); Thread.sleep(50); System.gc(); Thread.sleep(50)
 
-    case class St(id: Int, tasks: Int, sub: Long, done: Long, name: String)
+    // SPARK_GRAFT_PROFILE_DETAILS=1 appends each stage's callsite stack
+    // head — the lazily-executed AQE stages all print the same
+    // CompletableFuture name, so the details are the only way to map a
+    // hot stage back to source.
+    val wantDetails = sys.env.get("SPARK_GRAFT_PROFILE_DETAILS").contains("1")
+    case class St(id: Int, tasks: Int, sub: Long, done: Long, name: String,
+      details: String = "")
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
     val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
@@ -56,7 +62,11 @@ object Profile {
         val si = e.stageInfo
         stages.add(St(si.stageId, si.numTasks,
           si.submissionTime.getOrElse(-1L), si.completionTime.getOrElse(-1L),
-          si.name.takeWhile(_ != '\n')))
+          si.name.takeWhile(_ != '\n'),
+          if (wantDetails)
+            si.details.linesIterator.filter(_.contains("graft"))
+              .take(3).mkString(" | ")
+          else ""))
       }
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobStart.put(e.jobId, e.time)
@@ -84,6 +94,7 @@ object Profile {
     ss.foreach { s =>
       val dur = s.done - s.sub
       println(f"   +${s.sub - base}%6d ms  ${dur}%6d ms  ${s.tasks}%4d tasks  stage ${s.id}%4d  ${s.name.take(80)}")
+      if (wantDetails && s.details.nonEmpty) println(s"        ${s.details.take(200)}")
     }
     val jd = jobs.asScala.toSeq.sortBy(_._1)
     println(s"   job durations ms: ${jd.map(_._2).mkString(", ")}")

@@ -247,6 +247,13 @@ object SemanticDecontam {
         // parallel at any scale, no per-row set scans. The oracle keeps
         // the list formulation (results are identical; DuckDB
         // parallelizes it fine).
+        // winB feeds both the window-size aggregate and the fan-out
+        // join; it is deliberately NOT checkpointed — a LogicalRDD
+        // leaf reports unknown (∞) stats, which demoted the cand/trB
+        // broadcasts to sort-merge joins and serialized the fan-out
+        // (profiled: two 1.5 s single-task SMJ stages vs one 1.0 s
+        // 32-task hash-join stage). The duplicate explode+distinct the
+        // double consumption costs is the cheaper side of that trade.
         val winB = win.join(bg.withColumnRenamed("doc_id", "e_doc"), Seq("e_doc"))
           .filter(col("pos").between(col("s"), col("e") - 1))
           .select(col("e_doc"), col("s"), col("e"), col("bigram"))
@@ -255,7 +262,21 @@ object SemanticDecontam {
           .agg(count(lit(1)).as("wsize"))
         val trB = bg.filter(col("doc_id") % evalMod =!= evalRes)
           .select(col("doc_id").as("t_doc"), col("bigram")).distinct()
-        val hits = winB.join(cand, Seq("e_doc"))
+        // The window×candidate fan-out is the query's volume center
+        // (~45M rows at sf0.1: 68k window-bigrams × ~660 candidates per
+        // eval doc — τ barely prunes on hashed-TF embeddings, measured
+        // via the n_candidates column). Every input is byte-SMALL, so
+        // AQE coalesced the whole fan-out + intersect-count onto ONE
+        // task (profiled: 1.6 s serial, the query's top stage).
+        // An explicit fixed-N repartition on the window side is exempt
+        // from AQE coalescing and the fan-out keys (e_doc, s) make the
+        // downstream partial aggregation partition-local; the fan-out
+        // itself is never shuffled — cand and trB ride in as (AQE)
+        // broadcasts.
+        val hits = winB
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("e_doc"), col("s"))
+          .join(cand, Seq("e_doc"))
           .join(trB, Seq("t_doc", "bigram"))
           .groupBy(col("e_doc"), col("s"), col("e"), col("t_doc"))
           .agg(count(lit(1)).as("isect"))
