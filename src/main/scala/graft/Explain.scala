@@ -89,17 +89,35 @@ object Explain {
     sb ++= s"Scale dir: `$sfDir`. Things to check per plan: `PushedFilters` on the\n"
     sb ++= "scan, pruned `ReadSchema`, `BroadcastHashJoin` on dimension joins,\n"
     sb ++= "`TakeOrderedAndProject` for top-k, and wide whole-stage-codegen spans.\n"
-    headline.foreach { name =>
+    // Subset + per-query-file mode for before/after plan artifacts
+    // (plans/r<N>/<query>_{before,after}.txt): SPARK_GRAFT_EXPLAIN_ONLY
+    // selects queries (any name in SparkEntry.queries, not just the
+    // headline list); SPARK_GRAFT_EXPLAIN_DIR + _SUFFIX write one file
+    // per query instead of the aggregate markdown.
+    val only = sys.env.get("SPARK_GRAFT_EXPLAIN_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val perQueryDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "")
+    val names = only.getOrElse(headline)
+    names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        sb ++= s"\n## $name\n\n```\n$plan```\n"
+        perQueryDir match {
+          case Some(dir) =>
+            val p = Paths.get(dir)
+            Files.createDirectories(p)
+            Files.writeString(p.resolve(s"$name$suffix.txt"), plan)
+          case None => sb ++= s"\n## $name\n\n```\n$plan```\n"
+        }
       }
     }
-    Files.createDirectories(Paths.get(outFile).getParent)
-    Files.writeString(Paths.get(outFile), sb.toString)
-    println(s"wrote $outFile (${headline.size} plans)")
+    if (perQueryDir.isEmpty) {
+      Files.createDirectories(Paths.get(outFile).getParent)
+      Files.writeString(Paths.get(outFile), sb.toString)
+    }
+    println(s"wrote ${perQueryDir.getOrElse(outFile)} (${names.size} plans)")
     spark.stop()
   }
 }
