@@ -56,7 +56,19 @@ object Bench {
     // fps or times across cpu configs.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
+    // Config A/B hook (guide §1: measure before adopting any config):
+    // SPARK_GRAFT_CONF="key=value;key=value" overlays the builder, so a
+    // candidate setting can be benched against the same code without a
+    // recompile. Round artifacts are produced with it UNSET — adopted
+    // settings graduate into the builder below with a rationale.
+    val extraConf: Seq[(String, String)] =
+      sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(";").toSeq
+        .map(_.trim).filter(_.contains("="))
+        .map { kv =>
+          val i = kv.indexOf('=')
+          (kv.take(i).trim, kv.drop(i + 1).trim)
+        }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -71,7 +83,9 @@ object Bench {
       // truncating at all, then strip the ids.
       .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.sql.debug.maxToStringFields", "10000")
-      .getOrCreate()
+    val spark = extraConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     logs.quietWindowWarnings()
     // Warm up JIT/codegen/parquet readers so the first measured query

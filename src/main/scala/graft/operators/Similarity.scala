@@ -134,8 +134,16 @@ object Similarity {
         // aggregate. Means accumulate per-dimension in DECIMAL(28,12)
         // (groupBy sums of doubles are order-dependent), divide in
         // double, round to float — unchanged arithmetic.
+        // withColumn barrier BEFORE the explode: a single
+        // select(argmin, posexplode) puts the argmin in the Project
+        // ABOVE the Generate (analyzer ExtractGenerator), so the k·dim
+        // cosine scoring ran once per EXPLODED row — dim× too often
+        // (micro-benched 839 → 226 ms per iteration at 2000×64).
+        // The separate projection keeps it once per input row; Generate
+        // then just carries the computed centroid through.
         val meanRows = cached
-          .select(argminLiteral(col("embedding"), cents).as("centroid"),
+          .withColumn("centroid", argminLiteral(col("embedding"), cents))
+          .select(col("centroid"),
             posexplode(col("embedding")).as(Seq("d", "v")))
           .groupBy(col("centroid"), col("d"))
           .agg((sum(col("v").cast(DecimalType(28, 12))).cast("double") /
@@ -152,15 +160,23 @@ object Similarity {
   }
 
   /** Nearest-centroid id over a LITERAL centroid set, as one codegen'd
-    * projection: `array_min` over (−cos, centroid) structs reproduces
-    * the (ccos desc, centroid asc) argmax tiebreak exactly. No join, no
-    * shuffle — each row scores k literal arrays in place. */
+    * projection: `least` over (−cos, centroid) structs reproduces the
+    * (ccos desc, centroid asc) argmax tiebreak exactly — the same
+    * lexicographic struct minimum as `array_min(array(...))`, but
+    * `Least` generates inline comparison code while `ArrayMin` falls
+    * back to an interpreted per-element ordering (micro-benched 359 →
+    * 82 ms over 2000×64). No join, no shuffle — each row scores k
+    * literal arrays in place. */
   private def argminLiteral(embCol: Column,
-      cents: Seq[(Long, Seq[Float])]): Column =
-    array_min(array(cents.map { case (cid, v) =>
+      cents: Seq[(Long, Seq[Float])]): Column = {
+    val structs = cents.map { case (cid, v) =>
       struct((-cosineNative(embCol, typedLit(v))).as("nc"),
         lit(cid).as("centroid"))
-    }: _*)).getField("centroid")
+    }
+    val minStruct =
+      if (structs.size == 1) structs.head else least(structs: _*)
+    minStruct.getField("centroid")
+  }
 
   /** Shuffle-free counterpart of [[ivfAssignments]] for a literal
     * centroid set: (vec_id, embedding, centroid) via [[argminLiteral]].
