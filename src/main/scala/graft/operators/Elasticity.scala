@@ -60,7 +60,18 @@ object Elasticity {
         import s.implicits._
         val lx = log($"l_extendedprice" / $"l_quantity")
         val ly = log($"l_quantity")
+        // The 4 ln()+snap9+DECIMAL casts per row are the query's cost;
+        // the sf-sized parquet scan yields fewer splits than cores, so
+        // that projection ran on the scan's task count. Repartitioning
+        // the three needed columns to the session's parallelism before
+        // the heavy projection costs one narrow ~15 MB shuffle and
+        // spreads the expression work across every core (guide §2.5
+        // input-parallelism; count derives from the session, not a
+        // constant — at cluster scale splits >> cores make it a no-op
+        // cost-wise).
         val o = lineitem(s, d)
+          .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+          .repartition(s.sessionState.conf.numShufflePartitions)
           .join(broadcast(part(s, d)), $"p_partkey" === $"l_partkey")
           .filter($"l_quantity" > 0 && $"l_extendedprice" > 0)
           .select($"p_brand".as("brand"),

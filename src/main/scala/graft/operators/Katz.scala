@@ -47,9 +47,16 @@ object Katz {
   private def katz(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.repartition(8, col("src")).persist() // partition count follows data volume (gx weak-row lesson)
     val nodes = e.select(col("src").as("node")).distinct().persist()
+    // Lazy composition across iterations — the gx_pagerank shape: a
+    // localCheckpoint per iteration serialized the loop into 5 eager
+    // jobs (and its LogicalRDD leaf reports unknown stats); composing
+    // the 5 iterations into ONE plan lets AQE pipeline the stages, and
+    // the shuffle_hash hint keeps the per-iteration e⋈x join on e's
+    // persisted hash partitioning instead of sorting both sides.
     var x = nodes.withColumn("x", lit(1.0))
     for (_ <- 1 to iters) {
-      val contrib = e.join(x.withColumnRenamed("node", "xn"),
+      val contrib = e.join(x.withColumnRenamed("node", "xn")
+          .hint("shuffle_hash"),
           col("src") === col("xn"))
         .groupBy(col("dst"))
         .agg(sum(det.snap9(lit(beta.toDouble) * col("x"))
@@ -57,7 +64,6 @@ object Katz {
       x = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(1.0) + coalesce(col("s"), lit(0.0))).as("x"))
-        .localCheckpoint()
     }
     x
   }

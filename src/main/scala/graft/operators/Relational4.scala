@@ -148,13 +148,23 @@ object Relational4 {
       (s, d) => {
         import s.implicits._
         val late = $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS")
+        // Two distinct-aggregate groups make Spark Expand the fact join
+        // output x3 before the exchange (one replica per distinct group
+        // + one for plain aggregates). Pre-aggregating to the
+        // (l_orderkey, l_suppkey) grain first — count/max over that
+        // grain are the distinct counts — shuffles each pair once with
+        // map-side partial aggregation instead (guide §2.3). Same
+        // numbers: n_supp = #pairs, n_late = #pairs with any late line,
+        // late_supp = max suppkey among late pairs.
         val prof = lineitem(s, d)
           .join(orders(s, d), $"o_orderkey" === $"l_orderkey")
+          .groupBy($"l_orderkey", $"l_suppkey")
+          .agg(max(when(late, true).otherwise(false)).as("any_late"))
           .groupBy($"l_orderkey")
           .agg(
-            countDistinct($"l_suppkey").as("n_supp"),
-            countDistinct(when(late, $"l_suppkey")).as("n_late"),
-            max(when(late, $"l_suppkey")).as("late_supp"))
+            count(lit(1)).as("n_supp"),
+            count(when($"any_late", lit(1))).as("n_late"),
+            max(when($"any_late", $"l_suppkey")).as("late_supp"))
           .filter($"n_supp" >= 2 && $"n_late" === 1)
         prof.join(broadcast(supplier(s, d)), $"s_suppkey" === $"late_supp")
           .groupBy($"s_name")
