@@ -32,6 +32,9 @@ object Profile {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // mirror Bench's coalesce floor so profiles map to bench stages
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64kb"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     logs.quietWindowWarnings()
