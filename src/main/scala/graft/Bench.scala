@@ -68,35 +68,17 @@ object Bench {
           val i = kv.indexOf('=')
           (kv.take(i).trim, kv.drop(i + 1).trim)
         }
-    val builder0 = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // Fingerprint stability: plan treeStrings truncate long node
-      // strings (file-scan metadata at 100 chars, >25 fields elided).
-      // ExprIds have varying digit widths across suite compositions,
-      // so a FIXED-LENGTH cut lands on different characters and two
-      // identical plans print differently — normalize by not
-      // truncating at all, then strip the ids.
+    // Shared engine config (incl. the r12 64k AQE coalesce floor) —
+    // one builder for Bench/Profile/Verify/FpScan ([[EngineSession]],
+    // r12 verdict #10), plus Bench's fingerprint-stability extras:
+    // plan treeStrings truncate long node strings (file-scan metadata
+    // at 100 chars, >25 fields elided); ExprIds have varying digit
+    // widths across suite compositions, so a FIXED-LENGTH cut lands on
+    // different characters and two identical plans print differently —
+    // normalize by not truncating at all, then strip the ids.
+    val builder0 = EngineSession.builder(cpus)
       .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.sql.debug.maxToStringFields", "10000")
-      // AQE's coalesce floor is BYTE-based (minPartitionSize, default
-      // 1m) but this engine's hot stages are CPU-dense over byte-small
-      // rows (shingle-set intersections, per-pair verification): at the
-      // default, whole verification stages collapsed onto ONE task
-      // (profiled: dd_ngram_jaccard 2 x ~950 ms serial stages,
-      // dd_simhash_pairs 2 x ~500 ms, same class in dd_bbit_minhash /
-      // dd_incremental / mm_*). 64k keeps CPU-dense small stages
-      // parallel while still merging true slivers. Interleaved A/B at
-      // sf0.1/cpus=32: the 8 affected dd_/mm_ rows 24.2 -> 21.2 s, the
-      // top-45 subset 126.4 -> 104.8 s. Workload-dependent, not
-      // scale-dependent (cpu-per-byte stays as data grows), and
-      // env-overridable.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64kb"))
     val spark = extraConf.foldLeft(builder0) {
       case (b, (k, v)) => b.config(k, v)
     }.getOrCreate()

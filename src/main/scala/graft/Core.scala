@@ -144,3 +144,33 @@ object logs {
       org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 }
+
+/** The engine's recommended session configuration, shared by every
+  * local entry point — Bench, Profile, Verify, FpScan (r12 verdict
+  * #10: the measured config must be the shipped config, in ONE place).
+  * Entry points layer their own non-engine extras (fingerprint
+  * truncation settings, SPARK_GRAFT_CONF A/B overlays) on top.
+  *
+  * The AQE coalesce floor (adopted r12, measured: the 8 hottest dd_/mm_
+  * rows 24.2 → 19.5 s at sf0.1/cpus=32): AQE's
+  * `coalescePartitions.minPartitionSize` is BYTE-based (default 1m)
+  * but this engine's hot stages are CPU-dense over byte-small rows
+  * (shingle-set intersections, per-pair verification) — at the default
+  * whole verification stages collapsed onto ONE task. 64k keeps
+  * CPU-dense small stages parallel while still merging true slivers;
+  * workload-dependent (cpu-per-byte stays as data grows), not
+  * scale-dependent, and env-overridable for A/B runs. */
+object EngineSession {
+  def builder(cpus: String): org.apache.spark.sql.SparkSession.Builder =
+    org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS); read as long,
+      // normalized to TimestampType in sources.Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64kb"))
+}

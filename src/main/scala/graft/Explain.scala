@@ -70,7 +70,10 @@ object Explain {
     "sim_jl_recall", "ev_reg_discontinuity",
     // r11: the semantic decontamination audit + the adaptive-modulus
     // triangle twin (broadcast wedge closure must show in both)
-    "pl_decontam_semantic", "gx_triangles_adaptive")
+    "pl_decontam_semantic", "gx_triangles_adaptive",
+    // r13: the adaptive-modulus truss twin (broadcast wedge closure +
+    // scale-adaptive node space must both show)
+    "gx_ktruss_adaptive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -99,6 +102,11 @@ object Explain {
     val perQueryDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
     val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "")
     val names = only.getOrElse(headline)
+    // r12 ADVICE: a typoed name must not silently produce no file while
+    // the success line still counts it
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    unknown.foreach(n => println(s"[explain] WARNING: unknown query '$n' — skipped"))
+    val written = names.count(SparkEntry.queries.contains)
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val df = fn(spark, sfDir)
@@ -117,7 +125,8 @@ object Explain {
       Files.createDirectories(Paths.get(outFile).getParent)
       Files.writeString(Paths.get(outFile), sb.toString)
     }
-    println(s"wrote ${perQueryDir.getOrElse(outFile)} (${names.size} plans)")
+    println(s"wrote ${perQueryDir.getOrElse(outFile)} ($written plans" +
+      (if (unknown.nonEmpty) s", ${unknown.size} unknown names skipped" else "") + ")")
     spark.stop()
   }
 }

@@ -25,15 +25,10 @@ object FpScan {
     val outFile = args.lift(1).getOrElse("/tmp/fpscan.txt")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // same treeString truncation settings as Bench — a different cut
-      // point prints different text for an identical plan
+    // shared engine config ([[EngineSession]]) + the same treeString
+    // truncation settings as Bench — a different cut point prints
+    // different text for an identical plan
+    val spark = EngineSession.builder(cpus)
       .config("spark.sql.maxMetadataStringLength", "100000")
       .config("spark.sql.debug.maxToStringFields", "10000")
       .getOrCreate()

@@ -73,6 +73,80 @@ object PlanFp {
     sb.toString
   }
 
+  /** RewriteDistinctAggregates assigns each distinct-aggregate group
+    * its gid by HashMap iteration order over expression SETS — i.e.
+    * exprId-hash order, which varies with session construction count —
+    * so a query with two `countDistinct`s can swap which column is
+    * gid 1 vs gid 2 between identical-code runs, flipping both the
+    * Expand projection rows and every `FILTER (WHERE (g = gid))`
+    * literal (r12 verdict #7: `ts_corpus_profile` and
+    * `er_cluster_stability` flapped exactly so — diffed texts differ
+    * ONLY in the 1↔2 swap). Normalize the canonical TEXT: blank the
+    * gid filter literals and sort Expand projection rows AND the
+    * elements within each row (each distinct group also owns a
+    * projection slot assigned in gid order) with bare integer
+    * elements blanked. Narrow documented blind spot (same
+    * class as the map(*) elision): a deliberate change ONLY to a
+    * grouping-set spec literal or to Expand row order won't move this
+    * fp — the executed-plan fp still sees it. */
+  private[graft] def normalizeDistinctGids(text: String): String = {
+    val gidFiltered = text.replaceAll(
+      "FILTER \\(WHERE \\(\\d+ = none#\\*\\)\\)",
+      "FILTER (WHERE (gid = none#*))")
+    val marker = "Expand [["
+    val sb = new StringBuilder
+    var i = 0
+    while (i < gidFiltered.length) {
+      val at = gidFiltered.indexOf(marker, i)
+      if (at < 0) { sb.append(gidFiltered.substring(i)); i = gidFiltered.length }
+      else {
+        // bracket-match the full projection list: Expand [[r1], [r2], …]
+        sb.append(gidFiltered.substring(i, at + "Expand ".length))
+        var depth = 0; var j = at + "Expand ".length
+        while (j < gidFiltered.length &&
+            (depth > 0 || j == at + "Expand ".length)) {
+          val c = gidFiltered.charAt(j)
+          if (c == '[') depth += 1 else if (c == ']') depth -= 1
+          j += 1
+        }
+        val inner = gidFiltered.substring(at + "Expand [".length, j - 1)
+        // split top-level rows "[…], […]"
+        val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+        var d = 0; var start = 0; var k = 0
+        while (k < inner.length) {
+          val c = inner.charAt(k)
+          if (c == '[') d += 1 else if (c == ']') d -= 1
+          else if (c == ',' && d == 0) { rows += inner.substring(start, k); start = k + 1 }
+          k += 1
+        }
+        rows += inner.substring(start)
+        val normRows = rows.map { r =>
+          val body = r.trim.stripPrefix("[").stripSuffix("]")
+          val elems = scala.collection.mutable.ArrayBuffer.empty[String]
+          var dd = 0; var s0 = 0; var kk = 0
+          while (kk < body.length) {
+            val c = body.charAt(kk)
+            if (c == '(' || c == '[') dd += 1
+            else if (c == ')' || c == ']') dd -= 1
+            else if (c == ',' && dd == 0) { elems += body.substring(s0, kk); s0 = kk + 1 }
+            kk += 1
+          }
+          elems += body.substring(s0)
+          // sort WITHIN the row too: each distinct group also owns a
+          // projection SLOT assigned in gid order, so the swapped
+          // sessions put the same expression in different columns
+          "[" + elems.map { e =>
+            val t = e.trim
+            if (t.matches("\\d+")) "gidlit" else t
+          }.sorted.mkString(", ") + "]"
+        }.sorted
+        sb.append("[").append(normRows.mkString(", ")).append("]")
+        i = j
+      }
+    }
+    sb.toString
+  }
+
   /** The normalized text [[fingerprintOpt]] hashes — exposed so a
     * flapping fp can be diffed directly ([[FpScan]], fp-dump mode). */
   def canonOptText(df: DataFrame): String = {
@@ -137,7 +211,7 @@ object PlanFp {
       // a deliberate change to literal map values alone won't move
       // this fp).
       .replaceAll("map\\(keys: \\[[^\\]]*\\], values: \\[[^\\]]*\\]\\)", "map(*)")
-    sortCommutative(canon)
+    sortCommutative(normalizeDistinctGids(canon))
   }
 
   /** Composition-stable optimized-plan fp (12 hex chars). */

@@ -203,24 +203,46 @@ object DriftMmd {
   /** The three calibrating splits reduced to per-(split, plane) sign
     * sums — a commutative integer monoid, so a streaming Update-mode
     * aggregate over any micro-batch slicing converges to the batch
-    * rows (the streaming twin's contract). */
+    * rows (the streaming twin's contract).
+    *
+    * ONE pass over `feat`: every split's group assignment is a
+    * row-local function of (vec_id, label), so all twelve per-plane
+    * sums are conditional aggregates of a single scan, exploded into
+    * the 3 split rows afterwards. The previous 4-branch union
+    * formulation re-derived `feat` — and with it [[featExchange]]'s
+    * 32-wide DECIMAL projection aggregate, the query's dominant stage
+    * — once per branch (profiled r13: four ~0.8–2.0 s 32-task stages
+    * for one ~2 s of real work) and quadrupled the physical plan,
+    * pushing per-stage task binaries to ~1.7 MB. Exact integer sums:
+    * the folded form is bit-identical, which the oracle hash-compare
+    * and `StreamingMmdSpec` both pin. Streaming shape is unchanged in
+    * kind — one Update-mode aggregate (state now keyed by plane alone,
+    * 32 rows) followed by a stateless Generate. */
   private[graft] def splitSums(feat: DataFrame): DataFrame = {
-    val splits = feat.select(lit("random_split").as("split"),
-        when(col("vec_id") % 2 === 0, lit(0)).otherwise(lit(1)).as("grp"),
-        col("p"), col("z"))
-      .union(feat.select(lit("label_shift").as("split"),
-        when(col("label") < 5, lit(0)).otherwise(lit(1)).as("grp"),
-        col("p"), col("z")))
-      .union(feat.filter(col("vec_id") % 2 === 0)
-        .select(lit("planted_drift").as("split"), lit(0).as("grp"),
-          col("p"), col("z")))
-      .union(feat.filter(col("vec_id") % 2 === 1)
-        .select(lit("planted_drift").as("split"), lit(1).as("grp"),
-          col("p"), col("zd").as("z")))
-    splits.groupBy(col("split"), col("p"))
-      .agg(sum(when(col("grp") === 0, col("z")).otherwise(lit(0L))).as("sx"),
-        sum(when(col("grp") === 1, col("z")).otherwise(lit(0L))).as("sy"),
-        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("nx"),
-        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("ny"))
+    val even = col("vec_id") % 2 === 0
+    val lowLbl = col("label") < 5
+    val sums = feat.groupBy(col("p")).agg(
+      sum(when(even, col("z")).otherwise(lit(0L))).as("rs_sx"),
+      sum(when(even, lit(0L)).otherwise(col("z"))).as("rs_sy"),
+      sum(when(even, lit(1L)).otherwise(lit(0L))).as("rs_nx"),
+      sum(when(even, lit(0L)).otherwise(lit(1L))).as("rs_ny"),
+      sum(when(lowLbl, col("z")).otherwise(lit(0L))).as("ls_sx"),
+      sum(when(lowLbl, lit(0L)).otherwise(col("z"))).as("ls_sy"),
+      sum(when(lowLbl, lit(1L)).otherwise(lit(0L))).as("ls_nx"),
+      sum(when(lowLbl, lit(0L)).otherwise(lit(1L))).as("ls_ny"),
+      // planted_drift: even rows keep z, odd rows use the drifted sign
+      // zd; its nx/ny are the even/odd counts (= rs_nx/rs_ny)
+      sum(when(even, lit(0L)).otherwise(col("zd"))).as("pd_sy"))
+    sums.select(col("p"), explode(array(
+        struct(lit("random_split").as("split"), col("rs_sx").as("sx"),
+          col("rs_sy").as("sy"), col("rs_nx").as("nx"), col("rs_ny").as("ny")),
+        struct(lit("label_shift").as("split"), col("ls_sx").as("sx"),
+          col("ls_sy").as("sy"), col("ls_nx").as("nx"), col("ls_ny").as("ny")),
+        struct(lit("planted_drift").as("split"), col("rs_sx").as("sx"),
+          col("pd_sy").as("sy"), col("rs_nx").as("nx"), col("rs_ny").as("ny"))))
+        .as("r"))
+      .select(col("r.split").as("split"), col("p"),
+        col("r.sx").as("sx"), col("r.sy").as("sy"),
+        col("r.nx").as("nx"), col("r.ny").as("ny"))
   }
 }

@@ -66,12 +66,20 @@ object Elasticity {
         // the three needed columns to the session's parallelism before
         // the heavy projection costs one narrow ~15 MB shuffle and
         // spreads the expression work across every core (guide §2.5
-        // input-parallelism; count derives from the session, not a
-        // constant — at cluster scale splits >> cores make it a no-op
-        // cost-wise).
-        val o = lineitem(s, d)
+        // input-parallelism). Conditional (r12 ADVICE): when the scan
+        // already yields at least session-parallelism splits — the
+        // cluster-scale regime — the repartition would COALESCE the
+        // scan and add a shuffle for nothing, so it is skipped; the
+        // split estimate is stat-bytes / maxPartitionBytes, free at
+        // plan time.
+        val liProj = lineitem(s, d)
           .select($"l_partkey", $"l_quantity", $"l_extendedprice")
-          .repartition(s.sessionState.conf.numShufflePartitions)
+        val nPar = s.sessionState.conf.numShufflePartitions
+        val estSplits = liProj.queryExecution.optimizedPlan.stats.sizeInBytes /
+          s.sessionState.conf.filesMaxPartitionBytes
+        val liSpread =
+          if (estSplits < nPar) liProj.repartition(nPar) else liProj
+        val o = liSpread
           .join(broadcast(part(s, d)), $"p_partkey" === $"l_partkey")
           .filter($"l_quantity" > 0 && $"l_extendedprice" > 0)
           .select($"p_brand".as("brand"),

@@ -46,13 +46,14 @@ object Graph {
     * needs no per-iteration checkpoints: the whole iters-deep chain
     * plans and schedules as one job. Only the final frame, which
     * callers read repeatedly, is checkpointed. */
-  def pagerank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, damping: Double,
+      parts: Int = 8): DataFrame = {
     // persist(), not localCheckpoint(), for the loop-invariant sides:
     // under AQE a checkpoint captures the unfinalized adaptive plan's
     // UnknownPartitioning, reintroducing an |edges| exchange per
     // iteration, while a cached plan keeps its child's hash
     // partitioning (and is partitioning-stable under AQE by default).
-    val e = edges.repartition(8, col("src")).persist() // partition count follows data volume (gx weak-row lesson)
+    val e = edges.repartition(parts, col("src")).persist() // parts from [[dataParts]] at call sites
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("src").as("node"), col("deg")).persist()
     val n = nodes.count()
@@ -91,13 +92,14 @@ object Graph {
     * normalization is deliberate: the total is an exact DECIMAL sum
     * and each score is ONE double division — bit-portable, where an
     * L2 norm would sum squared doubles. */
-  def hits(edges: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+  def hits(edges: DataFrame, iters: Int,
+      parts: Int = 8): (DataFrame, DataFrame) = {
     // eS derives from the CACHED eC, not from `edges`: the raw edge
     // list is a fact-fact join + distinct, and two independent
     // partitioned copies would each recompute it from scratch (the
     // dominant cost of the whole query at sf0.1)
-    val eC = edges.repartition(8, col("c")).persist() // partition count follows data volume
-    val eS = eC.repartition(8, col("s")).persist()
+    val eC = edges.repartition(parts, col("c")).persist() // parts from [[dataParts]] at call sites
+    val eS = eC.repartition(parts, col("s")).persist()
     // EXACT INTEGER recurrence, ONE normalization at the end: in exact
     // arithmetic per-step L1 normalization only rescales by a scalar,
     // so normalizing once after the last step yields the identical
@@ -187,6 +189,49 @@ object Graph {
   def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("n")).union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+  /** Scale-adaptive partition count for the iterated/cached graph
+    * frames (r12 verdict #3: the `repartition(8, …)` constants carried
+    * "partition count follows data volume" comments that the code
+    * contradicted — right at sf0.1, serial at 10×). Derived from the
+    * SOURCE SCAN's stat bytes: leaf stats are file bytes, free at plan
+    * time, no decision job. One partition per ~4 MB of scan, floored
+    * at the measured sf0.1 sweet spot (8: below it iterated stages pay
+    * 32 task launches per kilobyte-scale partition — the gx weak-row
+    * lesson) and capped at 4× the session's scheduling slots. Callers
+    * MUST pass a scan-rooted frame (scan or scan+project): stats of a
+    * join are estimate PRODUCTS and would always hit the cap. At sf0.1
+    * (lineitem ≈ 11 MB) this lands exactly on the floor, so every
+    * sf0.1 plan is unchanged; at sf1 it grows to ~27 and keeps
+    * growing linearly with data. */
+  private[operators] def dataParts(scan: DataFrame, floor: Int = 8): Int = {
+    val bytes = scan.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = BigInt(4L * math.max(1,
+      scan.sparkSession.sparkContext.defaultParallelism))
+    val derived = bytes / (4L << 20) + 1
+    (derived.min(cap).max(BigInt(floor))).toInt
+  }
+
+  /** DISTINCT directed (customer→supplier) trade edges — the shared e0
+    * of the gx_ fixpoint family (pagerank/katz/ppr/walks/neighborhood).
+    * The lineitem probe side is projected to the two needed columns
+    * and repartitioned to session parallelism BEFORE the broadcast
+    * join: the scan yields only a handful of file splits at bench
+    * scale, so probe + partial-distinct ran 3-wide — a ~0.6 s 3-task
+    * stage in every consumer's profile (guide §2.5 scan parallelism,
+    * the ev_price_elasticity fix). One narrow (orderkey, suppkey)
+    * shuffle spreads it; the orderkey hash key is deterministic (no
+    * round-robin sort) and collision-free at ≤ 7 lines per order. */
+  private[operators] def tradeEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
+    orders(s, d).join(li, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+  }
 
   /** Edge-count ceiling for broadcasting the closing-edge list in the
     * wedge-closure semi-join. Below it the canonical edge list rides a
@@ -387,12 +432,9 @@ object Graph {
         LIMIT 20
       """.trim),
       (s, d) => {
-        val e0 = orders(s, d)
-          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val e0 = tradeEdges(s, d)
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        pagerank(edges, iters, damping)
+        pagerank(edges, iters, damping, dataParts(lineitem(s, d)))
           .orderBy(col("pr").desc, col("node"))
           .limit(20)
           .select(col("node").cast("bigint").as("node"), col("pr"))
@@ -429,11 +471,17 @@ object Graph {
         ORDER BY role, score DESC, node
       """.trim),
       (s, d) => {
+        val li = lineitem(s, d)
+        // same probe-side spread as [[tradeEdges]] (this graph keeps
+        // the raw (c, s) keying instead of the ×2 node encoding)
+        val liRep = li.select(col("l_orderkey"), col("l_suppkey"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("l_orderkey"))
         val e = orders(s, d)
-          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(liRep, col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
           .distinct()
-        val (h, a) = hits(e, iters)
+        val (h, a) = hits(e, iters, dataParts(li))
         val aut = a.orderBy(col("a").desc, col("s")).limit(10)
           .select(lit("authority").as("role"),
             col("s").cast("bigint").as("node"), col("a").as("score"))
@@ -882,7 +930,8 @@ object Graph {
         FROM l3 GROUP BY lbl ORDER BY size DESC, community
       """.trim),
       (s, d) => {
-        labelPropagation(cooccurSym(s, d), rounds = 3)
+        labelPropagation(cooccurSym(s, d), rounds = 3,
+            parts = dataParts(lineitem(s, d)))
           .groupBy(col("lbl").as("community"))
           .agg(count(lit(1)).as("size"))
           .orderBy(col("size").desc, col("community"))
@@ -988,7 +1037,8 @@ object Graph {
       """.trim),
       (s, d) => {
         val sym = cooccurSym(s, d)
-        modularity(sym, labelPropagation(sym, rounds = 3))
+        modularity(sym, labelPropagation(sym, rounds = 3,
+          parts = dataParts(lineitem(s, d))))
       }),
 
     // Local clustering coefficient — per-node triangle density
@@ -1115,7 +1165,8 @@ object Graph {
     * measured as three concurrent 64-task stages) — the CacheManager
     * dedupes the identical plan across consumers within a query. */
   private[operators] def cooccurSym(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val e = canonicalEdges(lineitem(s, d)
+    val li = lineitem(s, d)
+    val e = canonicalEdges(li
       .select((col("l_orderkey") % 29989).as("a"),
         (col("l_partkey") % 29989).as("b")))
     e.select(col("u").as("src"), col("v").as("dst"))
@@ -1125,7 +1176,7 @@ object Graph {
       // would otherwise pay 64 task launches per scan (5 consumers in
       // gx_modularity); src keying feeds the degree groupBy and the
       // intra-edge joins shuffle-free
-      .repartition(8, col("src"))
+      .repartition(dataParts(li), col("src"))
       .persist()
   }
 
@@ -1203,15 +1254,17 @@ object Graph {
     * aggregate, and the label table is checkpointed per round so round
     * i's plan doesn't embed round i-1 twice. State is one (node,
     * label) row per node — nothing is broadcast or collected. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      parts: Int = 8): DataFrame = {
     // Explicit small partition count for the iterated frame: at 32
     // shuffle partitions every round pays 32 task launches per stage
     // on a ~1M-row cached frame (measured 2.7s@8cpus vs 6.5s@32 for
     // gx_modularity, same plan) — AQE only coalesces post-shuffle
     // reads, never a cached scan. 8 partitions ≈ 150k rows each at
-    // sf0.1; at real scale partition count follows data volume, and
+    // sf0.1; parts derives from the scan via [[dataParts]] at call
+    // sites, so at real scale partition count follows data volume and
     // this co-partitioned join shape is unchanged.
-    val e = edges.repartition(8, col("dst")).persist()
+    val e = edges.repartition(parts, col("dst")).persist()
     // LINEAR lineage, one job: each round's label table is consumed by
     // exactly one downstream join, so (as in [[hits]]) intermediate
     // checkpoints only add a sequential materialization barrier per

@@ -44,8 +44,8 @@ object Katz {
          FROM nodes LEFT JOIN c$i c ON nodes.node = c.dst)"""
   }
 
-  private def katz(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.repartition(8, col("src")).persist() // partition count follows data volume (gx weak-row lesson)
+  private def katz(edges: DataFrame, iters: Int, parts: Int): DataFrame = {
+    val e = edges.repartition(parts, col("src")).persist() // parts scan-derived (Graph.dataParts) at the call site
     val nodes = e.select(col("src").as("node")).distinct().persist()
     // Lazy composition across iterations — the gx_pagerank shape: a
     // localCheckpoint per iteration serialized the loop into 5 eager
@@ -85,13 +85,9 @@ object Katz {
         LIMIT 20
       """.trim),
       (s, d) => {
-        val e0 = orders(s, d)
-          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val e0 = Graph.tradeEdges(s, d)
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-        katz(edges, iters)
+        katz(edges, iters, Graph.dataParts(lineitem(s, d)))
           .orderBy(det.snap9(col("x")).desc, col("node"))
           .limit(20)
           .select(col("node").cast("long").as("node"),

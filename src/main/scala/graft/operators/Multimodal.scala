@@ -157,7 +157,18 @@ object Multimodal {
     * decode+resize and keeps everything downstream (dHash, banding,
     * verify) unchanged. */
   private def pxGrid(docs: DataFrame): DataFrame = {
+    // Spread the "decode" stage to session parallelism before the
+    // shingle explode: the docs scan is a single file split at bench
+    // scale, so the per-shingle md5 + 72-bucket partial aggregate ran
+    // on ONE task (profiled r13: a ~0.4–0.6 s single-task stage in
+    // every dhash consumer — §2.5 scan parallelism, the decoder-seam
+    // analogue of the ev_price_elasticity fix). Keying the shuffle by
+    // doc_id also lets the groupBy reuse this exchange, so the
+    // exchange COUNT is unchanged — the one shuffle just moved below
+    // the heavy projection's input instead of above its output.
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sh = Dedup.shingleArrays(docs)
+      .repartition(parts, col("doc_id"))
       .select(col("doc_id"), explode(col("shs")).as("sh"))
     val h = PortableHash.h32(col("sh"))
     sh.groupBy(col("doc_id")).agg(

@@ -47,16 +47,14 @@ object Neighborhood {
       """.trim),
       (s, d) => {
         import s.implicits._
-        val e0 = orders(s, d)
-          .join(lineitem(s, d), $"o_orderkey" === $"l_orderkey")
-          .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-          .distinct()
+        val li = lineitem(s, d)
+        val e0 = Graph.tradeEdges(s, d)
         // one-time shuffle to a few src-keyed partitions before caching:
         // the raw union is 2x32 scan splits, so every per-round join
         // would pay 64 task launches per cached scan (the gx weak-row
-        // lesson; partition count follows data volume, ~1M narrow rows)
+        // lesson; count scan-derived, 8 at sf0.1, ~1M narrow rows)
         val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
-          .repartition(8, $"src")
+          .repartition(Graph.dataParts(li), $"src")
           .persist()
         val seeds = e.filter($"src" % 2 === 0).select($"src").distinct()
           .orderBy($"src").limit(10).select($"src".as("seed"))
@@ -133,17 +131,23 @@ object Neighborhood {
       """.trim),
       (s, d) => {
         import s.implicits._
+        val li = lineitem(s, d)
+        // same probe-side spread as [[Graph.tradeEdges]], with this
+        // query's date/linenumber filters kept on the raw scans
+        val liRep = li.filter($"l_linenumber" === 1)
+          .select($"l_orderkey", $"l_suppkey")
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            $"l_orderkey")
         val e0 = orders(s, d)
           .filter($"o_orderdate" < to_timestamp(lit("1996-01-01")))
-          .join(lineitem(s, d).filter($"l_linenumber" === 1),
-            $"o_orderkey" === $"l_orderkey")
+          .join(liRep, $"o_orderkey" === $"l_orderkey")
           .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
           .distinct()
         // few-partition cache for the same reason as gx_neighborhood's;
         // src keying serves the exact arm's frontier join (the HLL
-        // arm's dst-keyed ship join reshuffles 8 small partitions)
+        // arm's dst-keyed ship join reshuffles the few small partitions)
         val e = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
-          .repartition(8, $"src")
+          .repartition(Graph.dataParts(li), $"src")
           .persist()
         e.count() // materialize once before both arms fork
         val nodes = e.select($"src".as("node")).distinct()

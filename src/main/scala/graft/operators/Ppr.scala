@@ -121,10 +121,7 @@ object Ppr {
         LIMIT 20
       """.trim),
       (s, d) => {
-        val e0 = orders(s, d)
-          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val e0 = Graph.tradeEdges(s, d)
         val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         pprTopDegree(edges, 5, Graph.iters, Graph.damping)
           .filter(col("pr") > 0.0)

@@ -155,7 +155,11 @@ object Relational4 {
         // grain are the distinct counts — shuffles each pair once with
         // map-side partial aggregation instead (guide §2.3). Same
         // numbers: n_supp = #pairs, n_late = #pairs with any late line,
-        // late_supp = max suppkey among late pairs.
+        // late_supp = max suppkey among late pairs. NON-NULL
+        // assumption (r12 ADVICE): count(*) over the pair grain counts
+        // a NULL l_suppkey group where countDistinct ignored it —
+        // equivalent only because TPC-H's l_suppkey is NOT NULL (true
+        // of every fixture and of the schema this mirrors).
         val prof = lineitem(s, d)
           .join(orders(s, d), $"o_orderkey" === $"l_orderkey")
           .groupBy($"l_orderkey", $"l_suppkey")

@@ -110,12 +110,20 @@ object Similarity {
     import spark.implicits._
     // The corpus is scanned iters+1 times during training (one fused
     // assignment+means pass per iteration, plus init) — cache it for
-    // the duration, at a partition count matched to the corpus (a
-    // 2k-vector fixture on 32 default partitions pays 32 task launches
-    // per scan; partition count follows data volume). Model state
-    // (k·dim floats) is the only thing that ever reaches the driver,
-    // same contract as MLlib's distributed k-means.
-    val cached = emb.repartition(4)
+    // the duration, at a partition count derived from the corpus: one
+    // ~2k-row slice per task (the fused pass is k·dim flops per row —
+    // CPU-dense over byte-small rows, so the byte heuristics
+    // under-parallelize it), floor 4 (a 2k-vector fixture on 32
+    // default partitions pays 32 task launches per scan for zero
+    // gain), capped at the session's scheduling slots. The count() is
+    // cheap in both caller regimes: parquet-backed corpora answer from
+    // footer metadata, checkpointed corpora from materialized blocks.
+    // Model state (k·dim floats) is the only thing that ever reaches
+    // the driver, same contract as MLlib's distributed k-means.
+    val corpusRows = emb.count()
+    val trainParts = math.max(4, math.min(
+      spark.sparkContext.defaultParallelism, (corpusRows / 2000L).toInt))
+    val cached = emb.repartition(trainParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents: Seq[(Long, Seq[Float])] = cached.filter(col("vec_id") < k)

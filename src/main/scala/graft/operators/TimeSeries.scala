@@ -334,12 +334,26 @@ object TimeSeries {
             // Spark is double division; `//` in the oracle floor-divides)
             floor(unix_timestamp($"ts") / 3600).cast("long").as("bucket"))
           .agg(dsum($"value").as("v"))
+        // Round-robin the ~|users| bounds rows before the grid explode:
+        // the grid inherited the bounds aggregate's hashpartitioning
+        // (user_id), AQE rightly coalesced that byte-tiny aggregate to
+        // ONE partition, and the 150 → 1.4M explode fan-out plus join
+        // probe and the whole fill pass then ran single-task (profiled
+        // r13 on the interp twin: 2 × ~1.6 s single-task window stages
+        // = 75% of the query — §2.5 explode fan-out). Breaking the
+        // partitioning chain here also makes the explicit user_id
+        // repartition below non-redundant, so the window input is
+        // pinned at session parallelism instead of riding byte-based
+        // coalescing.
+        val nPar = s.sessionState.conf.numShufflePartitions
         val grid = vals.groupBy($"user_id")
           .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+          .repartition(nPar)
           .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
         val w = Window.partitionBy($"user_id").orderBy($"bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         grid.join(vals, Seq("user_id", "bucket"), "left")
+          .repartition(nPar, $"user_id")
           .select($"user_id", $"bucket",
             last($"v", ignoreNulls = true).over(w).as("v_filled"),
             $"v".isNull.as("gap_filled"))
@@ -405,8 +419,15 @@ object TimeSeries {
           .groupBy($"user_id",
             floor(unix_timestamp($"ts") / 3600).cast("long").as("bucket"))
           .agg(dsum($"value").as("v"))
+        // grid fan-out + window parallelism: see ts_resample_ffill —
+        // without the round-robin the single-coalesced bounds partition
+        // carried the whole explode and both ordered window scans on
+        // ONE task each (profiled r13: 1612 + 1668 ms single-task
+        // stages, 75% of this query's wall)
+        val nPar = s.sessionState.conf.numShufflePartitions
         val grid = vals.groupBy($"user_id")
           .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+          .repartition(nPar)
           .select($"user_id", explode(sequence($"b0", $"b1")).as("bucket"))
         val wp = Window.partitionBy($"user_id").orderBy($"bucket")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -414,6 +435,7 @@ object TimeSeries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val obsBucket = when($"v".isNotNull, $"bucket")
         grid.join(vals, Seq("user_id", "bucket"), "left")
+          .repartition(nPar, $"user_id")
           .select($"user_id", $"bucket", $"v", $"v".isNull.as("gap_filled"),
             last($"v", ignoreNulls = true).over(wp).as("pv"),
             last(obsBucket, ignoreNulls = true).over(wp).as("pb"),

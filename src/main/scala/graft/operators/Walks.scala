@@ -71,11 +71,8 @@ object Walks {
         """.trim)
       },
       (s, d) => {
-        val e0 = orders(s, d)
-          .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-          .select((col("o_custkey") * 2).as("src"),
-            (col("l_suppkey") * 2 + 1).as("dst"))
-          .distinct()
+        val li = lineitem(s, d)
+        val e0 = Graph.tradeEdges(s, d)
         val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         val ws = Window.partitionBy(col("src")).orderBy(col("dst"))
         val adj = e
@@ -90,8 +87,8 @@ object Walks {
           // sf0.1, and every one of the L step joins launches one task
           // per cached partition — 32-slot default partitioning pays
           // 4x the task launches for zero parallelism gain (the gx
-          // weak-row lesson; partition count follows data volume)
-          .repartition(8, col("src"))
+          // weak-row lesson); count scan-derived, 8 at sf0.1
+          .repartition(Graph.dataParts(li), col("src"))
           .persist()
         // per-node degree as its own keyed relation: the step picks its
         // neighbor RANK on the frontier side first, so the adjacency

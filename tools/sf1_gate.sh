@@ -34,7 +34,7 @@ fi
 # The r11 curated list (25 most expensive committed rows + quadratic-
 # risk family representatives) + the r12 adaptive twin, so fixed-K and
 # adaptive-K exponents sit side by side in one artifact.
-QUERIES=dd_bbit_minhash,dd_exact_substr,dd_greedy_vs_cc,dd_incremental,dd_lsh_tuning,dd_minhash_lsh,dd_ngram_jaccard,dd_simhash_pairs,dd_source_overlap,dq_mmd_drift,dq_profile,er_blocking_sweep,er_edit1_pairs,er_edit2_lookup,ev_price_elasticity,gx_jaccard_linkpred,gx_katz,gx_knn_degree,gx_ktruss,gx_louvain2,gx_pagerank,gx_triangles,gx_triangles_adaptive,pl_curation_v2,pl_curation_v3,pl_decontam_scrub,pl_decontam_semantic,pl_decontam_spans,q32_recursive_cte,q47_blame_supplier,sim_ann_recall,sim_ivf_recall,sim_margin_bitext,sim_margin_bitext_adaptive,sim_pq_recall,ts_linear_interp
+QUERIES=dd_bbit_minhash,dd_exact_substr,dd_greedy_vs_cc,dd_incremental,dd_lsh_tuning,dd_minhash_lsh,dd_ngram_jaccard,dd_simhash_pairs,dd_source_overlap,dq_mmd_drift,dq_profile,er_blocking_sweep,er_edit1_pairs,er_edit2_lookup,ev_price_elasticity,gx_jaccard_linkpred,gx_katz,gx_knn_degree,gx_ktruss,gx_ktruss_adaptive,gx_louvain2,gx_pagerank,gx_random_walks,gx_triangles,gx_triangles_adaptive,pl_curation_v2,pl_curation_v3,pl_decontam_scrub,pl_decontam_semantic,pl_decontam_spans,q32_recursive_cte,q47_blame_supplier,sim_ann_recall,sim_ivf_recall,sim_margin_bitext,sim_margin_bitext_adaptive,sim_pq_recall,ts_linear_interp,ts_resample_ffill
 
 echo "== [2/4] Bench at sf1 (ratio pass vs $SRC)"
 SPARK_GRAFT_SF_DIR="$OUT" \
