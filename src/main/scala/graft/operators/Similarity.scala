@@ -111,18 +111,23 @@ object Similarity {
     // The corpus is scanned iters+1 times during training (one fused
     // assignment+means pass per iteration, plus init) — cache it for
     // the duration, at a partition count derived from the corpus: one
-    // ~2k-row slice per task (the fused pass is k·dim flops per row —
-    // CPU-dense over byte-small rows, so the byte heuristics
-    // under-parallelize it), floor 4 (a 2k-vector fixture on 32
-    // default partitions pays 32 task launches per scan for zero
-    // gain), capped at the session's scheduling slots. The count() is
-    // cheap in both caller regimes: parquet-backed corpora answer from
-    // footer metadata, checkpointed corpora from materialized blocks.
-    // Model state (k·dim floats) is the only thing that ever reaches
-    // the driver, same contract as MLlib's distributed k-means.
-    val corpusRows = emb.count()
-    val trainParts = math.max(4, math.min(
-      spark.sparkContext.defaultParallelism, (corpusRows / 2000L).toInt))
+    // ~2k-row / ~800 KB slice per task (the fused pass is k·dim flops
+    // per row — CPU-dense over byte-small rows, so AQE's byte
+    // heuristics under-parallelize it), floor 4 (a 2k-vector fixture
+    // on 32 default partitions pays 32 task launches per scan for
+    // zero gain), capped at the session's scheduling slots. Derivation
+    // is stats-first — parquet-backed corpora answer from plan-time
+    // file bytes with NO decision job — falling back to a count() only
+    // when stats are the unknown-stats sentinel (checkpointed corpora,
+    // whose blocks are already materialized, so the count is one cheap
+    // cached pass). Model state (k·dim floats) is the only thing that
+    // ever reaches the driver, same contract as MLlib's k-means.
+    val cores = spark.sparkContext.defaultParallelism
+    val statBytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    val trainParts =
+      if (statBytes < (1L << 50))
+        (statBytes / (800L << 10) + 1).min(BigInt(cores)).max(BigInt(4)).toInt
+      else math.max(4, math.min(cores, (emb.count() / 2000L).toInt))
     val cached = emb.repartition(trainParts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -99,11 +99,11 @@ object Walks {
         // the adjacency-cache scan + aggregate
         val degrees = adj.groupBy(col("src").as("d_node"))
           .agg(max(col("deg")).as("d_deg"))
-          .localCheckpoint()
+          .persist()
         var frontier: DataFrame = adj.select(col("src").as("node")).distinct()
           .crossJoin(s.range(0, W).select(col("id").as("walk")))
           .select(col("node").as("start"), col("walk"), col("node").as("cur"))
-          .localCheckpoint()
+          .persist()
         val out = Seq.newBuilder[DataFrame]
         out += frontier.select(col("start"), col("walk"),
           lit(0L).as("step"), col("cur").as("node"))
@@ -111,18 +111,25 @@ object Walks {
           val choice = PortableHash.h32(concat(
             col("cur").cast("string"), lit(":"),
             col("walk").cast("string"), lit(":"), lit(k.toString))) % col("d_deg")
-          // eager checkpoint per step: the L output branches below must
-          // read materialized state, not re-derive k joins each
+          // lazy persist per step, NOT an eager localCheckpoint (the
+          // katz lesson, r12): each frontier is read twice (next step's
+          // join + its output branch), which a lazy cache serves after
+          // the first materialization — while the eager-checkpoint
+          // chain serialized L+2 barrier jobs before the real job
+          // started (r13 interleaved floor A/B: this row was the 64k
+          // coalesce floor's one real loser, 2.9 -> 4.1 s, because
+          // every barrier job's small stages stopped coalescing; the
+          // lazy shape composes into ONE job and is floor-insensitive)
           frontier = frontier
-            // broadcast: the checkpointed degree table has no stats so
-            // Spark would shuffle both sides; |V| (~30k) is well under
-            // the broadcast threshold here — at billion-node scale this
-            // reverts to the co-partitioned join with one hint change
+            // broadcast: the cached degree table is tiny (|V| rows,
+            // ~30k) — well under the broadcast threshold here; at
+            // billion-node scale this reverts to the co-partitioned
+            // join with one hint change
             .join(broadcast(degrees), col("d_node") === col("cur"))
             .withColumn("pick", choice)
             .join(adj, col("src") === col("cur") && col("idx") === col("pick"))
             .select(col("start"), col("walk"), col("dst").as("cur"))
-            .localCheckpoint()
+            .persist()
           out += frontier.select(col("start"), col("walk"),
             lit(k.toLong).as("step"), col("cur").as("node"))
         }
