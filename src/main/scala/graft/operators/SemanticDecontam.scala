@@ -273,20 +273,25 @@ object SemanticDecontam {
           .agg(count(lit(1)).as("wsize"))
         val trB = bg.filter(col("doc_id") % evalMod =!= evalRes)
           .select(col("doc_id").as("t_doc"), col("bigram")).distinct()
-        // The window×candidate fan-out is the query's volume center
-        // (~45M rows at sf0.1: 68k window-bigrams × ~660 candidates per
-        // eval doc — τ barely prunes on hashed-TF embeddings, measured
-        // via the n_candidates column). cand and trB ride in as (AQE)
-        // broadcasts, so the fan-out itself is never shuffled; its
-        // parallelism comes from the session-wide 64k coalesce floor.
-        // (r12's explicit (e_doc, s) repartition here was verified
-        // OPTIMIZED AWAY — plan byte-identical with and without it —
-        // and is removed, r12 verdict #6.)
+        // Match bigrams FIRST, filter to candidate pairs AFTER (guide
+        // §2.3 aggregate-before-join / §3.3 join order). The old order
+        // fanned every window-bigram by the eval doc's ~n/K candidate
+        // mates BEFORE matching — ~45M rows at sf0.1 but, because the
+        // fixed K=8 makes in-bucket pair volume quadratic in corpus
+        // size, ~4.6B rows at sf1 (profiled: two ~67 s 32-task stages,
+        // the refreshed sf1 artifact's newly-flagged row). The
+        // bigram-keyed join's volume is Σ_b wf(b)·df(b) instead —
+        // measured 57M doc-level rows at sf1 (DuckDB on the regen'd
+        // fixture), ~50× less — and pairs sharing zero bigrams simply
+        // never appear: their isect would be 0, which can never pass
+        // 5·isect ≥ 3·wsize (wsize ≥ 1), so the left-semi candidate
+        // filter AFTER the count is result-identical to fanning by
+        // cand first. Oracle unchanged and green.
         val hits = winB
-          .join(cand, Seq("e_doc"))
-          .join(trB, Seq("t_doc", "bigram"))
+          .join(trB, Seq("bigram"))
           .groupBy(col("e_doc"), col("s"), col("e"), col("t_doc"))
           .agg(count(lit(1)).as("isect"))
+          .join(cand, Seq("e_doc", "t_doc"), "left_semi")
           .join(wsize, Seq("e_doc", "s", "e"))
           .filter(lit(5) * col("isect") >= lit(3) * col("wsize"))
           .select(col("e_doc"), col("s"), col("e"))

@@ -73,7 +73,11 @@ def main():
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # Spark-written tables (ScaleUp's data/sf1) are DIRECTORIES
+            # of part files; DuckDB's read_parquet treats a bare dir
+            # path as a glob that matches nothing
+            pat = os.path.join(p, "*.parquet") if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     use_cache = os.environ.get("SELFCHECK_CACHE", "1") != "0"
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
